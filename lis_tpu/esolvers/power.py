@@ -1,0 +1,136 @@
+"""Power-family eigensolvers: PI, II, RQI (+ generalized variants).
+
+Reference: lis_epi (src/esolver/lis_esolver_pi.c:127), lis_eii
+(lis_esolver_ii.c:127 — one inner Krylov solve per outer iteration via
+lis_solve_kernel at :216), lis_erqi (lis_esolver_rqi.c:129).
+
+The outer loops run in Python on host (each outer iteration launches jitted
+device work: a matvec for PI, a whole compiled Krylov solve for II/RQI) —
+the same structure as the reference, where the inner solve dominates.
+Generalized problems Ax = λBx use the reference's reduction: iterate on
+B⁻¹A (inner solves with B).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from lis_tpu import config as C
+from lis_tpu.core import vector as v
+from lis_tpu.esolvers.base import register_esolver
+
+
+def _result(evalue, x, iters, resid, status, rh):
+    from lis_tpu.esolvers.driver import EsolveResult
+    ev = np.asarray([evalue])
+    return EsolveResult(evalue=float(np.real(evalue)), evector=x, iters=iters,
+                        resid=float(resid), status=status,
+                        evalues=np.real(ev), evectors=np.asarray(x)[None, :],
+                        iters_all=np.asarray([iters]),
+                        resids_all=np.asarray([resid]),
+                        rhistory=np.asarray(rh))
+
+
+def _bsolve(B, rhs, opts):
+    """Solve B y = rhs for the generalized reduction."""
+    from lis_tpu.solvers.driver import solve
+    r = solve(B, rhs, options=None,
+              solver=opts.inner.solver, precon=opts.inner.precon,
+              maxiter=opts.inner.maxiter, tol=max(opts.tol * 1e-2, 1e-14))
+    return r.x
+
+
+@register_esolver("pi")
+def epi(A, B, x0, opts):
+    """Power iteration (lis_epi). For Ax=λBx iterates B⁻¹A."""
+    x = x0 / v.nrm2(x0)
+    evalue, resid = 0.0, np.inf
+    rh = []
+    status = C.LIS_MAXITER
+    iters = opts.maxiter
+    for it in range(1, opts.maxiter + 1):
+        z = A.matvec(x)
+        if B is not None:
+            z = _bsolve(B, z, opts)
+        evalue = float(v.dot(x, z))
+        znrm = v.nrm2(z)
+        x = z / znrm
+        # residual: ||Ax - λx|| with the new normalized x
+        az = A.matvec(x) if B is None else _bsolve(B, A.matvec(x), opts)
+        resid = float(v.nrm2(az - evalue * x) /
+                      (abs(evalue) if evalue != 0 else 1.0))
+        rh.append(resid)
+        if resid <= opts.tol:
+            status, iters = C.LIS_SUCCESS, it
+            break
+    return _result(evalue, x, iters, resid, status, rh)
+
+
+def _shift_solve(A, B, sigma, rhs, opts):
+    """Solve (A - σB) y = rhs (inner Krylov solve of II/RQI,
+    reference lis_esolver_ii.c:216 via lis_solve_kernel)."""
+    from lis_tpu.solvers.driver import solve
+    if B is None:
+        As = A.shift_diagonal(sigma)          # A - σI
+    else:
+        As = B.axpy(-sigma, A)                # A + (-σ)·B
+    r = solve(As, rhs, options=None,
+              solver=opts.inner.solver, precon=opts.inner.precon,
+              maxiter=opts.inner.maxiter, tol=opts.inner.tol)
+    return r.x
+
+
+@register_esolver("ii")
+def eii(A, B, x0, opts):
+    """Inverse iteration (lis_eii): one inner solve per outer iteration;
+    eigenvalue from the Rayleigh quotient of the inverse map."""
+    sigma = opts.rval
+    x = x0 / v.nrm2(x0)
+    evalue, resid = 0.0, np.inf
+    rh = []
+    status = C.LIS_MAXITER
+    iters = opts.maxiter
+    for it in range(1, opts.maxiter + 1):
+        rhs = x if B is None else B.matvec(x)
+        y = _shift_solve(A, B, sigma, rhs, opts)
+        theta = float(v.dot(x, y))        # ≈ 1/(λ - σ)
+        ynrm = v.nrm2(y)
+        x = y / ynrm
+        evalue = sigma + 1.0 / theta
+        az = A.matvec(x)
+        bx = x if B is None else B.matvec(x)
+        resid = float(v.nrm2(az - evalue * bx) /
+                      (abs(evalue) if evalue != 0 else 1.0))
+        rh.append(resid)
+        if resid <= opts.tol:
+            status, iters = C.LIS_SUCCESS, it
+            break
+    return _result(evalue, x, iters, resid, status, rh)
+
+
+@register_esolver("rqi")
+def erqi(A, B, x0, opts):
+    """Rayleigh-quotient iteration (lis_erqi): the shift follows the
+    Rayleigh quotient, giving cubic local convergence."""
+    x = x0 / v.nrm2(x0)
+    bx = x if B is None else B.matvec(x)
+    sigma = float(v.dot(x, A.matvec(x)) / v.dot(x, bx))
+    evalue, resid = sigma, np.inf
+    rh = []
+    status = C.LIS_MAXITER
+    iters = opts.maxiter
+    for it in range(1, opts.maxiter + 1):
+        rhs = x if B is None else B.matvec(x)
+        y = _shift_solve(A, B, sigma, rhs, opts)
+        x = y / v.nrm2(y)
+        bx = x if B is None else B.matvec(x)
+        sigma = float(v.dot(x, A.matvec(x)) / v.dot(x, bx))
+        evalue = sigma
+        resid = float(v.nrm2(A.matvec(x) - evalue * bx) /
+                      (abs(evalue) if evalue != 0 else 1.0))
+        rh.append(resid)
+        if resid <= opts.tol:
+            status, iters = C.LIS_SUCCESS, it
+            break
+    return _result(evalue, x, iters, resid, status, rh)

@@ -1,0 +1,191 @@
+"""Subspace eigensolvers: SI (subspace iteration), LI (Lanczos), AI (Arnoldi),
+plus the CG/CR eigensolvers.
+
+Reference: lis_esi (src/esolver/lis_esolver_si.c:137), lis_eli (Lanczos,
+lis_esolver_li.c:149: tridiagonalise then dense QR via lis_array_qr :253,
+then refine each Ritz pair with the inner esolver), lis_eai (Arnoldi,
+lis_esolver_ai.c:151), lis_ecg/lis_ecr (lis_esolver_cg.c:126,780).
+
+TPU design: the Krylov factorisations (Lanczos three-term recurrence /
+Arnoldi MGS) run as device matvecs + dots; the small (ss+1)² projected
+eigenproblem is solved on host with numpy — identical role to the
+reference's lis_array_qr dense QR iteration.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from lis_tpu import config as C
+from lis_tpu.core import vector as v
+from lis_tpu.esolvers.base import register_esolver
+
+
+def _multi_result(evalues, evectors, iters, resids, status, rh):
+    from lis_tpu.esolvers.driver import EsolveResult
+    evalues = np.asarray(evalues)
+    return EsolveResult(evalue=float(np.real(evalues[0])),
+                        evector=jnp.asarray(evectors[0]),
+                        iters=int(iters[0]), resid=float(resids[0]),
+                        status=status,
+                        evalues=np.real(evalues),
+                        evectors=np.asarray(evectors),
+                        iters_all=np.asarray(iters),
+                        resids_all=np.asarray(resids),
+                        rhistory=np.asarray(rh))
+
+
+def _gen_op(A, B, opts):
+    """Operator x -> B⁻¹A x for the generalized problem (B=None -> A)."""
+    if B is None:
+        return A.matvec
+    from lis_tpu.solvers.driver import solve
+
+    def op(x):
+        z = A.matvec(x)
+        return solve(B, z, solver=opts.inner.solver, precon=opts.inner.precon,
+                     maxiter=opts.inner.maxiter, tol=1e-13).x
+    return op
+
+
+def _pair_resid(A, B, lam, x):
+    bx = x if B is None else B.matvec(x)
+    den = abs(lam) if lam != 0 else 1.0
+    return float(v.nrm2(A.matvec(x) - lam * bx) / den)
+
+
+@register_esolver("li")
+def eli(A, B, x0, opts):
+    """Lanczos (lis_eli): ss-step tridiagonalisation with full
+    reorthogonalisation, host dense eig on T, optional II refinement is
+    left to the caller (reference refines with the inner esolver)."""
+    n = A.nrows
+    ss = min(max(opts.ss, 1), n)
+    m = min(max(2 * ss, ss + 8), n)       # Krylov dimension ≥ requested pairs
+    op = _gen_op(A, B, opts)
+
+    q = x0 / v.nrm2(x0)
+    Q = [q]
+    alphas, betas = [], []
+    beta = 0.0
+    qm1 = jnp.zeros_like(q)
+    for j in range(m):
+        w = op(Q[-1])
+        alpha = float(v.dot(Q[-1], w))
+        w = w - alpha * Q[-1] - beta * qm1
+        # full reorthogonalisation (keeps parity with small-tol reference runs)
+        for qq in Q:
+            w = w - v.dot(qq, w) * qq
+        beta = float(v.nrm2(w))
+        alphas.append(alpha)
+        if j + 1 < m:
+            betas.append(beta)
+            if beta == 0.0:
+                break
+            qm1 = Q[-1]
+            Q.append(w / beta)
+
+    k = len(alphas)
+    T = np.diag(np.asarray(alphas))
+    if k > 1:
+        off = np.asarray(betas[: k - 1])
+        T += np.diag(off, 1) + np.diag(off, -1)
+    w_eig, s_eig = np.linalg.eigh(T)
+    # largest-magnitude first (reference returns the dominant pairs)
+    order = np.argsort(-np.abs(w_eig))[:ss]
+    evalues = w_eig[order]
+    Qm = jnp.stack(Q[:k], axis=1)
+    evectors, resids = [], []
+    for idx in range(ss):
+        xi = Qm @ jnp.asarray(s_eig[:, order[idx]])
+        xi = xi / v.nrm2(xi)
+        evectors.append(np.asarray(xi))
+        resids.append(_pair_resid(A, B, float(evalues[idx]), xi))
+    return _multi_result(evalues, evectors, [k] * ss, resids,
+                         C.LIS_SUCCESS, resids)
+
+
+@register_esolver("ai")
+def eai(A, B, x0, opts):
+    """Arnoldi (lis_eai): MGS Hessenberg factorisation, host dense eig."""
+    n = A.nrows
+    ss = min(max(opts.ss, 1), n)
+    m = min(max(2 * ss, ss + 8), n)
+    op = _gen_op(A, B, opts)
+
+    q = x0 / v.nrm2(x0)
+    Q = [q]
+    H = np.zeros((m + 1, m))
+    k = m
+    for j in range(m):
+        w = op(Q[j])
+        for i in range(j + 1):
+            H[i, j] = float(v.dot(Q[i], w))
+            w = w - H[i, j] * Q[i]
+        hn = float(v.nrm2(w))
+        H[j + 1, j] = hn
+        if hn == 0.0:
+            k = j + 1
+            break
+        if j + 1 < m:
+            Q.append(w / hn)
+
+    Hk = H[:k, :k]
+    w_eig, s_eig = np.linalg.eig(Hk)
+    order = np.argsort(-np.abs(w_eig))[:ss]
+    evalues = w_eig[order]
+    Qm = jnp.stack(Q[:k], axis=1)
+    evectors, resids = [], []
+    for idx in range(ss):
+        vec = s_eig[:, order[idx]]
+        if np.iscomplexobj(vec) and np.abs(vec.imag).max() < 1e-13:
+            vec = vec.real
+        xi = Qm @ jnp.asarray(np.real(vec))
+        nrm = v.nrm2(xi)
+        xi = xi / jnp.where(nrm == 0, 1.0, nrm)
+        evectors.append(np.asarray(xi))
+        resids.append(_pair_resid(A, B, float(np.real(evalues[idx])), xi))
+    return _multi_result(np.real(evalues), evectors, [k] * ss, resids,
+                         C.LIS_SUCCESS, resids)
+
+
+@register_esolver("si")
+def esi(A, B, x0, opts):
+    """Subspace iteration (lis_esi): orthogonal power iteration on an
+    ss-dimensional block, Rayleigh-Ritz projection each sweep."""
+    import numpy.random as npr
+    n = A.nrows
+    ss = min(max(opts.ss, 1), n)
+    op = _gen_op(A, B, opts)
+
+    rng = npr.default_rng(0)
+    X = np.zeros((n, ss))
+    X[:, 0] = np.asarray(x0)
+    if ss > 1:
+        X[:, 1:] = rng.standard_normal((n, ss - 1))
+    Xj = jnp.asarray(X)
+    Xj, _ = jnp.linalg.qr(Xj)
+
+    evalues = np.zeros(ss)
+    resids = [np.inf] * ss
+    status = C.LIS_MAXITER
+    iters = opts.maxiter
+    rh = []
+    for it in range(1, opts.maxiter + 1):
+        Z = jnp.stack([op(Xj[:, i]) for i in range(ss)], axis=1)
+        Q, _ = jnp.linalg.qr(Z)
+        T = np.asarray(Q.T @ jnp.stack([op(Q[:, i]) for i in range(ss)], axis=1))
+        w_eig, s_eig = np.linalg.eig(T)
+        order = np.argsort(-np.abs(w_eig))
+        w_eig, s_eig = np.real(w_eig[order]), np.real(s_eig[:, order])
+        Xj = Q @ jnp.asarray(s_eig)
+        evalues = w_eig
+        resids = [_pair_resid(A, B, float(w_eig[i]), Xj[:, i])
+                  for i in range(ss)]
+        rh.append(resids[0])
+        if max(resids) <= opts.tol:
+            status, iters = C.LIS_SUCCESS, it
+            break
+    evectors = [np.asarray(Xj[:, i]) for i in range(ss)]
+    return _multi_result(evalues, evectors, [iters] * ss, resids, status, rh)

@@ -1,0 +1,75 @@
+"""Harwell-Boeing reader (reference: lis_input_hb, src/system/lis_input_hb.c:59).
+
+HB files are fixed-column Fortran-formatted: a 4-5 line header describing
+line counts and formats, then column pointers, row indices, and values.  The
+reference reads RUA/RSA (real unsymmetric/symmetric assembled); we support
+the same plus pattern matrices.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from lis_tpu.matrix.csc import CSCMatrix
+from lis_tpu.matrix.convert import convert_matrix
+
+
+def _parse_fortran_format(fmt: str):
+    """Parse e.g. '(10I8)' / '(4E20.12)' -> (count per line, width)."""
+    m = re.match(r"\(\s*(\d+)?\s*[IiEeDdFfGg]\s*(\d+)", fmt.replace(" ", ""))
+    if not m:
+        m = re.match(r"\((\d+)?[IiEeDdFfGg](\d+)", fmt.replace(" ", ""))
+    if not m:
+        raise ValueError(f"cannot parse Fortran format {fmt!r}")
+    return int(m.group(1) or 1), int(m.group(2))
+
+
+def _read_fixed(lines, nlines, count, width, conv):
+    vals = []
+    for _ in range(nlines):
+        line = next(lines).rstrip("\n")
+        for k in range(0, len(line), width):
+            tok = line[k:k + width].strip()
+            if tok:
+                vals.append(conv(tok.replace("D", "E").replace("d", "e")))
+    return np.asarray(vals[:count])
+
+
+def read_harwell_boeing(path: str, matrix_type: str = "csr", **kw):
+    with open(path) as f:
+        lines = iter(f.readlines())
+    next(lines)                                    # title line
+    l2 = next(lines)
+    totcrd, ptrcrd, indcrd, valcrd = (int(l2[i:i + 14]) for i in range(0, 56, 14))
+    rhscrd = int(l2[56:70]) if len(l2.rstrip()) > 56 else 0
+    l3 = next(lines)
+    mxtype = l3[0:3].upper()
+    nrow, ncol, nnzero = int(l3[14:28]), int(l3[28:42]), int(l3[42:56])
+    l4 = next(lines)
+    ptrfmt, indfmt = l4[0:16].strip(), l4[16:32].strip()
+    valfmt = l4[32:52].strip()
+    if rhscrd > 0:
+        next(lines)                                # RHS format line
+
+    pc, pw = _parse_fortran_format(ptrfmt)
+    ic, iw = _parse_fortran_format(indfmt)
+    ptr = _read_fixed(lines, ptrcrd, ncol + 1, pw, int) - 1
+    index = _read_fixed(lines, indcrd, nnzero, iw, int) - 1
+    if mxtype[0] == "P" or valcrd == 0:
+        value = np.ones(nnzero)
+    else:
+        vc, vw = _parse_fortran_format(valfmt)
+        value = _read_fixed(lines, valcrd, nnzero, vw, float)
+
+    csc = CSCMatrix.from_csc_arrays(ptr, index, value, (nrow, ncol))
+    if mxtype[1] == "S":                           # symmetric: mirror lower
+        import scipy.sparse as sp
+        a = sp.csc_matrix((value, index, ptr), shape=(nrow, ncol))
+        full = a + a.T - sp.diags(a.diagonal())
+        full = full.tocsc()
+        full.sort_indices()
+        csc = CSCMatrix.from_csc_arrays(full.indptr, full.indices, full.data,
+                                        (nrow, ncol))
+    return convert_matrix(csc, matrix_type, **kw)

@@ -1,0 +1,84 @@
+"""DIA (diagonal / CDS) format — the speed-of-light format for stencils.
+
+Reference: src/matrix/lis_matrix_dia.c, kernel src/matvec/lis_matvec_dia.c:50.
+For banded/stencil matrices (all of the reference's spmvtest problems) the
+matrix is a handful of dense diagonals; SpMV needs NO gather at all: each
+diagonal contributes ``value[k] * shift(x, off_k)``, a pure VPU multiply-add
+over contiguous memory.  The diagonal offsets are static aux data, so the
+shifts are compile-time slices — this is the flagship Pallas-kernel format
+(see lis_tpu.ops.spmv_pallas).
+
+Out-of-range positions hold zeros in ``value`` so no runtime masks needed.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lis_tpu.matrix.base import SparseMatrix, matrix_format, static, host
+
+
+@matrix_format("dia")
+class DIAMatrix(SparseMatrix):
+    value: jax.Array                 # (nnd, n): value[k, i] = A[i, i+off_k]
+    nrows: int = static()
+    ncols: int = static()
+    nnz: int = static()
+    offsets: tuple = static()        # static diagonal offsets
+
+    @classmethod
+    def from_csr_arrays(cls, ptr, index, value, shape) -> "DIAMatrix":
+        ptr, index, value = host(ptr), host(index), host(value)
+        n = shape[0]
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(ptr))
+        offs = index.astype(np.int64) - rows
+        uoffs = np.unique(offs)
+        k_of = {o: k for k, o in enumerate(uoffs)}
+        dval = np.zeros((len(uoffs), n), dtype=value.dtype)
+        kidx = np.vectorize(k_of.get, otypes=[np.int64])(offs) if len(offs) else np.zeros(0, np.int64)
+        dval[kidx, rows] = value
+        return cls(value=jnp.asarray(dval),
+                   nrows=int(n), ncols=int(shape[1]), nnz=int(len(value)),
+                   offsets=tuple(int(o) for o in uoffs))
+
+    def to_csr_arrays(self):
+        val = host(self.value)
+        n, m = self.shape
+        ptr_rows, idx_rows, val_rows = [], [], []
+        cols = np.arange(n)[None, :] + np.array(self.offsets)[:, None]
+        valid = (cols >= 0) & (cols < m) & (val != 0)
+        rows = np.broadcast_to(np.arange(n)[None, :], cols.shape)
+        r, c, v = rows[valid], cols[valid], val[valid]
+        order = np.lexsort((c, r))
+        r, c, v = r[order], c[order], v[order]
+        ptr = np.zeros(n + 1, dtype=np.int32)
+        np.add.at(ptr, r + 1, 1)
+        ptr = np.cumsum(ptr).astype(np.int32)
+        return ptr, c.astype(np.int32), v
+
+    def _padded(self, x):
+        pad = max(max(abs(o) for o in self.offsets), 1) if self.offsets else 1
+        return jnp.pad(x, (pad, pad)), pad
+
+    def matvec(self, x):
+        xp, pad = self._padded(x)
+        n = self.nrows
+        y = jnp.zeros(n, dtype=jnp.result_type(self.value.dtype, x.dtype))
+        for k, off in enumerate(self.offsets):
+            y = y + self.value[k] * jax.lax.dynamic_slice(xp, (pad + off,), (n,))
+        return y
+
+    def matvech(self, x):
+        v = jnp.conj(self.value) if jnp.iscomplexobj(self.value) else self.value
+        n = self.nrows
+        out_len = self.ncols
+        pad = max(max(abs(o) for o in self.offsets), 1) if self.offsets else 1
+        y = jnp.zeros(out_len + 2 * pad,
+                      dtype=jnp.result_type(self.value.dtype, x.dtype))
+        for k, off in enumerate(self.offsets):
+            t = v[k] * x
+            y = jax.lax.dynamic_update_slice(
+                y, jax.lax.dynamic_slice(y, (pad + off,), (n,)) + t, (pad + off,))
+        return y[pad:pad + out_len]

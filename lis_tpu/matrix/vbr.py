@@ -1,0 +1,82 @@
+"""VBR — variable block row.
+
+Reference: src/matrix/lis_matrix_vbr.c.  VBR partitions rows and columns into
+variable-sized blocks; the reference itself gives it no MPI support (skipped
+when nprocs>1, test/spmvtest1.c:201) and no specialised fast kernels.  Ragged
+blocks fundamentally do not map to TPU tiling, so this class keeps the VBR
+structural metadata (row/col partition + block pointers, matching the
+reference's struct fields lis.h:641-657) for format fidelity, while compute
+routes through an internal CSR view — same arrays, fixed shapes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lis_tpu.matrix.base import SparseMatrix, matrix_format, static, host
+
+
+@matrix_format("vbr")
+class VBRMatrix(SparseMatrix):
+    # CSR compute view
+    ptr: jax.Array
+    index: jax.Array
+    value: jax.Array
+    row_ids: jax.Array
+    nrows: int = static()
+    ncols: int = static()
+    nnz: int = static()
+    # VBR structure (static tuples: host-side metadata)
+    row_part: tuple = static()     # row partition boundaries, len nr+1
+    col_part: tuple = static()     # col partition boundaries, len nc+1
+    bptr: tuple = static()         # block-row pointers into bindex
+    bindex: tuple = static()       # block-column index per stored block
+
+    @classmethod
+    def from_csr_arrays(cls, ptr, index, value, shape, row_part=None,
+                        col_part=None, block: int = 2) -> "VBRMatrix":
+        ptr, index, value = host(ptr), host(index), host(value)
+        n, m = shape
+        if row_part is None:
+            row_part = tuple(range(0, n, block)) + (n,)
+        if col_part is None:
+            col_part = tuple(range(0, m, block)) + (m,)
+        row_part = tuple(dict.fromkeys(row_part))
+        col_part = tuple(dict.fromkeys(col_part))
+        # build block structure: which (brow, bcol) blocks are nonempty
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(ptr))
+        brow = np.searchsorted(np.asarray(row_part), rows, side="right") - 1
+        bcol = np.searchsorted(np.asarray(col_part), index, side="right") - 1
+        nr = len(row_part) - 1
+        pairs = np.unique(brow * (len(col_part) - 1) + bcol)
+        bindex_all = (pairs % (len(col_part) - 1)).astype(int)
+        brow_all = (pairs // (len(col_part) - 1)).astype(int)
+        bptr = np.zeros(nr + 1, dtype=np.int64)
+        np.add.at(bptr, brow_all + 1, 1)
+        bptr = np.cumsum(bptr)
+        row_ids = rows.astype(np.int32)
+        return cls(ptr=jnp.asarray(ptr, jnp.int32),
+                   index=jnp.asarray(index, jnp.int32),
+                   value=jnp.asarray(value),
+                   row_ids=jnp.asarray(row_ids),
+                   nrows=int(n), ncols=int(m), nnz=int(len(value)),
+                   row_part=row_part, col_part=col_part,
+                   bptr=tuple(int(v) for v in bptr),
+                   bindex=tuple(int(v) for v in bindex_all))
+
+    def to_csr_arrays(self):
+        return host(self.ptr), host(self.index), host(self.value)
+
+    def matvec(self, x):
+        prod = self.value * jnp.take(x, self.index, axis=0)
+        return jax.ops.segment_sum(prod, self.row_ids,
+                                   num_segments=self.nrows,
+                                   indices_are_sorted=True)
+
+    def matvech(self, x):
+        v = jnp.conj(self.value) if jnp.iscomplexobj(self.value) else self.value
+        prod = v * jnp.take(x, self.row_ids, axis=0)
+        y = jnp.zeros(self.ncols, dtype=prod.dtype)
+        return y.at[self.index].add(prod)

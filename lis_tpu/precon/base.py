@@ -1,0 +1,62 @@
+"""Preconditioner interface.
+
+Reference: src/precon/lis_precon.c — creation registry at :58-93, applied by
+solvers through lis_psolve(solver, r, z) / lis_psolveh.  Here a
+preconditioner is a pytree object with ``psolve``/``psolveh`` methods
+(device closures over its factor arrays); creation is host-side
+factorisation.  User preconditioners register like the reference's
+lis_precon_register (lis_precon.c:411).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+
+PRECON_REGISTRY: dict[str, Callable] = {}
+
+
+def register_precon(name: str):
+    """Register a creation function ``create(A, opts) -> precon pytree``."""
+    def deco(fn):
+        PRECON_REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+def precon_pytree(cls):
+    """Register a (frozen) dataclass preconditioner as a pytree; all fields
+    are array leaves unless listed in cls._static."""
+    cls = dataclasses.dataclass(frozen=True)(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    static = tuple(getattr(cls, "_static", ()))
+    arr = tuple(f for f in fields if f not in static)
+
+    def flatten(m):
+        return (tuple(getattr(m, a) for a in arr),
+                tuple(getattr(m, s) for s in static))
+
+    def unflatten(aux, children):
+        kw = dict(zip(arr, children))
+        kw.update(zip(static, aux))
+        return cls(**kw)
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+    return cls
+
+
+def create_precon(name: str, A, opts) -> "object":
+    return PRECON_REGISTRY[name](A, opts)
+
+
+@precon_pytree
+class NonePrecon:
+    """psolve = copy (reference: precon type 0)."""
+
+    def psolve(self, r):
+        return r
+
+    def psolveh(self, r):
+        return r

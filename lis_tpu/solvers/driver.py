@@ -1,0 +1,181 @@
+"""lis_solve-equivalent driver.
+
+Reference: lis_solve / lis_solve_kernel (src/solver/lis_solver.c:367,441-953):
+option parsing, scaling (none/jacobi/symm_diag with the CG+jacobi upgrade at
+:702-705), optional storage conversion (-storage), preconditioner creation,
+registry dispatch, residual history, true-residual recomputation (:910-924)
+and per-phase timing (:902-908).
+
+The iteration itself is one jitted function per (solver, spec, pytree
+structure) — the whole Krylov loop compiles to a single XLA while-loop, so
+per-iteration overhead is two device-side psums, not Python.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lis_tpu import config as C
+from lis_tpu.core import vector as v
+from lis_tpu.matrix.base import SparseMatrix
+from lis_tpu.matrix.convert import convert_matrix
+from lis_tpu.runtime.options import SolverOptions, STORAGE_NAMES
+from lis_tpu.solvers.base import SOLVER_FNS, SolverSpec
+
+# import for registry side effects — every solver family registers itself
+from lis_tpu.solvers import cg as _cg                      # noqa: F401
+from lis_tpu.precon.base import PRECON_REGISTRY, NonePrecon, create_precon
+from lis_tpu.precon import jacobi as _pjac                 # noqa: F401
+
+SOLVER_REGISTRY = SOLVER_FNS
+
+_STORAGE_BY_ID = {i: n for n, i in STORAGE_NAMES.items()}
+
+
+@dataclass
+class SolveResult:
+    x: jax.Array
+    status: int
+    iters: int
+    resid: float              # final (recursive) relative residual
+    true_resid: float         # ||b - Ax|| / ||b|| on the unscaled system
+    rhistory: np.ndarray      # relative residuals, [0] = initial
+    time: float               # total solve time (s)
+    itime: float              # iteration time
+    ptime: float              # preconditioner-creation time
+    options: SolverOptions
+
+    def __repr__(self):
+        names = {C.LIS_SUCCESS: "SUCCESS", C.LIS_MAXITER: "MAXITER",
+                 C.LIS_BREAKDOWN: "BREAKDOWN"}
+        return (f"SolveResult({self.options.solver}+{self.options.precon}: "
+                f"{names.get(self.status, self.status)}, iters={self.iters}, "
+                f"resid={self.resid:.6e})")
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _execute(A, b, x0, M, spec: SolverSpec):
+    return SOLVER_FNS[spec.solver](A, b, x0, M, spec)
+
+
+def _make_spec(opts: SolverOptions, axis_name=None) -> SolverSpec:
+    return SolverSpec(solver=opts.solver, tol=opts.tol, tol_w=opts.tol_w,
+                      maxiter=opts.maxiter, conv_cond=opts.conv_cond,
+                      restart=opts.restart, ell=opts.ell, m=opts.m,
+                      omega=opts.omega, irestart=opts.irestart,
+                      axis_name=axis_name)
+
+
+def solve(A: SparseMatrix, b, x0=None, options=None, **overrides) -> SolveResult:
+    """Solve Ax = b (the lis_solve equivalent).
+
+    ``options`` may be a SolverOptions, an option string
+    (e.g. ``"-i gmres -p ssor -tol 1e-10"``), or None for defaults.
+    """
+    if isinstance(options, SolverOptions):
+        opts = options
+        for k, val in overrides.items():
+            setattr(opts, k, val)
+    else:
+        opts = SolverOptions.from_string(options, **overrides)
+
+    if opts.solver not in SOLVER_FNS:
+        raise NotImplementedError(f"solver {opts.solver!r} not implemented; "
+                                  f"have {sorted(SOLVER_FNS)}")
+
+    t_total = C.wtime()
+    b = jnp.asarray(b)
+    b0 = b
+    A0 = A
+    n = A.nrows
+    if x0 is None or opts.initx_zeros:
+        x0 = jnp.zeros_like(b)
+    else:
+        x0 = jnp.asarray(x0)
+
+    # ---- scaling (lis_solve_kernel :613-721) -------------------------------
+    scale = opts.scale
+    if scale == 1 and opts.solver == "cg" and opts.precon == "jacobi":
+        # CG + Jacobi is auto-upgraded to symmetric diagonal scaling
+        # (lis_solver.c:702-705), which subsumes the preconditioner.
+        scale = 2
+    dscale = None
+    if scale == 1:
+        d = A.get_diagonal()
+        dinv = jnp.where(d != 0, 1.0 / jnp.where(d != 0, d, 1), 1.0)
+        A = A.scale_rows(dinv)
+        b = dinv * b
+    elif scale == 2:
+        d = A.get_diagonal()
+        dscale = jnp.where(d > 0, 1.0 / jnp.sqrt(jnp.where(d > 0, d, 1)),
+                           jnp.where(d != 0,
+                                     1.0 / jnp.sqrt(jnp.abs(jnp.where(d != 0, d, 1))),
+                                     1.0))
+        A = A.scale_symm(dscale)
+        b = dscale * b
+        if not opts.initx_zeros:
+            x0 = x0 / dscale
+
+    # ---- storage conversion (-storage N) -----------------------------------
+    if opts.storage:
+        A = convert_matrix(A, _STORAGE_BY_ID[opts.storage],
+                           **({"bnr": opts.storage_block}
+                              if opts.storage in (7, 8) else {}))
+
+    # ---- preconditioner -----------------------------------------------------
+    t_p = C.wtime()
+    if opts.precon == "none":
+        M = NonePrecon()
+    else:
+        if opts.precon not in PRECON_REGISTRY:
+            raise NotImplementedError(
+                f"preconditioner {opts.precon!r} not implemented; "
+                f"have {sorted(PRECON_REGISTRY)}")
+        M = create_precon(opts.precon, A, opts)
+        if opts.adds:
+            from lis_tpu.precon.ads import wrap_additive_schwarz
+            M = wrap_additive_schwarz(A, M, opts)
+    ptime = C.wtime() - t_p
+
+    # ---- execute ------------------------------------------------------------
+    spec = _make_spec(opts)
+    t_i = C.wtime()
+    out = _execute(A, b, x0, M, spec)
+    x = out.x.block_until_ready()
+    itime = C.wtime() - t_i
+
+    # ---- unscale + true residual (lis_solve_kernel :877-924) ----------------
+    if dscale is not None:
+        x = x * dscale
+    rtrue = b0 - A0.matvec(x)
+    bn = v.nrm2(b0)
+    true_resid = float(v.nrm2(rtrue) / jnp.where(bn == 0, 1.0, bn))
+
+    iters = int(out.iters)
+    rh = np.asarray(out.rhistory)[: iters + 1]
+    result = SolveResult(x=x, status=int(out.status), iters=iters,
+                         resid=float(out.resid), true_resid=true_resid,
+                         rhistory=rh, time=C.wtime() - t_total,
+                         itime=itime, ptime=ptime, options=opts)
+
+    if opts.print_ & 2:
+        _print_banner(result, n)
+    return result
+
+
+def _print_banner(res: SolveResult, n: int, file=sys.stdout):
+    """Rank-0 style report (reference banner, lis_solver.c:760-825)."""
+    o = res.options
+    print(f"linear solver         : {o.solver.upper()}", file=file)
+    print(f"preconditioner        : {o.precon}", file=file)
+    print(f"matrix size           : {n}", file=file)
+    for it, r in enumerate(res.rhistory):
+        print(f"iteration: {it:5d}  relative residual = {r:e}", file=file)
+    print(f"number of iterations  : {res.iters}", file=file)
+    print(f"relative residual     : {res.resid:e}", file=file)

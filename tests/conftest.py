@@ -1,0 +1,25 @@
+"""Test configuration: run on CPU with 8 virtual devices.
+
+Mirrors the reference's test strategy (SURVEY.md §4): the same code paths
+are exercised serially and distributed — here via a virtual 8-device CPU
+mesh (the stand-in for `mpirun -np 2`) — asserting identical convergence
+behavior, plus per-kernel unit tests the reference lacks.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(12345)

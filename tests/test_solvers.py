@@ -1,0 +1,107 @@
+"""Linear-solver end-to-end tests (test1/test2-equivalent behavior)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import lis_tpu
+from lis_tpu import solve
+from tests.problems import poisson2d, random_sparse, tridiag
+
+
+def _check(res, a, b, tol=1e-8):
+    assert res.status == lis_tpu.LIS_SUCCESS, res
+    x = np.asarray(res.x)
+    r = np.asarray(b) - a.to_dense() @ x
+    assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < tol, res
+
+
+def test_cg_poisson2d():
+    a = poisson2d(10, 10)
+    xref = np.ones(100)
+    b = a.to_dense() @ xref
+    res = solve(a, b, options="-i cg -tol 1e-12")
+    _check(res, a, b, 1e-10)
+    np.testing.assert_allclose(np.asarray(res.x), xref, rtol=1e-8)
+    assert res.iters < 100
+    assert res.rhistory[0] == 1.0 or res.rhistory[0] > 0
+
+
+def test_cg_jacobi_precon():
+    a = random_sparse(80, density=0.05, seed=1, spd=True)
+    b = np.ones(80)
+    res = solve(a, b, options="-i cg -p jacobi -tol 1e-12")
+    _check(res, a, b, 1e-10)
+
+
+def test_cr_poisson():
+    a = poisson2d(8, 8)
+    b = np.ones(64)
+    res = solve(a, b, options="-i cr -tol 1e-12")
+    _check(res, a, b, 1e-10)
+
+
+def test_conv_cond_variants():
+    a = tridiag(50)
+    b = np.ones(50)
+    for cc in ("nrm2_r", "nrm2_b"):
+        res = solve(a, b, options=f"-i cg -conv_cond {cc} -tol 1e-10")
+        _check(res, a, b, 1e-8)
+    # nrm1_b measures the raw ||r||_1 against ||b||_1*tol_w + tol
+    # (lis_solver.c:1804 + :1052-1057); with tol_w=0 it is absolute.
+    res = solve(a, b, options="-i cg -conv_cond nrm1_b -tol_w 0 -tol 1e-9")
+    _check(res, a, b, 1e-8)
+    # with the default tol_w=1 the criterion is satisfied immediately
+    res2 = solve(a, b, options="-i cg -conv_cond nrm1_b -tol 1e-9")
+    assert res2.iters == 1
+
+
+def test_scaling_modes():
+    a = random_sparse(60, density=0.08, seed=2, spd=True)
+    b = np.ones(60)
+    for sc in (0, 1, 2):
+        res = solve(a, b, options=f"-i cg -tol 1e-12 -scale {sc}")
+        _check(res, a, b, 1e-9)
+
+
+def test_maxiter_status():
+    a = poisson2d(12, 12)
+    b = np.ones(144)
+    res = solve(a, b, options="-i cg -tol 1e-14 -maxiter 3")
+    assert res.status == lis_tpu.LIS_MAXITER
+    assert res.iters == 3
+
+
+def test_rhistory_monotone_recording():
+    a = poisson2d(6, 6)
+    b = np.ones(36)
+    res = solve(a, b, options="-i cg -tol 1e-12")
+    assert len(res.rhistory) == res.iters + 1
+    assert res.rhistory[-1] <= 1e-12
+
+
+def test_option_string_parsing():
+    from lis_tpu.runtime.options import SolverOptions
+    o = SolverOptions.from_string(
+        "-i gmres -p ilu -ilu_fill 1 -tol 1e-10 -maxiter 500 -restart 30 "
+        "-print all -scale jacobi -conv_cond nrm2_b -f quad")
+    assert o.solver == "gmres" and o.precon == "ilu"
+    assert o.ilu_fill == 1 and o.tol == 1e-10 and o.maxiter == 500
+    assert o.restart == 30 and o.print_ == 3 and o.scale == 1
+    assert o.conv_cond == 1 and o.precision == "quad"
+    # numeric ids accepted like the reference
+    o2 = SolverOptions.from_string("-i 1 -p 2")
+    assert o2.solver == "cg" and o2.precon == "ilu"
+
+
+def test_formats_solve_identically():
+    a = poisson2d(7, 7)
+    b = np.ones(49)
+    iters = {}
+    for fmt in ("csr", "ell", "dia", "msr", "jad", "bsr", "dns"):
+        from lis_tpu.matrix.convert import convert_matrix
+        m = convert_matrix(a, fmt)
+        res = solve(m, b, options="-i cg -tol 1e-12")
+        _check(res, a, b, 1e-10)
+        iters[fmt] = res.iters
+    assert len(set(iters.values())) == 1, iters  # same math in every format
