@@ -51,11 +51,23 @@ class SolverOutput(NamedTuple):
 
 
 SOLVER_FNS: dict[str, Any] = {}
+SOLVER_PREPARE: dict[str, Any] = {}
 
 
 def register_solver(name: str):
     def deco(fn):
         SOLVER_FNS[name] = fn
+        return fn
+    return deco
+
+
+def register_prepare(name: str):
+    """Host-side setup hook ``prepare(A, spec) -> aux pytree`` run by the
+    driver BEFORE jit (the analogue of the reference's malloc_work /
+    lis_matrix_split setup phase): level-scheduled trisolve plans, random
+    shadow spaces, etc.  The result is passed to the solver as ``aux``."""
+    def deco(fn):
+        SOLVER_PREPARE[name] = fn
         return fn
     return deco
 

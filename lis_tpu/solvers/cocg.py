@@ -1,30 +1,27 @@
-"""CG and CR — the conjugate gradient/residual pair.
+"""COCG and COCR — complex-symmetric solvers.
 
-Reference: lis_cg (src/solver/lis_solver_cg.c:129) and lis_cr (:819).  Loop
-bodies follow the reference update order exactly (psolve → dot → xpay →
-matvec → dots → axpys → convergence check) so iteration counts match; the
-loop itself is a lax.while_loop so one compiled step runs per iteration with
-two psum-reduced dots — the same two synchronisation points per iteration as
-the reference's MPI_Allreduce pair.
+Reference: lis_cocg (src/solver/lis_solver_cg.c:632) and lis_cocr (:1155),
+available under --enable-complex.  Identical loops to CG/CR but with the
+non-conjugated bilinear form <x̄,y> (lis_vector_nhdot) in place of the
+Hermitian inner product — exploiting A = Aᵀ (complex symmetric).
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
+from lis_tpu import config as C
 from lis_tpu.core import vector as v
 from lis_tpu.solvers.base import (RUNNING, SolverOutput, SolverSpec,
                                   init_residual, krylov_loop, loop_output,
                                   new_rhistory, record, register_solver,
                                   residual_norm)
-from lis_tpu import config as C
 
 
-@register_solver("cg")
-def cg(A, b, x0, M, spec: SolverSpec, aux=None) -> SolverOutput:
+@register_solver("cocg")
+def cocg(A, b, x0, M, spec: SolverSpec, aux=None) -> SolverOutput:
     r, bnrm_inv, tol_eff, nrm0 = init_residual(A, b, x0, spec)
-    rdtype = jnp.real(b).dtype
-    rh = new_rhistory(spec, nrm0, rdtype)
+    rh = new_rhistory(spec, nrm0, jnp.real(b).dtype)
     one = jnp.asarray(1.0, dtype=b.dtype)
 
     state = dict(it=jnp.asarray(1), flag=jnp.asarray(RUNNING),
@@ -33,33 +30,32 @@ def cg(A, b, x0, M, spec: SolverSpec, aux=None) -> SolverOutput:
 
     def step(s):
         z = M.psolve(s["r"])
-        rho = v.dot(s["r"], z, spec.axis_name)
+        rho = v.nhdot(s["r"], z, spec.axis_name)
         beta = rho / s["rho_old"]
-        p = v.xpay(z, beta, s["p"])
+        p = z + beta * s["p"]
         q = A.matvec(p)
-        dot_pq = v.dot(p, q, spec.axis_name)
+        dot_pq = v.nhdot(p, q, spec.axis_name)
         broke = dot_pq == 0.0
         alpha = rho / jnp.where(broke, one, dot_pq)
         x = s["x"] + alpha * p
         r = s["r"] - alpha * q
         nrm = residual_norm(r, bnrm_inv, spec)
+        keep = lambda new, old: jnp.where(broke, old, new)
         return dict(it=s["it"] + 1,
                     flag=jnp.where(broke, C.LIS_BREAKDOWN, s["flag"]),
-                    x=jnp.where(broke, s["x"], x),
-                    r=jnp.where(broke, s["r"], r),
-                    p=p, rho_old=rho,
-                    nrm=jnp.where(broke, s["nrm"], nrm),
-                    rh=record(s["rh"], s["it"], nrm))
+                    x=keep(x, s["x"]), r=keep(r, s["r"]), p=p,
+                    rho_old=jnp.where(broke, s["rho_old"], rho),
+                    nrm=keep(nrm, s["nrm"]),
+                    rh=record(s["rh"], s["it"], jnp.where(broke, s["nrm"], nrm)))
 
     final = krylov_loop(spec, tol_eff, state, step)
     return loop_output(spec, tol_eff, final)
 
 
-@register_solver("cr")
-def cr(A, b, x0, M, spec: SolverSpec, aux=None) -> SolverOutput:
+@register_solver("cocr")
+def cocr(A, b, x0, M, spec: SolverSpec, aux=None) -> SolverOutput:
     r, bnrm_inv, tol_eff, nrm0 = init_residual(A, b, x0, spec)
-    rdtype = jnp.real(b).dtype
-    rh = new_rhistory(spec, nrm0, rdtype)
+    rh = new_rhistory(spec, nrm0, jnp.real(b).dtype)
     one = jnp.asarray(1.0, dtype=b.dtype)
 
     p = M.psolve(r)
@@ -71,20 +67,20 @@ def cr(A, b, x0, M, spec: SolverSpec, aux=None) -> SolverOutput:
 
     def step(s):
         qtld = M.psolve(s["q"])
-        rho = v.dot(qtld, s["q"], spec.axis_name)
+        rho = v.nhdot(qtld, s["q"], spec.axis_name)
         broke = rho == 0.0
         rho_safe = jnp.where(broke, one, rho)
-        dot_rq = v.dot(s["r"], qtld, spec.axis_name)
+        dot_rq = v.nhdot(s["r"], qtld, spec.axis_name)
         alpha = dot_rq / rho_safe
         x = s["x"] + alpha * s["p"]
         r = s["r"] - alpha * s["q"]
         nrm = residual_norm(r, bnrm_inv, spec)
         z = s["z"] - alpha * qtld
         az = A.matvec(z)
-        dot_zq = v.dot(az, qtld, spec.axis_name)
+        dot_zq = v.nhdot(az, qtld, spec.axis_name)
         beta = -dot_zq / rho_safe
-        p = v.xpay(z, beta, s["p"])
-        q = v.xpay(az, beta, s["q"])
+        p = z + beta * s["p"]
+        q = az + beta * s["q"]
         keep = lambda new, old: jnp.where(broke, old, new)
         return dict(it=s["it"] + 1,
                     flag=jnp.where(broke, C.LIS_BREAKDOWN, s["flag"]),

@@ -30,6 +30,19 @@ from lis_tpu.solvers.base import SOLVER_FNS, SolverSpec
 
 # import for registry side effects — every solver family registers itself
 from lis_tpu.solvers import cg as _cg                      # noqa: F401
+from lis_tpu.solvers import bicg as _bicg                  # noqa: F401
+from lis_tpu.solvers import cgs as _cgs                    # noqa: F401
+from lis_tpu.solvers import bicgstab as _bicgstab          # noqa: F401
+from lis_tpu.solvers import gmres as _gmres                # noqa: F401
+from lis_tpu.solvers import stationary as _stationary      # noqa: F401
+from lis_tpu.solvers import minres as _minres              # noqa: F401
+from lis_tpu.solvers import tfqmr as _tfqmr                # noqa: F401
+from lis_tpu.solvers import orthomin as _orthomin          # noqa: F401
+from lis_tpu.solvers import gpbicg as _gpbicg              # noqa: F401
+from lis_tpu.solvers import bicgsafe as _bicgsafe          # noqa: F401
+from lis_tpu.solvers import bicgstabl as _bicgstabl        # noqa: F401
+from lis_tpu.solvers import idrs as _idrs                  # noqa: F401
+from lis_tpu.solvers import cocg as _cocg                  # noqa: F401
 from lis_tpu.precon.base import PRECON_REGISTRY, NonePrecon, create_precon
 from lis_tpu.precon import jacobi as _pjac                 # noqa: F401
 
@@ -59,9 +72,9 @@ class SolveResult:
                 f"resid={self.resid:.6e})")
 
 
-@partial(jax.jit, static_argnums=(4,))
-def _execute(A, b, x0, M, spec: SolverSpec):
-    return SOLVER_FNS[spec.solver](A, b, x0, M, spec)
+@partial(jax.jit, static_argnums=(5,))
+def _execute(A, b, x0, M, aux, spec: SolverSpec):
+    return SOLVER_FNS[spec.solver](A, b, x0, M, spec, aux=aux)
 
 
 def _make_spec(opts: SolverOptions, axis_name=None) -> SolverSpec:
@@ -145,8 +158,11 @@ def solve(A: SparseMatrix, b, x0=None, options=None, **overrides) -> SolveResult
 
     # ---- execute ------------------------------------------------------------
     spec = _make_spec(opts)
+    from lis_tpu.solvers.base import SOLVER_PREPARE
+    prepare = SOLVER_PREPARE.get(opts.solver)
+    aux = prepare(A, spec) if prepare else None
     t_i = C.wtime()
-    out = _execute(A, b, x0, M, spec)
+    out = _execute(A, b, x0, M, aux, spec)
     x = out.x.block_until_ready()
     itime = C.wtime() - t_i
 
