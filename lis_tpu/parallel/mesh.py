@@ -1,0 +1,27 @@
+"""Device-mesh helpers — the TPU replacement for MPI communicators.
+
+The reference's process model (ranks + MPI_COMM_WORLD, lis_initialize
+src/system/lis_init.c) maps to a 1-D ``jax.sharding.Mesh`` over all chips:
+the mesh axis "p" plays the role of the communicator, ``psum``/
+``all_gather``/``psum_scatter`` over it replace MPI_Allreduce /
+Isend-Irecv halo exchange / transpose-reduce.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+AXIS = "p"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (AXIS,))
+
+
+def nprocs(mesh: Mesh) -> int:
+    return mesh.shape[AXIS]

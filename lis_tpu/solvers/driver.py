@@ -45,6 +45,12 @@ from lis_tpu.solvers import idrs as _idrs                  # noqa: F401
 from lis_tpu.solvers import cocg as _cocg                  # noqa: F401
 from lis_tpu.precon.base import PRECON_REGISTRY, NonePrecon, create_precon
 from lis_tpu.precon import jacobi as _pjac                 # noqa: F401
+from lis_tpu.precon import ssor as _pssor                  # noqa: F401
+from lis_tpu.precon import ilu as _pilu                    # noqa: F401
+from lis_tpu.precon import hybrid as _phybrid              # noqa: F401
+from lis_tpu.precon import is_precon as _pis               # noqa: F401
+from lis_tpu.precon import sainv as _psainv                # noqa: F401
+from lis_tpu.precon import saamg as _psaamg                # noqa: F401
 
 SOLVER_REGISTRY = SOLVER_FNS
 
