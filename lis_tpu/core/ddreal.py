@@ -1,0 +1,322 @@
+"""Double-double ("quad") arithmetic — error-free transforms on array pairs.
+
+Reference: src/precision/ — the scalar is a (hi, lo) double pair
+(include/lis.h:295-311) with TWO_SUM (include/lis_precision.h:94),
+TWO_DIFF (:105), SPLIT (:116), TWO_PROD (:128), QUAD_ADD/MUL/DIV/SQRT/FMA
+(:162-296); vector kernels in src/precision/lis_precision_vec.c
+(axpyex_mmm:82, dotex_mmm:265, nrm2ex_mm:387) and quad SpMV
+(lis_precision_matvec.c:55).  MPI reduces with a custom two-double sum op
+(lis_mpi_msum, lis_precision_vec.c:778).
+
+TPU form: a DD value is a pytree pair of arrays (hi, lo).  The error-free
+transforms are branch-free VPU code, so whole DD-BLAS1 expressions fuse.
+TWO_PROD uses the Dekker split (no FMA dependence — works identically on
+CPU f64 and on TPU's emulated f64).  The psum reduction sums hi/lo parts
+with a compensated final renormalisation, the analogue of the custom MPI
+op.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_SPLITTER = 134217729.0          # 2^27+1 for f64 Dekker split
+
+
+def _nb(x):
+    """Optimization barrier: stops XLA's algebraic simplifier from folding
+    the error-free transforms (without it, jitted two_sum/two_prod collapse
+    to their real-arithmetic values and DD silently degrades to double —
+    observed: quad BiCG stalls instead of reproducing the reference's
+    finite-termination convergence)."""
+    return jax.lax.optimization_barrier(x)
+
+
+class DD(NamedTuple):
+    """Double-double number/array: value = hi + lo, |lo| <= ulp(hi)/2."""
+    hi: jax.Array
+    lo: jax.Array
+
+    @property
+    def dtype(self):
+        return self.hi.dtype
+
+    @property
+    def shape(self):
+        return self.hi.shape
+
+
+def dd(hi, lo=None) -> DD:
+    hi = jnp.asarray(hi, dtype=jnp.float64)
+    return DD(hi, jnp.zeros_like(hi) if lo is None else jnp.asarray(lo))
+
+
+def to_float(x: DD):
+    return x.hi + x.lo
+
+
+def two_sum(a, b):
+    """Knuth TWO_SUM (lis_precision.h:94)."""
+    s = _nb(a + b)
+    v = _nb(s - a)
+    e = (a - (s - v)) + (b - v)
+    return s, e
+
+
+def quick_two_sum(a, b):
+    """Fast path when |a| >= |b|."""
+    s = _nb(a + b)
+    e = b - (s - a)
+    return s, e
+
+
+def _split(a):
+    """Dekker SPLIT (lis_precision.h:116).
+
+    CAUTION (XLA CPU): the fusion pass may duplicate EFT subexpressions
+    into multiple fusions whose instances contract mul+add pairs
+    differently, which de-synchronises the duplicated values and destroys
+    the compensation terms (observed as quad solvers silently behaving
+    like double).  Running with XLA_FLAGS=--xla_disable_hlo_passes=fusion
+    restores exactness; the test suite sets this.  optimization_barrier
+    does not help — XLA CPU strips it before fusion.
+    """
+    t = _SPLITTER * a
+    ahi = t - (t - a)
+    alo = a - ahi
+    return ahi, alo
+
+
+def two_prod(a, b):
+    """TWO_PROD via split (lis_precision.h:128; the non-FMA variant).
+
+    Every partial product is barriered: XLA CPU otherwise contracts the
+    mul-add pairs into FMAs, which silently changes the error term.
+    """
+    p = _nb(a * b)
+    ahi, alo = _split(a)
+    bhi, blo = _split(b)
+    t1 = _nb(ahi * bhi)
+    t2 = _nb(ahi * blo)
+    t3 = _nb(alo * bhi)
+    t4 = _nb(alo * blo)
+    e = ((t1 - p) + t2 + t3) + t4
+    return p, e
+
+
+# ---- DD scalar/elementwise ops (QUAD_ADD / QUAD_MUL / ... equivalents) ----
+
+def add(x: DD, y: DD) -> DD:
+    """Accurate QUAD_ADD (lis_precision.h:186-193, the non-FAST default):
+    two TWO_SUMs with double renormalisation."""
+    sh, eh = two_sum(x.hi, y.hi)
+    sl, el = two_sum(x.lo, y.lo)
+    eh = eh + sl
+    sh, eh = quick_two_sum(sh, eh)
+    eh = eh + el
+    sh, eh = quick_two_sum(sh, eh)
+    return DD(sh, eh)
+
+
+def sub(x: DD, y: DD) -> DD:
+    return add(x, neg(y))
+
+
+def neg(x: DD) -> DD:
+    return DD(-x.hi, -x.lo)
+
+
+def mul(x: DD, y: DD) -> DD:
+    p, e = two_prod(x.hi, y.hi)
+    e = e + x.hi * y.lo + x.lo * y.hi
+    p, e = quick_two_sum(p, e)
+    return DD(p, e)
+
+
+def mul_d(x: DD, a) -> DD:
+    """DD * double."""
+    p, e = two_prod(x.hi, a)
+    e = e + x.lo * a
+    p, e = quick_two_sum(p, e)
+    return DD(p, e)
+
+
+def div(x: DD, y: DD) -> DD:
+    """QUAD_DIV (lis_precision.h): Newton-corrected quotient."""
+    q1 = x.hi / y.hi
+    r = sub(x, mul_d(y, q1))
+    q2 = r.hi / y.hi
+    r = sub(r, mul_d(y, q2))
+    q3 = r.hi / y.hi
+    s, e = quick_two_sum(q1, q2)
+    s, e = two_sum(s, q3 + e)
+    return DD(s, e)
+
+
+def sqrt(x: DD) -> DD:
+    """QUAD_SQRT: one Newton step on the double sqrt."""
+    s = jnp.sqrt(x.hi)
+    safe = jnp.where(s == 0, 1.0, s)
+    p, e = two_prod(safe, safe)
+    d = DD(x.hi - p, x.lo - e)
+    corr = (d.hi + d.lo) / (2.0 * safe)
+    hi, lo = quick_two_sum(safe, corr)
+    return DD(jnp.where(s == 0, 0.0, hi), jnp.where(s == 0, 0.0, lo))
+
+
+def where(c, x: DD, y: DD) -> DD:
+    return DD(jnp.where(c, x.hi, y.hi), jnp.where(c, x.lo, y.lo))
+
+
+def zeros_like(x: DD) -> DD:
+    return DD(jnp.zeros_like(x.hi), jnp.zeros_like(x.lo))
+
+
+# ---- DD BLAS-1 (lis_precision_vec.c equivalents) ---------------------------
+
+def axpy(alpha: DD, x: DD, y: DD) -> DD:
+    """y + alpha*x (axpyex_mmm)."""
+    return add(y, mul(_bcast(alpha, x), x))
+
+
+def xpay(x: DD, alpha: DD, y: DD) -> DD:
+    return add(x, mul(_bcast(alpha, y), y))
+
+
+def scal(alpha: DD, x: DD) -> DD:
+    return mul(_bcast(alpha, x), x)
+
+
+def _bcast(a: DD, like: DD) -> DD:
+    if a.hi.ndim == like.hi.ndim:
+        return a
+    # barrier the broadcast: XLA otherwise sinks it through the error-free
+    # transforms and collapses the scalar·vector DD product to double
+    return DD(_nb(jnp.broadcast_to(a.hi, like.hi.shape)),
+              _nb(jnp.broadcast_to(a.lo, like.lo.shape)))
+
+
+def _dd_sum(x: DD, axis_name=None) -> DD:
+    """Reduction of a DD array to a DD scalar via a pairwise two_sum tree —
+    fully vectorised (log₂ n VPU steps), error O(log n · ulp²).  With an
+    axis_name the per-shard partials are all_gathered and tree-reduced —
+    the analogue of the custom lis_mpi_msum reduction op."""
+    hi = x.hi.reshape(-1)
+    lo = x.lo.reshape(-1)
+    n = hi.shape[0]
+    m = 1 << max((n - 1).bit_length(), 0) if n > 1 else 1
+    if m != n:
+        hi = jnp.concatenate([hi, jnp.zeros(m - n, hi.dtype)])
+        lo = jnp.concatenate([lo, jnp.zeros(m - n, lo.dtype)])
+    while m > 1:
+        half = m // 2
+        s = add(DD(hi[:half], lo[:half]), DD(hi[half:], lo[half:]))
+        hi, lo = s.hi, s.lo
+        m = half
+    s, e = hi[0], lo[0]
+    if axis_name is not None:
+        s_all = jax.lax.all_gather(s, axis_name)
+        e_all = jax.lax.all_gather(e, axis_name)
+        p = s_all.shape[0]
+        p2 = 1 << max((p - 1).bit_length(), 0) if p > 1 else 1
+        if p2 != p:
+            s_all = jnp.concatenate([s_all, jnp.zeros(p2 - p, s_all.dtype)])
+            e_all = jnp.concatenate([e_all, jnp.zeros(p2 - p, e_all.dtype)])
+            p = p2
+        while p > 1:
+            half = p // 2
+            red = add(DD(s_all[:half], e_all[:half]),
+                      DD(s_all[half:], e_all[half:]))
+            s_all, e_all = red.hi, red.lo
+            p = half
+        s, e = s_all[0], e_all[0]
+    s, e = quick_two_sum(s, e)
+    return DD(s, e)
+
+
+def dot(x: DD, y: DD, axis_name=None) -> DD:
+    """dotex_mmm: elementwise DD products then compensated sum."""
+    return _dd_sum(mul(x, y), axis_name)
+
+
+def nrm2(x: DD, axis_name=None) -> DD:
+    return sqrt(_dd_sum(mul(x, x), axis_name))
+
+
+def nrm1(x: DD, axis_name=None) -> DD:
+    return _dd_sum(DD(jnp.abs(x.hi), jnp.sign(x.hi) * x.lo), axis_name)
+
+
+# ---- DD SpMV (lis_precision_matvec.c equivalent) ---------------------------
+
+def _dd_row_reduce(p, e) -> DD:
+    """(n, m) DD entries -> (n,) exact row sums via a pairwise two_sum tree
+    along axis 1 (the vectorised analogue of the reference's per-row
+    QUAD_FMA accumulation chain)."""
+    m = p.shape[1]
+    while m > 1:
+        if m % 2:
+            p = jnp.pad(p, ((0, 0), (0, 1)))
+            e = jnp.pad(e, ((0, 0), (0, 1)))
+            m += 1
+        half = m // 2
+        s = add(DD(p[:, :half], e[:, :half]), DD(p[:, half:], e[:, half:]))
+        p, e = s.hi, s.lo
+        m = half
+    return DD(p[:, 0], e[:, 0])
+
+
+def matvec_dd_ell(index, value, x: DD) -> DD:
+    """y = A x with a double ELL matrix (n, maxnzr) and DD vector:
+    gather both limbs, TWO_PROD per entry, exact DD tree reduction per
+    row.  This preserves the full double-double accumulation quality the
+    quad solvers depend on."""
+    xg_hi = jnp.take(x.hi, index, axis=0)
+    xg_lo = jnp.take(x.lo, index, axis=0)
+    p, e = two_prod(value, xg_hi)
+    e = e + value * xg_lo
+    return _dd_row_reduce(p, e)
+
+
+class DDOperator:
+    """Matrix wrapped for DD matvec/matvech: ELL views of A and Aᴴ."""
+
+    def __init__(self, index, value, index_t, value_t):
+        self.index = index
+        self.value = value
+        self.index_t = index_t
+        self.value_t = value_t
+
+    def matvec(self, x: DD) -> DD:
+        return matvec_dd_ell(self.index, self.value, x)
+
+    def matvech(self, x: DD) -> DD:
+        return matvec_dd_ell(self.index_t, self.value_t, x)
+
+    @classmethod
+    def from_matrix(cls, A) -> "DDOperator":
+        from lis_tpu.matrix.convert import convert_matrix
+        from lis_tpu.matrix.ell import ELLMatrix
+        ell = convert_matrix(A, "ell")
+        ell_t = ELLMatrix.from_csr_arrays(
+            *convert_matrix(A, "csr").transpose().to_csr_arrays(),
+            (A.shape[1], A.shape[0]))
+        return cls(ell.index, ell.value, ell_t.index, ell_t.value)
+
+
+jax.tree_util.register_pytree_node(
+    DDOperator,
+    lambda o: ((o.index, o.value, o.index_t, o.value_t), None),
+    lambda aux, c: DDOperator(*c))
+
+
+def matvec_dd(A, x: DD) -> DD:
+    """y = A x; A is a DDOperator (driver wraps matrices for quad runs)."""
+    return A.matvec(x)
+
+
+def matvech_dd(A, x: DD) -> DD:
+    return A.matvech(x)

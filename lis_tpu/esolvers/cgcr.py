@@ -1,0 +1,154 @@
+"""CG and CR eigensolvers (smallest eigenvalue).
+
+Reference: lis_ecg (src/esolver/lis_esolver_cg.c:126) — Rayleigh-Ritz
+conjugate-gradient on the 3-space span{w, x, p} with the small 3×3
+generalized eigenproblem solved by inverse iteration; and lis_ecr (:780) —
+conjugate-residual minimisation of ||Ax - λx|| with explicit α/β formulas.
+Both support the spectral shift -shift σ (A - σI) and a psolve from the
+inner options (default none).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from lis_tpu import config as C
+from lis_tpu.core import vector as v
+from lis_tpu.esolvers.base import register_esolver
+from lis_tpu.esolvers.power import _result
+from lis_tpu.precon.base import NonePrecon, PRECON_REGISTRY, create_precon
+
+
+def _make_psolve(A, opts):
+    name = opts.inner.precon if opts.inner else "none"
+    if name == "none":
+        return NonePrecon()
+    return create_precon(name, A, opts.inner)
+
+
+@register_esolver("cg")
+def ecg(A, B, x0, opts):
+    """CG eigensolver (lis_ecg): smallest eigenvalue of A (or pencil via
+    B-reduction like the other esolvers)."""
+    if B is not None:
+        # generalized: work on B⁻¹A through inner solves (reference GCG
+        # reduces the pencil the same way as the other G* solvers)
+        from lis_tpu.esolvers.power import _bsolve
+        matvec = lambda z: _bsolve(B, A.matvec(z), opts)
+    else:
+        matvec = A.matvec
+    sigma = opts.rval
+    if sigma != 0.0:
+        A = A.shift_diagonal(sigma)
+        matvec = A.matvec if B is None else matvec
+    M = _make_psolve(A, opts)
+
+    x = x0 / v.nrm2(x0)
+    Ax = matvec(x)
+    # p = A⁻¹ x (one inner CG solve, lis_esolver_cg.c:213)
+    from lis_tpu.solvers.driver import solve as lsolve
+    p = lsolve(A if B is None else A, np.asarray(x),
+               solver="cg", precon="none", tol=1e-10,
+               maxiter=opts.inner.maxiter).x
+    Ap = x
+    lam, resid = 0.0, np.inf
+    rh = []
+    status, iters = C.LIS_MAXITER, opts.maxiter
+    for it in range(1, opts.maxiter + 1):
+        lam = float(v.dot(x, Ax))
+        r = x - (1.0 / lam) * Ax
+        resid = float(v.nrm2(r))
+        rh.append(resid)
+        if resid < opts.tol:
+            status, iters = C.LIS_SUCCESS, it
+            break
+        w = M.psolve(r)
+        w = w / v.nrm2(w)
+        Aw = matvec(w)
+        # 3×3 Rayleigh-Ritz generalized problem on span{w, x, p}
+        def d(a, b):
+            return float(v.dot(a, b))
+        A3 = np.array([[d(w, Aw), d(x, Aw), d(p, Aw)],
+                       [d(x, Aw), d(x, Ax), d(p, Ax)],
+                       [d(p, Aw), d(p, Ax), d(p, Ap)]])
+        B3 = np.array([[d(w, w), d(x, w), d(p, w)],
+                       [d(x, w), d(x, x), d(p, x)],
+                       [d(p, w), d(p, x), d(p, p)]])
+        # smallest Ritz pair via inverse iteration on (A3, B3)
+        v3 = np.ones(3)
+        for _ in range(opts.maxiter):
+            v3 /= np.linalg.norm(v3)
+            B3v3 = B3 @ v3
+            try:
+                z3 = np.linalg.solve(A3, B3v3)
+            except np.linalg.LinAlgError:
+                break
+            mu3 = B3v3 @ z3
+            if np.linalg.norm(z3 - mu3 * B3v3) < opts.tol:
+                v3 = z3
+                break
+            v3 = z3
+        w2 = v3[0] * w + v3[2] * p
+        x = w2 + v3[1] * x
+        p = w2
+        Aw2 = v3[0] * Aw + v3[2] * Ap
+        Ax = Aw2 + v3[1] * Ax
+        Ap = Aw2
+        nx = v.nrm2(x)
+        x, Ax = x / nx, Ax / nx
+        npn = v.nrm2(p)
+        p, Ap = p / npn, Ap / npn
+    return _result(lam + sigma, x, iters, resid, status, rh)
+
+
+@register_esolver("cr")
+def ecr(A, B, x0, opts):
+    """CR eigensolver (lis_ecr): conjugate-residual iteration on the
+    Rayleigh quotient; the reference's default esolver."""
+    if B is not None:
+        from lis_tpu.esolvers.power import _bsolve
+        matvec = lambda z: _bsolve(B, A.matvec(z), opts)
+    else:
+        matvec = A.matvec
+    sigma = opts.rval
+    if sigma != 0.0:
+        A = A.shift_diagonal(sigma)
+        if B is None:
+            matvec = A.matvec
+    M = _make_psolve(A, opts)
+
+    x = x0 / v.nrm2(x0)
+    Ax = matvec(x)
+    lam = float(v.dot(x, Ax))
+    r = -(Ax - lam * x)
+    p = r
+    Ap = matvec(p)
+    resid = np.inf
+    rh = []
+    status, iters = C.LIS_MAXITER, opts.maxiter
+    for it in range(1, opts.maxiter + 1):
+        rAp = float(v.dot(r, Ap)); rp = float(v.dot(r, p))
+        ApAp = float(v.dot(Ap, Ap)); pAp = float(v.dot(p, Ap))
+        pp = float(v.dot(p, p))
+        den = ApAp - 2.0 * lam * pAp + lam * lam * pp
+        alpha = (rAp - lam * rp) / den
+        x = x + alpha * p
+        Ax = matvec(x)
+        nx2 = float(v.nrm2(x)) ** 2
+        lam = float(v.dot(x, Ax)) / nx2
+        r = -(Ax - lam * x)
+        w = M.psolve(r)
+        Aw = matvec(w)
+        AwAp = float(v.dot(Aw, Ap)); pAw = float(v.dot(p, Aw))
+        wAp = float(v.dot(w, Ap)); wp = float(v.dot(w, p))
+        beta = -(AwAp - lam * (pAw + wAp) + lam * lam * wp) / den
+        p = w + beta * p
+        Ap = Aw + beta * Ap
+        resid = float(v.nrm2(r)) / abs(lam)
+        rh.append(resid)
+        if resid < opts.tol:
+            status, iters = C.LIS_SUCCESS, it
+            break
+    x = x / v.nrm2(x)
+    return _result(lam + sigma, x, iters, resid, status, rh)

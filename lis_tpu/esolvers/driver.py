@@ -24,6 +24,7 @@ from lis_tpu.esolvers.base import ESOLVER_FNS
 # registry side effects
 from lis_tpu.esolvers import power as _p      # noqa: F401
 from lis_tpu.esolvers import subspace as _s   # noqa: F401
+from lis_tpu.esolvers import cgcr as _c       # noqa: F401
 
 
 @dataclass

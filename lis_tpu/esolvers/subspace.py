@@ -55,6 +55,33 @@ def _pair_resid(A, B, lam, x):
     return float(v.nrm2(A.matvec(x) - lam * bx) / den)
 
 
+def _refine_pair(A, B, lam, x, opts):
+    """Polish a Ritz pair with FIXED-shift inverse iteration (the
+    reference's per-pair refinement by the inner esolver,
+    lis_esolver_li.c:576).  The shift stays at the Ritz value: updating it
+    to the converging eigenvalue makes the inner system exactly singular
+    and stalls the inner Krylov solve."""
+    from lis_tpu.esolvers.power import _shift_solve
+    resid = _pair_resid(A, B, lam, x)
+    sigma = lam
+    for _ in range(10):
+        if resid <= opts.tol:
+            break
+        try:
+            y = _shift_solve(A, B, sigma, x if B is None else B.matvec(x),
+                             opts)
+        except Exception:
+            break
+        nrm = float(v.nrm2(y))
+        if not np.isfinite(nrm) or nrm == 0.0:
+            break
+        x = y / nrm
+        bx = x if B is None else B.matvec(x)
+        lam = float(v.dot(x, A.matvec(x)) / v.dot(x, bx))
+        resid = _pair_resid(A, B, lam, x)
+    return lam, x, resid
+
+
 @register_esolver("li")
 def eli(A, B, x0, opts):
     """Lanczos (lis_eli): ss-step tridiagonalisation with full
@@ -97,11 +124,14 @@ def eli(A, B, x0, opts):
     evalues = w_eig[order]
     Qm = jnp.stack(Q[:k], axis=1)
     evectors, resids = [], []
+    evalues = np.array(evalues, dtype=float)
     for idx in range(ss):
         xi = Qm @ jnp.asarray(s_eig[:, order[idx]])
         xi = xi / v.nrm2(xi)
+        lam, xi, res = _refine_pair(A, B, float(evalues[idx]), xi, opts)
+        evalues[idx] = lam
         evectors.append(np.asarray(xi))
-        resids.append(_pair_resid(A, B, float(evalues[idx]), xi))
+        resids.append(res)
     return _multi_result(evalues, evectors, [k] * ss, resids,
                          C.LIS_SUCCESS, resids)
 
@@ -137,6 +167,7 @@ def eai(A, B, x0, opts):
     evalues = w_eig[order]
     Qm = jnp.stack(Q[:k], axis=1)
     evectors, resids = [], []
+    evalues = np.real(np.array(evalues))
     for idx in range(ss):
         vec = s_eig[:, order[idx]]
         if np.iscomplexobj(vec) and np.abs(vec.imag).max() < 1e-13:
@@ -144,9 +175,11 @@ def eai(A, B, x0, opts):
         xi = Qm @ jnp.asarray(np.real(vec))
         nrm = v.nrm2(xi)
         xi = xi / jnp.where(nrm == 0, 1.0, nrm)
+        lam, xi, res = _refine_pair(A, B, float(evalues[idx]), xi, opts)
+        evalues[idx] = lam
         evectors.append(np.asarray(xi))
-        resids.append(_pair_resid(A, B, float(np.real(evalues[idx])), xi))
-    return _multi_result(np.real(evalues), evectors, [k] * ss, resids,
+        resids.append(res)
+    return _multi_result(evalues, evectors, [k] * ss, resids,
                          C.LIS_SUCCESS, resids)
 
 

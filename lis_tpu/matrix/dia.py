@@ -35,9 +35,8 @@ class DIAMatrix(SparseMatrix):
         rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(ptr))
         offs = index.astype(np.int64) - rows
         uoffs = np.unique(offs)
-        k_of = {o: k for k, o in enumerate(uoffs)}
         dval = np.zeros((len(uoffs), n), dtype=value.dtype)
-        kidx = np.vectorize(k_of.get, otypes=[np.int64])(offs) if len(offs) else np.zeros(0, np.int64)
+        kidx = np.searchsorted(uoffs, offs)
         dval[kidx, rows] = value
         return cls(value=jnp.asarray(dval),
                    nrows=int(n), ncols=int(shape[1]), nnz=int(len(value)),

@@ -1,0 +1,284 @@
+"""Distributed (mesh-sharded) matrices, vectors, and solver execution.
+
+The reference distributes by 1-D block-row partition with a comm table for
+halo exchange (lis_matrix_g2l_csr src/matrix/lis_matrix_mpi.c:222,
+lis_commtable_create :594-828, lis_send_recv :834-955, transpose-reduce
+lis_reduce :959) and MPI_Allreduce in every dot/norm.
+
+TPU-native mapping (SURVEY.md §2.10):
+- rows block-partitioned over mesh axis "p", padded so every shard owns the
+  same ``nlocal`` rows (static shapes for XLA);
+- SpMV: gather of remote x segments.  Two plans:
+  * ``halo='gather'``  — all_gather(x) then gather at global column indices
+    (always correct; one ICI all-gather per matvec);
+  * ``halo='neighbor'``— banded matrices exchange fixed-width boundary
+    slabs with the two ring neighbors via ppermute, overlapping interior
+    compute — the analogue of the reference's USE_OVERLAP JAD path;
+- transpose SpMV: local scatter contributions then psum_scatter — the
+  analogue of lis_reduce;
+- dot/norm: lax.psum via the vector ops' axis_name.
+
+Solvers are reused UNCHANGED: the same jitted functions run inside
+shard_map with spec.axis_name="p" — exactly the reference's property that
+solvers are written as if serial with SPMD-ness encapsulated in L2/L3.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lis_tpu.parallel.mesh import AXIS
+from lis_tpu.matrix.base import SparseMatrix, host
+
+
+def _shard_map(f, mesh, in_specs, out_specs):
+    try:
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    except TypeError:
+        from jax.experimental.shard_map import shard_map as _sm
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)
+
+
+@dataclasses.dataclass(frozen=True)
+class DistCSRMatrix(SparseMatrix):
+    """Block-row sharded CSR.  Array leaves are laid out flat with the
+    shard axis leading-and-flattened ((p·m,) arrays) so that a P("p")
+    in_spec hands each shard its clean local slice.  Methods are written
+    for the LOCAL view (inside shard_map); the global object is a
+    container + sharding descriptor."""
+    value: jax.Array          # (p·mnnz,) zero-padded
+    index: jax.Array          # (p·mnnz,) int32 GLOBAL column indices
+    row_ids: jax.Array        # (p·mnnz,) int32 LOCAL row ids (sorted/shard)
+    nlocal: int               # static: padded rows per shard
+    gn: int                   # static: true global size
+    gn_pad: int               # static: p·nlocal
+    nprocs: int               # static
+    halo: str = "gather"      # static: 'gather' | 'neighbor'
+    hw: int = 0               # static: halo width for 'neighbor'
+
+    # ---- local (inside-shard_map) compute --------------------------------
+    def _gather_x(self, x_local):
+        if self.halo == "neighbor":
+            # ring exchange of fixed-width boundary slabs
+            p = self.nprocs
+            perm_up = [(i, (i + 1) % p) for i in range(p)]
+            perm_dn = [(i, (i - 1) % p) for i in range(p)]
+            hw = self.hw
+            from_left = jax.lax.ppermute(x_local[-hw:], AXIS, perm_up)
+            from_right = jax.lax.ppermute(x_local[:hw], AXIS, perm_dn)
+            k = jax.lax.axis_index(AXIS)
+            base = k * self.nlocal
+            # extended local vector: [left slab | x | right slab]
+            xe = jnp.concatenate([from_left, x_local, from_right])
+            return xe, base - hw
+        xg = jax.lax.all_gather(x_local, AXIS, tiled=True)
+        return xg, 0
+
+    def matvec(self, x_local):
+        xe, offset = self._gather_x(x_local)
+        idx = self.index - offset
+        if self.halo == "neighbor":
+            idx = jnp.clip(idx, 0, xe.shape[0] - 1)
+        prod = self.value * jnp.take(xe, idx, axis=0, mode="clip")
+        return jax.ops.segment_sum(prod, self.row_ids,
+                                   num_segments=self.nlocal,
+                                   indices_are_sorted=True)
+
+    def matvech(self, x_local):
+        v = jnp.conj(self.value) if jnp.iscomplexobj(self.value) else self.value
+        prod = v * jnp.take(x_local, self.row_ids, axis=0)
+        contrib = jnp.zeros(self.gn_pad, dtype=prod.dtype)
+        contrib = contrib.at[self.index].add(prod)
+        return jax.lax.psum_scatter(contrib, AXIS, scatter_dimension=0,
+                                    tiled=True)
+
+    # container metadata
+    @property
+    def nrows(self):
+        return self.gn
+
+    @property
+    def ncols(self):
+        return self.gn
+
+    def get_diagonal(self):
+        """LOCAL diagonal slice (inside shard_map)."""
+        k = jax.lax.axis_index(AXIS)
+        gcol = self.row_ids.astype(jnp.int64) + k * self.nlocal
+        isdiag = self.index == gcol.astype(self.index.dtype)
+        contrib = jnp.where(isdiag, self.value, 0)
+        return jax.ops.segment_sum(contrib, self.row_ids,
+                                   num_segments=self.nlocal,
+                                   indices_are_sorted=True)
+
+
+jax.tree_util.register_pytree_node(
+    DistCSRMatrix,
+    lambda m: ((m.value, m.index, m.row_ids),
+               (m.nlocal, m.gn, m.gn_pad, m.nprocs, m.halo, m.hw)),
+    lambda aux, c: DistCSRMatrix(*c, *aux))
+
+
+def distribute_csr(A, mesh: Mesh, halo: str = "auto") -> DistCSRMatrix:
+    """Partition a CSR matrix into the sharded layout (the assemble step:
+    g2l renumbering + comm plan, all host-side like the reference's
+    lis_matrix_assemble)."""
+    ptr, index, value = A.to_csr_arrays()
+    gn = A.nrows
+    p = mesh.shape[AXIS]
+    nlocal = -(-gn // p)
+    gn_pad = p * nlocal
+
+    rows = np.repeat(np.arange(gn, dtype=np.int64), np.diff(ptr))
+    shard_of = rows // nlocal
+    lrow = rows - shard_of * nlocal
+
+    # bandwidth check for the neighbor-halo fast path
+    bw = int(np.abs(index.astype(np.int64) - rows).max()) if len(rows) else 0
+    if halo == "auto":
+        halo = "neighbor" if 0 < bw <= nlocal else "gather"
+    hw = min(max(bw, 1), nlocal) if halo == "neighbor" else 0
+
+    counts = np.bincount(shard_of, minlength=p)
+    mnnz = int(counts.max()) if p else 1
+    mnnz = max(mnnz, 1)
+    val = np.zeros((p, mnnz), dtype=value.dtype)
+    idx = np.zeros((p, mnnz), dtype=np.int64)
+    rid = np.zeros((p, mnnz), dtype=np.int32)
+    # padding rows point at row nlocal-1 with value 0 to stay sorted
+    rid[:] = nlocal - 1
+    order = np.argsort(shard_of, kind="stable")
+    pos = np.concatenate([[0], np.cumsum(counts)])
+    for k in range(p):
+        sel = order[pos[k]:pos[k + 1]]
+        cnt = len(sel)
+        val[k, :cnt] = value[sel]
+        idx[k, :cnt] = index[sel]
+        rid[k, :cnt] = lrow[sel]
+        if cnt < mnnz:
+            rid[k, cnt:] = nlocal - 1
+            idx[k, cnt:] = min(k * nlocal, gn - 1)
+
+    dist = DistCSRMatrix(
+        value=jnp.asarray(val.reshape(-1)),
+        index=jnp.asarray(idx.reshape(-1).astype(np.int32)),
+        row_ids=jnp.asarray(rid.reshape(-1)),
+        nlocal=nlocal, gn=gn, gn_pad=gn_pad, nprocs=p, halo=halo, hw=hw)
+    # place the leaves with the sharding they will be consumed with
+    sh = NamedSharding(mesh, P(AXIS))
+    return jax.tree.map(lambda a: jax.device_put(a, sh), dist)
+
+
+def distribute_vector(v, mesh: Mesh, gn_pad: int):
+    v = jnp.asarray(v)
+    if v.shape[0] < gn_pad:
+        v = jnp.pad(v, (0, gn_pad - v.shape[0]))
+    return jax.device_put(v, NamedSharding(mesh, P(AXIS)))
+
+
+def dist_solve(A: DistCSRMatrix, b, mesh: Mesh, options=None, M=None,
+               x0=None, **overrides):
+    """Distributed lis_solve: runs the standard solver registry inside
+    shard_map over the mesh.  Returns a SolveResult with a sharded x."""
+    from lis_tpu.runtime.options import SolverOptions
+    from lis_tpu.solvers.base import SOLVER_FNS, SolverSpec
+    from lis_tpu.solvers.driver import SolveResult, _make_spec
+    from lis_tpu.precon.base import NonePrecon
+    from lis_tpu import config as C
+    from lis_tpu.core import vector as vec
+
+    if isinstance(options, SolverOptions):
+        opts = options
+    else:
+        opts = SolverOptions.from_string(options, **overrides)
+    spec = _make_spec(opts, axis_name=AXIS)
+
+    b = distribute_vector(b, mesh, A.gn_pad)
+    x0 = jnp.zeros_like(b) if x0 is None else distribute_vector(
+        x0, mesh, A.gn_pad)
+
+    if M is None:
+        if opts.precon == "none":
+            M = NonePrecon()
+        elif opts.precon == "jacobi":
+            M = make_dist_jacobi(A, mesh)
+        else:
+            raise NotImplementedError(
+                f"distributed preconditioner {opts.precon!r} "
+                "(supported: none, jacobi, or pass a precon pytree whose "
+                "leaves are sharded local views)")
+
+    # host-side prepare (solver aux): shadow space for IDR(s), sharded over
+    # the vector axis; trisolve-plan solvers (gs/sor) need block-local
+    # plans and are not distributed yet
+    aux = None
+    aux_spec = None
+    if opts.solver in ("idrs", "idr1"):
+        from lis_tpu.solvers.idrs import _shadow_space
+        s = opts.irestart if opts.solver == "idrs" else 1
+        shadow = _shadow_space(s, A.gn, np.float64)
+        shadow = np.pad(shadow, ((0, 0), (0, A.gn_pad - A.gn)))
+        aux = jax.device_put(jnp.asarray(shadow),
+                             NamedSharding(mesh, P(None, AXIS)))
+        aux_spec = P(None, AXIS)
+    elif opts.solver in ("gs", "sor"):
+        raise NotImplementedError(
+            "distributed gs/sor need block-local triangular plans; "
+            "use jacobi or a Krylov solver")
+
+    t0 = C.wtime()
+    out = _dist_execute(A, b, x0, M, aux, aux_spec, mesh, spec)
+    x = out.x.block_until_ready()
+    elapsed = C.wtime() - t0
+
+    iters = int(out.iters)
+    import numpy as _np
+    return SolveResult(x=x[: A.gn] if A.gn_pad == A.gn else x,
+                       status=int(out.status), iters=iters,
+                       resid=float(out.resid),
+                       true_resid=float("nan"),
+                       rhistory=_np.asarray(out.rhistory)[: iters + 1],
+                       time=elapsed, itime=elapsed, ptime=0.0, options=opts)
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7))
+def _dist_execute(A, b, x0, M, aux, aux_spec, mesh, spec):
+    from lis_tpu.solvers.base import SOLVER_FNS, SolverOutput
+
+    def body(A_loc, b_loc, x0_loc, M_loc, aux_loc):
+        return SOLVER_FNS[spec.solver](A_loc, b_loc, x0_loc, M_loc, spec,
+                                       aux=aux_loc)
+
+    in_specs = (jax.tree.map(lambda _: P(AXIS), A),
+                P(AXIS), P(AXIS),
+                jax.tree.map(lambda _: P(AXIS), M),
+                jax.tree.map(lambda _: aux_spec, aux))
+    out_specs = SolverOutput(x=P(AXIS), status=P(), iters=P(),
+                             resid=P(), rhistory=P())
+    return _shard_map(body, mesh, in_specs, out_specs)(A, b, x0, M, aux)
+
+
+def make_dist_jacobi(A: DistCSRMatrix, mesh: Mesh):
+    """Jacobi preconditioner with a sharded dinv (computed on host)."""
+    from lis_tpu.precon.jacobi import JacobiPrecon
+    val = host(A.value)
+    idx = host(A.index).astype(np.int64)
+    rid = host(A.row_ids).astype(np.int64)
+    p, nl = A.nprocs, A.nlocal
+    shard = np.repeat(np.arange(p), len(val) // p)
+    grow = shard * nl + rid
+    d = np.zeros(A.gn_pad, dtype=val.dtype)
+    isdiag = grow == idx
+    np.add.at(d, grow[isdiag], val[isdiag])
+    with np.errstate(divide="ignore"):
+        dinv = np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 1.0)
+    return JacobiPrecon(dinv=jax.device_put(
+        jnp.asarray(dinv), NamedSharding(mesh, P(AXIS))))

@@ -43,6 +43,7 @@ from lis_tpu.solvers import bicgsafe as _bicgsafe          # noqa: F401
 from lis_tpu.solvers import bicgstabl as _bicgstabl        # noqa: F401
 from lis_tpu.solvers import idrs as _idrs                  # noqa: F401
 from lis_tpu.solvers import cocg as _cocg                  # noqa: F401
+from lis_tpu.solvers import quad as _quad                  # noqa: F401
 from lis_tpu.precon.base import PRECON_REGISTRY, NonePrecon, create_precon
 from lis_tpu.precon import jacobi as _pjac                 # noqa: F401
 from lis_tpu.precon import ssor as _pssor                  # noqa: F401
@@ -168,7 +169,28 @@ def solve(A: SparseMatrix, b, x0=None, options=None, **overrides) -> SolveResult
     prepare = SOLVER_PREPARE.get(opts.solver)
     aux = prepare(A, spec) if prepare else None
     t_i = C.wtime()
-    out = _execute(A, b, x0, M, aux, spec)
+    extra_iters = 0
+    if opts.precision in ("quad", "switch"):
+        # DD paths need the exact-accumulation ELL operator pair
+        from lis_tpu.core.ddreal import DDOperator
+        A_dd = DDOperator.from_matrix(A)
+        qname = opts.solver + "_quad"
+        if qname not in SOLVER_FNS:
+            raise NotImplementedError(
+                f"no quad variant of {opts.solver!r}; have "
+                f"{sorted(k for k in SOLVER_FNS if k.endswith('_quad'))}")
+        if opts.precision == "switch":
+            # double phase to -switch_tol, then DD continues from its x
+            # (lis_solver.c switch dispatch :121-144)
+            sw_maxiter = (opts.switch_maxiter if opts.switch_maxiter > 0
+                          else opts.maxiter)
+            dspec = spec._replace(tol=opts.switch_tol, maxiter=sw_maxiter)
+            out1 = _execute(A, b, x0, M, aux, dspec)
+            x0 = out1.x
+            extra_iters = int(out1.iters)
+        out = _execute(A_dd, b, x0, M, aux, spec._replace(solver=qname))
+    else:
+        out = _execute(A, b, x0, M, aux, spec)
     x = out.x.block_until_ready()
     itime = C.wtime() - t_i
 
@@ -179,7 +201,7 @@ def solve(A: SparseMatrix, b, x0=None, options=None, **overrides) -> SolveResult
     bn = v.nrm2(b0)
     true_resid = float(v.nrm2(rtrue) / jnp.where(bn == 0, 1.0, bn))
 
-    iters = int(out.iters)
+    iters = int(out.iters) + extra_iters
     rh = np.asarray(out.rhistory)[: iters + 1]
     result = SolveResult(x=x, status=int(out.status), iters=iters,
                          resid=float(out.resid), true_resid=true_resid,

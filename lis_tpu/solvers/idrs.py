@@ -50,6 +50,15 @@ def prepare_idr1(A, spec):
     return jnp.asarray(_shadow_space(1, A.nrows, np.float64))
 
 
+def _pmat(P, vec, axis_name):
+    """P @ vec with a psum over the sharded vector axis (the s shadow dots
+    are global reductions, like every other dot)."""
+    local = P @ vec
+    if axis_name is None:
+        return local
+    return jax.lax.psum(local, axis_name)
+
+
 def _idrs_core(A, b, x0, M, spec: SolverSpec, P) -> SolverOutput:
     s = P.shape[0]
     r, bnrm_inv, tol_eff, nrm0 = init_residual(A, b, x0, spec)
@@ -74,7 +83,7 @@ def _idrs_core(A, b, x0, M, spec: SolverSpec, P) -> SolverOutput:
         dR = dR.at[k].set(jnp.where(active, dr, dR[k]))
         nrm_new = jnp.where(active, residual_norm(r, bnrm_inv, spec), nrm)
         rh = rh.at[k + 1].set(jnp.where(active, nrm_new, rh[k + 1]))
-        Mmat = Mmat.at[:, k].set(jnp.where(active, P @ dR[k], Mmat[:, k]))
+        Mmat = Mmat.at[:, k].set(jnp.where(active, _pmat(P, dR[k], spec.axis_name), Mmat[:, k]))
         itk = jnp.where(active, itk + 1, itk)
         done = done | (nrm_new <= tol_eff)
         return (x, r, dX, dR, Mmat, nrm_new, rh, done, itk)
@@ -86,7 +95,7 @@ def _idrs_core(A, b, x0, M, spec: SolverSpec, P) -> SolverOutput:
         0, s, init_step, (x0, r, dX, dR, Mmat, nrm0, rh,
                           nrm0 <= tol_eff, jnp.asarray(0)))
 
-    m = P @ r
+    m = _pmat(P, r, spec.axis_name)
 
     state = dict(it=itk, flag=jnp.asarray(RUNNING),
                  x=x, r=r, dX=dX, dR=dR, Mmat=Mmat, m=m,
@@ -121,7 +130,7 @@ def _idrs_core(A, b, x0, M, spec: SolverSpec, P) -> SolverOutput:
         it = st["it"] + 1
         nrm = residual_norm(r, bnrm_inv, spec)
         rh = st["rh"].at[jnp.minimum(it, spec.maxiter + 1)].set(nrm)
-        h = P @ dr
+        h = _pmat(P, dr, spec.axis_name)
         m = st["m"] + h
         Mmat = st["Mmat"].at[:, oldest].set(h)
         return dict(it=it, flag=st["flag"], x=x, r=r, dX=dX, dR=dR,

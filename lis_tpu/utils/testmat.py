@@ -1,0 +1,91 @@
+"""Generated test problems, equivalents of the reference's test programs.
+
+- tridiag(n): the 1-D Laplacian of spmvtest1 (test/spmvtest1.c:139-150)
+- poisson2d(m, n): 2-D 5-point Poisson of test2 (test/test2.c:112-127)
+- poisson3d(l, m, n): 3-D 7-point Poisson of test3
+- poisson3d27(l, m, n): 27-point HPCG-style operator of test3b
+  (diag 26.0, off-diag -1.0; test/test3b.c:127)
+- gamma_matrix(n, gamma): the ill-conditioned bidiagonal quad-precision
+  test matrix of test5 (rows [gamma, 1, 2]; test/test5.c:96-105)
+- random_spd(n): dense-ish random SPD matrix for solver unit tests
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from lis_tpu.matrix.csr import CSRMatrix
+
+
+def _to_matrix(a) -> CSRMatrix:
+    a = a.tocsr()
+    a.sum_duplicates()
+    a.sort_indices()
+    return CSRMatrix.from_csr_arrays(a.indptr, a.indices, a.data,
+                                     a.shape)
+
+
+def tridiag(n: int, diag: float = 2.0, off: float = -1.0) -> CSRMatrix:
+    return _to_matrix(sp.diags([off, diag, off], [-1, 0, 1], shape=(n, n)))
+
+
+def poisson2d(m: int, n: int) -> CSRMatrix:
+    ix = sp.identity(m)
+    iy = sp.identity(n)
+    tx = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(m, m))
+    ty = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(n, n))
+    return _to_matrix(sp.kron(iy, tx) + sp.kron(ty, ix))
+
+
+def poisson3d(l: int, m: int, n: int) -> CSRMatrix:
+    def lap(k):
+        return sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(k, k))
+    il, im, in_ = sp.identity(l), sp.identity(m), sp.identity(n)
+    a = (sp.kron(sp.kron(in_, im), lap(l))
+         + sp.kron(sp.kron(in_, lap(m)), il)
+         + sp.kron(sp.kron(lap(n), im), il))
+    return _to_matrix(a)
+
+
+def poisson3d27(l: int, m: int, n: int) -> CSRMatrix:
+    """27-point stencil, diag 26, off-diag -1 (HPCG-style, test/test3b.c:127)."""
+    ids = np.arange(l * m * n).reshape(n, m, l)
+    rows, cols, vals = [], [], []
+    for dz in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                src = ids[max(0, -dz):n - max(0, dz),
+                          max(0, -dy):m - max(0, dy),
+                          max(0, -dx):l - max(0, dx)]
+                dst = ids[max(0, dz):n - max(0, -dz),
+                          max(0, dy):m - max(0, -dy),
+                          max(0, dx):l - max(0, -dx)]
+                val = 26.0 if (dx, dy, dz) == (0, 0, 0) else -1.0
+                rows.append(src.ravel())
+                cols.append(dst.ravel())
+                vals.append(np.full(src.size, val))
+    a = sp.coo_matrix((np.concatenate(vals),
+                       (np.concatenate(rows), np.concatenate(cols))),
+                      shape=(l * m * n, l * m * n))
+    return _to_matrix(a)
+
+
+def gamma_matrix(n: int, gamma: float = 2.0) -> CSRMatrix:
+    """The test5 quad-precision demo matrix (test/test5.c:96-105):
+    A[i,i-2] = γ, A[i,i] = 2, A[i,i+1] = 1 — ill-conditioned for γ ≈ 2,
+    where double BiCG stalls and quad converges."""
+    a = sp.diags([np.full(n - 2, gamma), np.full(n, 2.0), np.ones(n - 1)],
+                 [-2, 0, 1])
+    return _to_matrix(a.tocsr())
+
+
+def random_sparse(n: int, density: float = 0.05, seed: int = 0,
+                  spd: bool = False) -> CSRMatrix:
+    rng = np.random.default_rng(seed)
+    a = sp.random(n, n, density=density, random_state=rng, format="csr")
+    if spd:
+        a = a @ a.T + n * sp.identity(n)
+    else:
+        a = a + n * sp.identity(n)     # diagonally dominant, nonsymmetric
+    return _to_matrix(a.tocsr())

@@ -8,8 +8,14 @@ behavior, plus per-kernel unit tests the reference lacks.
 
 import os
 
+# --xla_disable_hlo_passes=fusion: the XLA CPU fusion pass duplicates
+# subexpressions with inconsistent FMA contraction between the copies,
+# which breaks the double-double error-free transforms (see
+# lis_tpu/core/ddreal.py).  CPU tests run without fusion so quad paths
+# keep their full 2^-106 accuracy.
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + " --xla_force_host_platform_device_count=8")
+                           + " --xla_force_host_platform_device_count=8"
+                           + " --xla_disable_hlo_passes=fusion")
 
 import jax
 

@@ -30,7 +30,8 @@ def _resid(a, b, x):
 
 def test_registry_complete():
     """All 25 reference solver names are implemented."""
-    assert set(SOLVER_NAMES) == set(SOLVER_FNS)
+    base = {k for k in SOLVER_FNS if not k.endswith("_quad")}
+    assert set(SOLVER_NAMES) == base
 
 
 @pytest.mark.parametrize("name", sorted(set(SPD_SOLVERS + GENERAL)))

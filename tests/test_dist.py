@@ -1,0 +1,97 @@
+"""Distributed (8-virtual-device mesh) solver tests.
+
+The parity model mirrors the reference's test.sh multi-rank runs
+(mpirun -np 2, SURVEY.md §4): the distributed path must reproduce the
+single-device convergence behavior — same iteration counts, same residual
+levels — because the math is identical and only the reductions are
+communicated.
+"""
+
+import numpy as np
+import pytest
+import jax
+
+import lis_tpu
+from lis_tpu import solve
+from lis_tpu.parallel.mesh import make_mesh
+from lis_tpu.parallel.dist import distribute_csr, dist_solve, distribute_vector
+from tests.problems import poisson2d, tridiag
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8
+    return make_mesh()
+
+
+@pytest.fixture(scope="module")
+def prob():
+    a = poisson2d(20, 20)
+    b = np.ones(400)
+    return a, b, a.to_dense()
+
+
+def _tr(ad, b, x):
+    x = np.asarray(x)[: ad.shape[0]]
+    return np.linalg.norm(b - ad @ x) / np.linalg.norm(b)
+
+
+def test_dist_matvec_matches_single(mesh, prob):
+    a, b, ad = prob
+    Ad = distribute_csr(a, mesh)
+    x = np.random.default_rng(0).standard_normal(400)
+    xd = distribute_vector(x, mesh, Ad.gn_pad)
+    from lis_tpu.parallel.dist import _shard_map
+    from jax.sharding import PartitionSpec as P
+    from lis_tpu.parallel.mesh import AXIS
+    f = _shard_map(lambda A, xv: A.matvec(xv), mesh,
+                   (jax.tree.map(lambda _: P(AXIS), Ad), P(AXIS)), P(AXIS))
+    y = np.asarray(jax.jit(f)(Ad, xd))[:400]
+    np.testing.assert_allclose(y, ad @ x, rtol=1e-12, atol=1e-12)
+    # transpose path (lis_reduce analogue)
+    fh = _shard_map(lambda A, xv: A.matvech(xv), mesh,
+                    (jax.tree.map(lambda _: P(AXIS), Ad), P(AXIS)), P(AXIS))
+    yh = np.asarray(jax.jit(fh)(Ad, xd))[:400]
+    np.testing.assert_allclose(yh, ad.T @ x, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("solver", ["cg", "bicg", "bicgstab", "gmres",
+                                    "idrs", "minres"])
+def test_dist_solver_matches_single_device_iters(mesh, prob, solver):
+    a, b, ad = prob
+    single = solve(a, b, options=f"-i {solver} -tol 1e-10")
+    Ad = distribute_csr(a, mesh)
+    dist = dist_solve(Ad, b, mesh, options=f"-i {solver} -tol 1e-10")
+    assert dist.status == lis_tpu.LIS_SUCCESS
+    assert _tr(ad, b, dist.x) < 1e-8
+    assert abs(dist.iters - single.iters) <= 2, (solver, dist.iters,
+                                                 single.iters)
+
+
+def test_dist_halo_modes_agree(mesh, prob):
+    a, b, ad = prob
+    for halo in ("gather", "neighbor"):
+        Ad = distribute_csr(a, mesh, halo=halo)
+        res = dist_solve(Ad, b, mesh, options="-i cg -tol 1e-10")
+        assert res.status == lis_tpu.LIS_SUCCESS, halo
+        assert _tr(ad, b, res.x) < 1e-8, halo
+
+
+def test_dist_jacobi_precon(mesh):
+    a = tridiag(100, diag=3.0)
+    b = np.arange(1.0, 101.0)
+    Ad = distribute_csr(a, mesh)
+    res = dist_solve(Ad, b, mesh, options="-i cg -p jacobi -tol 1e-10")
+    assert res.status == lis_tpu.LIS_SUCCESS
+    assert _tr(a.to_dense(), b, res.x) < 1e-8
+
+
+def test_dist_nondivisible_size(mesh):
+    # 173 rows over 8 shards: padding path
+    a = tridiag(173)
+    b = np.ones(173)
+    Ad = distribute_csr(a, mesh)
+    assert Ad.gn_pad == 8 * Ad.nlocal and Ad.gn == 173
+    res = dist_solve(Ad, b, mesh, options="-i cg -tol 1e-10")
+    assert res.status == lis_tpu.LIS_SUCCESS
+    assert _tr(a.to_dense(), b, res.x) < 1e-8
