@@ -1,0 +1,161 @@
+"""Native (C++) host-runtime kernels, loaded via ctypes.
+
+The shared library is built on demand with g++ (cached next to the
+source); everything degrades gracefully to the pure-Python implementations
+when no compiler is available (``available`` is False then).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "lis_native.cpp")
+_SO = os.path.join(_HERE, f"lis_native_{sys.implementation.cache_tag}.so")
+
+_lib = None
+available = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           _SRC, "-o", _SO]
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=240)
+        return r.returncode == 0
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+
+
+def _load():
+    global _lib, available
+    if _lib is not None:
+        return _lib
+    if (not os.path.exists(_SO)
+            or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.iluk_factor.restype = ctypes.c_int
+    lib.iluk_factor.argtypes = [
+        ctypes.c_int32, i32p, i32p, f64p, ctypes.c_int32,
+        ctypes.POINTER(i32p), ctypes.POINTER(i32p), ctypes.POINTER(f64p),
+        ctypes.POINTER(ctypes.c_int64)]
+    lib.ilut_factor.restype = ctypes.c_int
+    lib.ilut_factor.argtypes = [
+        ctypes.c_int32, i32p, i32p, f64p, ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(i32p), ctypes.POINTER(i32p), ctypes.POINTER(f64p),
+        ctypes.POINTER(ctypes.c_int64)]
+    lib.level_schedule.restype = ctypes.c_int32
+    lib.level_schedule.argtypes = [ctypes.c_int32, i32p, i32p,
+                                   ctypes.c_int32, i32p]
+    lib.mm_parse_coords.restype = ctypes.c_int64
+    lib.mm_parse_coords.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                    ctypes.c_int64, ctypes.c_int32,
+                                    i32p, i32p, f64p]
+    lib.lis_native_free.restype = None
+    lib.lis_native_free.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    available = True
+    return lib
+
+
+def _as_i32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _as_f64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def _take_csr(lib, n, optr, oidx, oval, nnz):
+    ptr = np.ctypeslib.as_array(optr, shape=(n + 1,)).copy()
+    index = np.ctypeslib.as_array(oidx, shape=(nnz,)).copy()
+    value = np.ctypeslib.as_array(oval, shape=(nnz,)).copy()
+    lib.lis_native_free(optr)
+    lib.lis_native_free(oidx)
+    lib.lis_native_free(oval)
+    return ptr, index, value
+
+
+def iluk_factor(ptr, index, value, fill: int):
+    """Returns combined-LU CSR arrays (L strictly lower with factors,
+    U upper with diagonal), or None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(ptr) - 1
+    ptr = np.ascontiguousarray(ptr, dtype=np.int32)
+    index = np.ascontiguousarray(index, dtype=np.int32)
+    value = np.ascontiguousarray(value, dtype=np.float64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    optr, oidx, oval = i32p(), i32p(), f64p()
+    nnz = ctypes.c_int64()
+    rc = lib.iluk_factor(n, _as_i32p(ptr), _as_i32p(index), _as_f64p(value),
+                         int(fill), ctypes.byref(optr), ctypes.byref(oidx),
+                         ctypes.byref(oval), ctypes.byref(nnz))
+    if rc != 0:
+        return None
+    return _take_csr(lib, n, optr, oidx, oval, nnz.value)
+
+
+def ilut_factor(ptr, index, value, drop: float, rate: float):
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(ptr) - 1
+    ptr = np.ascontiguousarray(ptr, dtype=np.int32)
+    index = np.ascontiguousarray(index, dtype=np.int32)
+    value = np.ascontiguousarray(value, dtype=np.float64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    optr, oidx, oval = i32p(), i32p(), f64p()
+    nnz = ctypes.c_int64()
+    rc = lib.ilut_factor(n, _as_i32p(ptr), _as_i32p(index), _as_f64p(value),
+                         float(drop), float(rate), ctypes.byref(optr),
+                         ctypes.byref(oidx), ctypes.byref(oval),
+                         ctypes.byref(nnz))
+    if rc != 0:
+        return None
+    return _take_csr(lib, n, optr, oidx, oval, nnz.value)
+
+
+def level_schedule(ptr, index, lower: bool):
+    """Levels for a strictly-triangular CSR; returns (nlev, lev array)."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(ptr) - 1
+    ptr = np.ascontiguousarray(ptr, dtype=np.int32)
+    index = np.ascontiguousarray(index, dtype=np.int32)
+    lev = np.zeros(n, dtype=np.int32)
+    nlev = lib.level_schedule(n, _as_i32p(ptr), _as_i32p(index),
+                              1 if lower else 0, _as_i32p(lev))
+    return int(nlev), lev
+
+
+def mm_parse_coords(path: str, skip_lines: int, nnz: int, pattern: bool):
+    lib = _load()
+    if lib is None:
+        return None
+    rows = np.empty(nnz, dtype=np.int32)
+    cols = np.empty(nnz, dtype=np.int32)
+    vals = np.empty(nnz, dtype=np.float64)
+    got = lib.mm_parse_coords(path.encode(), skip_lines, nnz,
+                              1 if pattern else 0,
+                              _as_i32p(rows), _as_i32p(cols), _as_f64p(vals))
+    if got != nnz:
+        return None
+    return rows, cols, vals

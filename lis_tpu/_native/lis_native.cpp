@@ -1,0 +1,249 @@
+// lis_native — host-side runtime kernels.
+//
+// The reference implements its entire host layer in C (assembly,
+// conversion, factorisation: src/matrix/*, src/precon/lis_precon_iluk.c
+// etc.).  Here the device compute path is JAX/XLA/Pallas; this library is
+// the native half of the runtime: the irregular, sequential host
+// algorithms that feed the device — ILU factorisations, triangular-solve
+// level scheduling, and Matrix Market parsing — exposed through a plain C
+// ABI consumed via ctypes (no pybind11 dependency).
+//
+// All CSR inputs are int32 indices / float64 values, matching the
+// framework's host representation.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <cmath>
+#include <map>
+#include <vector>
+#include <algorithm>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// ILU(k): level-of-fill symbolic+numeric factorisation (IKJ variant).
+// Mirrors lis_symbolic_fact_csr + lis_numerical_fact_csr
+// (src/precon/lis_precon_iluk.c:263,638) in a single pass.
+// Returns 0 on success.  Output arrays are malloc'd; caller frees with
+// lis_native_free.
+// ---------------------------------------------------------------------------
+int iluk_factor(int32_t n, const int32_t* ptr, const int32_t* index,
+                const double* value, int32_t fill,
+                int32_t** out_ptr, int32_t** out_index, double** out_value,
+                int64_t* out_nnz) {
+    std::vector<std::map<int32_t, double>> rows(n);
+    std::vector<std::map<int32_t, int32_t>> levs(n);
+
+    for (int32_t i = 0; i < n; ++i) {
+        std::map<int32_t, double> work;
+        std::map<int32_t, int32_t> lev;
+        for (int32_t p = ptr[i]; p < ptr[i + 1]; ++p) {
+            work[index[p]] += value[p];
+            lev[index[p]] = 0;
+        }
+        if (work.find(i) == work.end()) { work[i] = 0.0; lev[i] = 0; }
+
+        for (auto it = work.begin(); it != work.end() && it->first < i; ++it) {
+            int32_t k = it->first;
+            int32_t lk = lev[k];
+            if (lk > fill) continue;
+            auto dk = rows[k].find(k);
+            if (dk == rows[k].end() || dk->second == 0.0) continue;
+            double factor = it->second / dk->second;
+            it->second = factor;
+            for (auto& kv : rows[k]) {
+                int32_t j = kv.first;
+                if (j <= k) continue;
+                int32_t nl = lk + levs[k][j] + 1;
+                auto wj = work.find(j);
+                if (wj != work.end()) {
+                    wj->second -= factor * kv.second;
+                    auto lj = lev.find(j);
+                    if (nl < lj->second) lj->second = nl;
+                } else if (nl <= fill) {
+                    work[j] = -factor * kv.second;
+                    lev[j] = nl;
+                }
+            }
+        }
+        // drop above fill level
+        for (auto it = work.begin(); it != work.end();) {
+            if (lev[it->first] > fill) it = work.erase(it);
+            else ++it;
+        }
+        if (work[i] == 0.0) work[i] = 1.0;
+        rows[i] = std::move(work);
+        levs[i] = std::move(lev);
+    }
+
+    int64_t nnz = 0;
+    for (auto& r : rows) nnz += (int64_t)r.size();
+    *out_ptr = (int32_t*)malloc((n + 1) * sizeof(int32_t));
+    *out_index = (int32_t*)malloc(nnz * sizeof(int32_t));
+    *out_value = (double*)malloc(nnz * sizeof(double));
+    int64_t pos = 0;
+    (*out_ptr)[0] = 0;
+    for (int32_t i = 0; i < n; ++i) {
+        for (auto& kv : rows[i]) {
+            (*out_index)[pos] = kv.first;
+            (*out_value)[pos] = kv.second;
+            ++pos;
+        }
+        (*out_ptr)[i + 1] = (int32_t)pos;
+    }
+    *out_nnz = nnz;
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// ILUT(drop, rate): dual-threshold factorisation (Saad Alg. 10.6;
+// reference lis_precon_ilut.c:67).
+// ---------------------------------------------------------------------------
+int ilut_factor(int32_t n, const int32_t* ptr, const int32_t* index,
+                const double* value, double drop, double rate,
+                int32_t** out_ptr, int32_t** out_index, double** out_value,
+                int64_t* out_nnz) {
+    std::vector<std::map<int32_t, double>> rows(n);
+
+    for (int32_t i = 0; i < n; ++i) {
+        std::map<int32_t, double> work;
+        double nrm = 0.0;
+        for (int32_t p = ptr[i]; p < ptr[i + 1]; ++p) {
+            work[index[p]] += value[p];
+            nrm += value[p] * value[p];
+        }
+        nrm = std::sqrt(nrm);
+        if (nrm == 0.0) nrm = 1.0;
+        double tol_i = drop * nrm;
+        int32_t p_fill = std::max((int32_t)(rate * (ptr[i + 1] - ptr[i])), 2);
+
+        for (auto it = work.begin(); it != work.end() && it->first < i;) {
+            int32_t k = it->first;
+            auto dk = rows[k].find(k);
+            if (dk == rows[k].end() || dk->second == 0.0) { ++it; continue; }
+            double factor = it->second / dk->second;
+            if (std::fabs(factor) < tol_i) { it = work.erase(it); continue; }
+            it->second = factor;
+            for (auto& kv : rows[k]) {
+                if (kv.first <= k) continue;
+                work[kv.first] -= factor * kv.second;
+            }
+            it = work.upper_bound(k);
+        }
+        // dual-threshold dropping per side
+        std::vector<std::pair<double, int32_t>> lo, up;
+        double dv = 0.0;
+        for (auto& kv : work) {
+            if (kv.first == i) { dv = kv.second; continue; }
+            if (std::fabs(kv.second) < tol_i) continue;
+            if (kv.first < i) lo.push_back({std::fabs(kv.second), kv.first});
+            else up.push_back({std::fabs(kv.second), kv.first});
+        }
+        auto keep_top = [&](std::vector<std::pair<double, int32_t>>& v) {
+            if ((int32_t)v.size() > p_fill) {
+                std::partial_sort(v.begin(), v.begin() + p_fill, v.end(),
+                                  std::greater<>());
+                v.resize(p_fill);
+            }
+        };
+        keep_top(lo);
+        keep_top(up);
+        std::map<int32_t, double> keep;
+        for (auto& pr : lo) keep[pr.second] = work[pr.second];
+        for (auto& pr : up) keep[pr.second] = work[pr.second];
+        keep[i] = (dv != 0.0) ? dv : nrm;
+        rows[i] = std::move(keep);
+    }
+
+    int64_t nnz = 0;
+    for (auto& r : rows) nnz += (int64_t)r.size();
+    *out_ptr = (int32_t*)malloc((n + 1) * sizeof(int32_t));
+    *out_index = (int32_t*)malloc(nnz * sizeof(int32_t));
+    *out_value = (double*)malloc(nnz * sizeof(double));
+    int64_t pos = 0;
+    (*out_ptr)[0] = 0;
+    for (int32_t i = 0; i < n; ++i) {
+        for (auto& kv : rows[i]) {
+            (*out_index)[pos] = kv.first;
+            (*out_value)[pos] = kv.second;
+            ++pos;
+        }
+        (*out_ptr)[i + 1] = (int32_t)pos;
+    }
+    *out_nnz = nnz;
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Level scheduling for triangular solves: lev[i] = 1 + max(lev[deps]).
+// direction: 1 = lower (ascending rows), 0 = upper (descending).
+// Returns the number of levels; fills lev[n].
+// ---------------------------------------------------------------------------
+int32_t level_schedule(int32_t n, const int32_t* ptr, const int32_t* index,
+                       int32_t lower, int32_t* lev) {
+    int32_t maxlev = 0;
+    if (lower) {
+        for (int32_t i = 0; i < n; ++i) {
+            int32_t l = 0;
+            for (int32_t p = ptr[i]; p < ptr[i + 1]; ++p) {
+                int32_t d = lev[index[p]] + 1;
+                if (d > l) l = d;
+            }
+            lev[i] = l;
+            if (l > maxlev) maxlev = l;
+        }
+    } else {
+        for (int32_t i = n - 1; i >= 0; --i) {
+            int32_t l = 0;
+            for (int32_t p = ptr[i]; p < ptr[i + 1]; ++p) {
+                int32_t d = lev[index[p]] + 1;
+                if (d > l) l = d;
+            }
+            lev[i] = l;
+            if (l > maxlev) maxlev = l;
+        }
+    }
+    return maxlev + 1;
+}
+
+// ---------------------------------------------------------------------------
+// Matrix Market coordinate parser (real/integer/pattern).
+// Returns nnz read, or -1 on error.  Caller passes preallocated arrays of
+// size nnz (from the header), 1-based indices are converted to 0-based.
+// ---------------------------------------------------------------------------
+int64_t mm_parse_coords(const char* path, int64_t skip_lines, int64_t nnz,
+                        int32_t pattern, int32_t* rows, int32_t* cols,
+                        double* vals) {
+    FILE* f = fopen(path, "r");
+    if (!f) return -1;
+    char buf[1024];
+    for (int64_t i = 0; i < skip_lines; ++i) {
+        if (!fgets(buf, sizeof buf, f)) { fclose(f); return -1; }
+    }
+    int64_t k = 0;
+    while (k < nnz && fgets(buf, sizeof buf, f)) {
+        if (buf[0] == '%' || buf[0] == '\n') continue;
+        long r, c;
+        double v = 1.0;
+        if (pattern) {
+            if (sscanf(buf, "%ld %ld", &r, &c) != 2) { fclose(f); return -1; }
+        } else {
+            if (sscanf(buf, "%ld %ld %lf", &r, &c, &v) != 3) {
+                fclose(f);
+                return -1;
+            }
+        }
+        rows[k] = (int32_t)(r - 1);
+        cols[k] = (int32_t)(c - 1);
+        vals[k] = v;
+        ++k;
+    }
+    fclose(f);
+    return k;
+}
+
+void lis_native_free(void* p) { free(p); }
+
+}  // extern "C"

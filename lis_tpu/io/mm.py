@@ -34,21 +34,34 @@ def read_matrix_market(path: str, matrix_type: str = "csr", **kw):
         obj, fmt, field, symm = _parse_header(header)
         if obj != "matrix":
             raise ValueError(f"expected matrix object, got {obj}")
+        skip = 1
         line = f.readline()
         while line.startswith("%"):
             line = f.readline()
+            skip += 1
+        skip += 1                      # the size line itself
         sizes = line.split()
         if fmt == "coordinate":
             nrows, ncols, nnz = int(sizes[0]), int(sizes[1]), int(sizes[2])
-            data = np.loadtxt(f, max_rows=nnz, ndmin=2)
-            rows = data[:, 0].astype(np.int64) - 1
-            cols = data[:, 1].astype(np.int64) - 1
-            if field == "pattern":
-                vals = np.ones(nnz)
-            elif field == "complex":
-                vals = data[:, 2] + 1j * data[:, 3]
+            native = None
+            if field in ("real", "integer", "pattern"):
+                from lis_tpu import _native
+                native = _native.mm_parse_coords(path, skip, nnz,
+                                                 field == "pattern")
+            if native is not None:
+                rows, cols, vals = native
+                rows = rows.astype(np.int64)
+                cols = cols.astype(np.int64)
             else:
-                vals = data[:, 2]
+                data = np.loadtxt(f, max_rows=nnz, ndmin=2)
+                rows = data[:, 0].astype(np.int64) - 1
+                cols = data[:, 1].astype(np.int64) - 1
+                if field == "pattern":
+                    vals = np.ones(nnz)
+                elif field == "complex":
+                    vals = data[:, 2] + 1j * data[:, 3]
+                else:
+                    vals = data[:, 2]
         elif fmt == "array":
             nrows, ncols = int(sizes[0]), int(sizes[1])
             flat = np.loadtxt(f, max_rows=nrows * ncols)

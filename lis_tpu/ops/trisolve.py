@@ -54,13 +54,19 @@ def make_plan(ptr, index, value, dinv, lower: bool = True) -> TriSolvePlan:
     value = np.asarray(value)
     n = len(ptr) - 1
 
-    lev = np.zeros(n, dtype=np.int64)
-    order = range(n) if lower else range(n - 1, -1, -1)
-    for i in order:
-        deps = index[ptr[i]:ptr[i + 1]]
-        if len(deps):
-            lev[i] = lev[deps].max() + 1
-    nlev = int(lev.max()) + 1 if n else 1
+    from lis_tpu import _native
+    sched = _native.level_schedule(ptr, index, lower)
+    if sched is not None:
+        nlev, lev = sched
+        lev = lev.astype(np.int64)
+    else:
+        lev = np.zeros(n, dtype=np.int64)
+        order = range(n) if lower else range(n - 1, -1, -1)
+        for i in order:
+            deps = index[ptr[i]:ptr[i + 1]]
+            if len(deps):
+                lev[i] = lev[deps].max() + 1
+        nlev = int(lev.max()) + 1 if n else 1
 
     rows_by_level = [np.nonzero(lev == l)[0] for l in range(nlev)]
     max_rows = max((len(r) for r in rows_by_level), default=1) or 1

@@ -155,6 +155,31 @@ def _plans_from_rows(rows_val, n, shape):
     ui = np.asarray(ui, dtype=np.int32)
     lv = np.asarray(lv)
     uv = np.asarray(uv)
+    return _plans_from_lu(lp, li, lv, up, ui, uv, udiag, n, shape)
+
+
+def _plans_from_combined_csr(ptr, index, value, n, shape):
+    """Split a combined LU CSR (factors in L part, U incl. diagonal) into
+    the plan arrays — used with the native factorisation output."""
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(ptr))
+    lower = index < rows
+    upper = ~lower
+    udiag = np.zeros(n)
+    isd = index == rows
+    np.add.at(udiag, rows[isd], value[isd])
+
+    def side(mask):
+        r, c, v = rows[mask], index[mask], value[mask]
+        p = np.zeros(n + 1, dtype=np.int32)
+        np.add.at(p, r + 1, 1)
+        return np.cumsum(p).astype(np.int32), c.astype(np.int32), v
+
+    lp, li, lv = side(lower)
+    up, ui, uv = side(upper)
+    return _plans_from_lu(lp, li, lv, up, ui, uv, udiag, n, shape)
+
+
+def _plans_from_lu(lp, li, lv, up, ui, uv, udiag, n, shape):
     with np.errstate(divide="ignore"):
         udinv = np.where(udiag != 0, 1.0 / np.where(udiag != 0, udiag, 1), 1.0)
 
@@ -189,24 +214,39 @@ def _plans_from_rows(rows_val, n, shape):
 @register_precon("ilu")
 def create_iluk(A, opts):
     ptr, index, value = A.to_csr_arrays()
-    rows = _factor_iluk(ptr, index, value, A.nrows,
-                        getattr(opts, "ilu_fill", 0))
+    fill = getattr(opts, "ilu_fill", 0)
+    if not np.iscomplexobj(value):
+        from lis_tpu import _native
+        out = _native.iluk_factor(ptr, index, value, fill)
+        if out is not None:
+            return _plans_from_combined_csr(*out, A.nrows, A.shape)
+    rows = _factor_iluk(ptr, index, value, A.nrows, fill)
     return _plans_from_rows(rows, A.nrows, A.shape)
 
 
 @register_precon("ilut")
 def create_ilut(A, opts):
     ptr, index, value = A.to_csr_arrays()
-    rows = _factor_ilut(ptr, index, value, A.nrows,
-                        getattr(opts, "iluc_drop", 0.05),
-                        getattr(opts, "iluc_rate", 5.0))
+    drop = getattr(opts, "iluc_drop", 0.05)
+    rate = getattr(opts, "iluc_rate", 5.0)
+    if not np.iscomplexobj(value):
+        from lis_tpu import _native
+        out = _native.ilut_factor(ptr, index, value, drop, rate)
+        if out is not None:
+            return _plans_from_combined_csr(*out, A.nrows, A.shape)
+    rows = _factor_ilut(ptr, index, value, A.nrows, drop, rate)
     return _plans_from_rows(rows, A.nrows, A.shape)
 
 
 @register_precon("iluc")
 def create_iluc(A, opts):
     ptr, index, value = A.to_csr_arrays()
-    rows = _factor_iluc(ptr, index, value, A.nrows,
-                        getattr(opts, "iluc_drop", 0.05),
-                        getattr(opts, "iluc_rate", 5.0))
+    drop = getattr(opts, "iluc_drop", 0.05)
+    rate = getattr(opts, "iluc_rate", 5.0)
+    if not np.iscomplexobj(value):
+        from lis_tpu import _native
+        out = _native.ilut_factor(ptr, index, value, drop, rate)
+        if out is not None:
+            return _plans_from_combined_csr(*out, A.nrows, A.shape)
+    rows = _factor_iluc(ptr, index, value, A.nrows, drop, rate)
     return _plans_from_rows(rows, A.nrows, A.shape)

@@ -148,6 +148,11 @@ def solve(A: SparseMatrix, b, x0=None, options=None, **overrides) -> SolveResult
                            **({"bnr": opts.storage_block}
                               if opts.storage in (7, 8) else {}))
 
+    # ---- explicit transpose for the BiCG family (-use_at) ------------------
+    if opts.use_at:
+        from lis_tpu.matrix.useat import with_explicit_transpose
+        A = with_explicit_transpose(A)
+
     # ---- preconditioner -----------------------------------------------------
     t_p = C.wtime()
     if opts.precon == "none":
