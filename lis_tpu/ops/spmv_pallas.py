@@ -36,8 +36,9 @@ def _shifted(win_ref, row0: int, q: int, r: int, rows: int):
         return win_ref[pl.ds(row0 + q, rows), :]
     a = win_ref[pl.ds(row0 + q, rows), :]
     b = win_ref[pl.ds(row0 + q + 1, rows), :]
-    ra = pltpu.roll(a, -r, axis=1)
-    rb = pltpu.roll(b, -r, axis=1)
+    # want out[l] = in[(l+r)%128]; pltpu.roll(x, s)[l] = x[(l-s)%128]
+    ra = pltpu.roll(a, LANES - r, axis=1)
+    rb = pltpu.roll(b, LANES - r, axis=1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
     return jnp.where(lane < LANES - r, ra, rb)
 

@@ -1,0 +1,103 @@
+"""I/O tests: Matrix Market, Harwell-Boeing, Lis ASCII, checkpointing."""
+
+import os
+
+import numpy as np
+import pytest
+
+import lis_tpu
+from lis_tpu.io.mm import (read_matrix_market, read_vector_mm,
+                           write_matrix_market, write_vector_mm)
+from lis_tpu.io.lisio import read_lis_file, write_lis_file
+from lis_tpu.io.hb import read_harwell_boeing
+from tests.problems import poisson2d, random_sparse
+
+
+def test_mm_roundtrip(tmp_path):
+    a = random_sparse(40, 0.1, seed=2)
+    p = str(tmp_path / "a.mtx")
+    write_matrix_market(p, a)
+    b = read_matrix_market(p)
+    np.testing.assert_allclose(b.to_dense(), a.to_dense(), rtol=1e-15)
+
+
+def test_mm_symmetric_expansion(tmp_path):
+    p = str(tmp_path / "s.mtx")
+    with open(p, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real symmetric\n")
+        f.write("3 3 4\n1 1 2.0\n2 2 2.0\n3 3 2.0\n3 1 -1.0\n")
+    a = read_matrix_market(p)
+    d = a.to_dense()
+    assert d[0, 2] == -1.0 and d[2, 0] == -1.0
+
+
+def test_mm_pattern(tmp_path):
+    p = str(tmp_path / "p.mtx")
+    with open(p, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate pattern general\n")
+        f.write("2 2 2\n1 1\n2 2\n")
+    a = read_matrix_market(p)
+    np.testing.assert_allclose(a.to_dense(), np.eye(2))
+
+
+def test_mm_vector_roundtrip(tmp_path):
+    v = np.linspace(0, 1, 17)
+    p = str(tmp_path / "v.mtx")
+    write_vector_mm(p, v)
+    np.testing.assert_allclose(np.asarray(read_vector_mm(p)), v)
+
+
+def test_lis_ascii_roundtrip(tmp_path):
+    a = poisson2d(4, 4)
+    b = np.arange(16.0)
+    p = str(tmp_path / "a.lis")
+    write_lis_file(p, a, b=b)
+    a2, b2, x2 = read_lis_file(p)
+    np.testing.assert_allclose(a2.to_dense(), a.to_dense())
+    np.testing.assert_allclose(np.asarray(b2), b)
+    assert x2 is None
+
+
+def test_hb_read(tmp_path):
+    """Write a minimal fixed-format RUA file and read it back."""
+    p = str(tmp_path / "t.rua")
+    # 2x2 matrix [[4,-1],[0,3]] in CSC
+    lines = [
+        "title".ljust(72) + "key".ljust(8),
+        f"{3:14d}{1:14d}{1:14d}{1:14d}{0:14d}",
+        "RUA".ljust(14) + f"{2:14d}{2:14d}{3:14d}{0:14d}",
+        "(3I8)".ljust(16) + "(3I8)".ljust(16) + "(3E20.12)".ljust(20),
+        f"{1:8d}{2:8d}{4:8d}",
+        f"{1:8d}{1:8d}{2:8d}",
+        f"{4.0:20.12E}{-1.0:20.12E}{3.0:20.12E}",
+    ]
+    with open(p, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    a = read_harwell_boeing(p)
+    np.testing.assert_allclose(a.to_dense(), [[4.0, -1.0], [0.0, 3.0]])
+
+
+def test_reference_testmat_readable():
+    path = "/root/reference/test/testmat.mtx"
+    if not os.path.exists(path):
+        pytest.skip("reference not mounted")
+    a = read_matrix_market(path)
+    assert a.shape == (100, 100) and a.nnz == 460
+
+
+def test_checkpoint_resume(tmp_path):
+    from lis_tpu import solve
+    from lis_tpu.utils.checkpoint import (save_checkpoint, resume_solve,
+                                          output_rhistory)
+    a = poisson2d(10, 10)
+    b = np.ones(100)
+    part = solve(a, b, options="-i cg -tol 1e-12 -maxiter 8")
+    assert part.status == lis_tpu.LIS_MAXITER
+    ck = str(tmp_path / "ck.npz")
+    save_checkpoint(ck, part)
+    res = resume_solve(a, b, ck, options="-i cg -tol 1e-12")
+    assert res.status == lis_tpu.LIS_SUCCESS
+    assert res.resid < 1e-12
+    rh = str(tmp_path / "rh.txt")
+    output_rhistory(rh, res)
+    assert len(open(rh).readlines()) == len(res.rhistory)
