@@ -39,13 +39,16 @@ from lis_tpu.matrix.bsc import BSCMatrix
 from lis_tpu.matrix.vbr import VBRMatrix
 from lis_tpu.matrix.dns import DNSMatrix
 from lis_tpu.matrix.convert import convert_matrix
-from lis_tpu.matrix.assembly import MatrixAssembler
+from lis_tpu.matrix.assembly import (MatrixAssembler, LIS_INS_VALUE,
+                                     LIS_ADD_VALUE)
 from lis_tpu.ops.spmv import matvec, matvech
 from lis_tpu.solvers.driver import solve, SolveResult, SOLVER_REGISTRY
 from lis_tpu.esolvers.driver import esolve, gesolve, EsolveResult
 from lis_tpu.io.mm import read_matrix_market, write_matrix_market, read_vector_mm
 from lis_tpu.io.hb import read_harwell_boeing
 from lis_tpu.io.lisio import read_lis_file, write_lis_file
+from lis_tpu.io import (lis_input, lis_input_vector, lis_output,
+                        lis_output_vector)
 
 __version__ = "0.1.0"
 
@@ -54,6 +57,8 @@ __all__ = [
     "LIS_OUT_OF_MEMORY", "LIS_MAXITER", "LIS_ERR_NOT_IMPLEMENTED",
     "LIS_ERR_FILE_IO",
     "initialize", "finalize", "wtime",
+    "LIS_INS_VALUE", "LIS_ADD_VALUE",
+    "lis_input", "lis_input_vector", "lis_output", "lis_output_vector",
     "SolverOptions", "EsolverOptions",
     "SparseMatrix", "COOMatrix", "CSRMatrix", "CSCMatrix", "MSRMatrix",
     "DIAMatrix", "ELLMatrix", "JADMatrix", "BSRMatrix", "BSCMatrix",

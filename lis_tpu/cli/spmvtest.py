@@ -84,8 +84,21 @@ def main(argv=None):
     elif which == "3b":
         l, m, n, iters = (int(a) for a in argv[1:5])
         A = poisson3d27(l, m, n)
-    elif which in ("4", "5"):
-        A = lis_tpu.read_matrix_market(argv[1])
+    elif which == "4":
+        # reference spmvtest4: argv[1] is a list file, one matrix path per
+        # line (test/spmvtest4.c); run the sweep on each
+        from lis_tpu.io import lis_input
+        iters = int(argv[2])
+        with open(argv[1]) as f:
+            paths = [ln.strip() for ln in f if ln.strip()]
+        for p in paths:
+            print(f"\n=== {p} ===")
+            A, _, _ = lis_input(p)
+            run_sweep(A, iters)
+        return 0
+    elif which == "5":
+        from lis_tpu.io import lis_input
+        A, _, _ = lis_input(argv[1])
         iters = int(argv[2])
     else:
         print(__doc__)

@@ -1,0 +1,71 @@
+"""Unified file I/O with format auto-detection.
+
+Reference: lis_input (src/system/lis_input.c:67) sniffs the first line —
+"%%MatrixMarket" → MM, "#LIS" → Lis native, otherwise Harwell-Boeing /
+PLAIN depending on the object; lis_output (src/system/lis_output.c:63)
+dispatches on a LIS_FMT_* enum.  Format names here are strings:
+"mm" | "hb" | "lis" | "plain" | "auto".
+"""
+
+from __future__ import annotations
+
+from lis_tpu.io.mm import (read_matrix_market, read_vector_mm,
+                           write_matrix_market, write_vector_mm)
+from lis_tpu.io.hb import read_harwell_boeing
+from lis_tpu.io.lisio import read_lis_file, write_lis_file
+from lis_tpu.io.plain import read_vector_plain, write_vector_plain
+
+
+def _sniff(path: str) -> str:
+    with open(path, "rb") as f:
+        head = f.read(64)
+    if head.startswith(b"%%MatrixMarket"):
+        return "mm"
+    if head.startswith(b"#LIS"):
+        return "lis"
+    return "unknown"
+
+
+def lis_input(path: str, matrix_type: str = "csr", **kw):
+    """Read a matrix (and optional b, x) from any supported format.
+
+    Returns (matrix, b_or_None, x_or_None) — mirroring
+    lis_input(A, b, x, filename) (src/system/lis_input.c:67).
+    """
+    fmt = _sniff(path)
+    if fmt == "mm":
+        return read_matrix_market(path, matrix_type, **kw), None, None
+    if fmt == "lis":
+        return read_lis_file(path, matrix_type, **kw)
+    # Harwell-Boeing has no magic banner; it is the remaining matrix format
+    return read_harwell_boeing(path, matrix_type, **kw), None, None
+
+
+def lis_input_vector(path: str):
+    """Read a vector: MM array, Lis ascii, or PLAIN (lis_input.c:176-248)."""
+    fmt = _sniff(path)
+    if fmt == "mm":
+        return read_vector_mm(path)
+    if fmt == "lis":
+        _, b, _ = read_lis_file(path)
+        return b
+    return read_vector_plain(path)
+
+
+def lis_output(path: str, matrix, b=None, x=None, fmt: str = "mm"):
+    """Write a matrix in the requested format (lis_output, lis_output.c:63)."""
+    if fmt == "mm":
+        write_matrix_market(path, matrix)
+    elif fmt == "lis":
+        write_lis_file(path, matrix, b, x)
+    else:
+        raise ValueError(f"unsupported output format {fmt!r}")
+
+
+def lis_output_vector(path: str, vec, fmt: str = "mm"):
+    if fmt == "mm":
+        write_vector_mm(path, vec)
+    elif fmt == "plain":
+        write_vector_plain(path, vec)
+    else:
+        raise ValueError(f"unsupported vector output format {fmt!r}")

@@ -177,6 +177,35 @@ def distribute_csr(A, mesh: Mesh, halo: str = "auto") -> DistCSRMatrix:
     return jax.tree.map(lambda a: jax.device_put(a, sh), dist)
 
 
+def undistribute_csr(A: DistCSRMatrix):
+    """Collect a sharded matrix back into a host CSRMatrix (inverse of
+    distribute_csr; the reference's lis_matrix_merge direction)."""
+    import scipy.sparse as sp
+    from lis_tpu.matrix.csr import CSRMatrix
+    val = host(A.value)
+    idx = host(A.index).astype(np.int64)
+    rid = host(A.row_ids).astype(np.int64)
+    shard = np.repeat(np.arange(A.nprocs), len(val) // A.nprocs)
+    grow = shard * A.nlocal + rid
+    keep = (val != 0) & (grow < A.gn)
+    coo = sp.coo_matrix((val[keep], (grow[keep], idx[keep])),
+                        shape=(A.gn, A.gn)).tocsr()
+    coo.sort_indices()
+    return CSRMatrix.from_csr_arrays(coo.indptr, coo.indices, coo.data,
+                                     (A.gn, A.gn))
+
+
+def redistribute_csr(A: DistCSRMatrix, mesh: Mesh,
+                     halo: str = "auto") -> DistCSRMatrix:
+    """Re-partition a distributed matrix onto a (different) mesh — the
+    analogue of lis_matrix_redistribute_csr (src/matrix/lis_matrix_mpi.c:1007).
+
+    The reference shuffles rows rank-to-rank with MPI_Alltoallv; here the
+    partition plan is recomputed on host and the leaves re-placed with the
+    new mesh's sharding (XLA handles the device-to-device movement)."""
+    return distribute_csr(undistribute_csr(A), mesh, halo=halo)
+
+
 def distribute_vector(v, mesh: Mesh, gn_pad: int):
     v = jnp.asarray(v)
     if v.shape[0] < gn_pad:
@@ -210,11 +239,16 @@ def dist_solve(A: DistCSRMatrix, b, mesh: Mesh, options=None, M=None,
             M = NonePrecon()
         elif opts.precon == "jacobi":
             M = make_dist_jacobi(A, mesh)
+        elif opts.precon in ("ilu", "ilut", "iluc", "ssor"):
+            # block-Jacobi application of the plan-based preconditioners —
+            # the reference's own MPI semantics (local-rows ILU/SSOR)
+            from lis_tpu.parallel.dist_precon import make_dist_block_precon
+            M = make_dist_block_precon(A, mesh, opts)
         else:
             raise NotImplementedError(
                 f"distributed preconditioner {opts.precon!r} "
-                "(supported: none, jacobi, or pass a precon pytree whose "
-                "leaves are sharded local views)")
+                "(supported: none, jacobi, ilu, ilut, iluc, ssor, or pass "
+                "a precon pytree whose leaves are sharded local views)")
 
     # host-side prepare (solver aux): shadow space for IDR(s), sharded over
     # the vector axis; trisolve-plan solvers (gs/sor) need block-local
@@ -241,7 +275,7 @@ def dist_solve(A: DistCSRMatrix, b, mesh: Mesh, options=None, M=None,
 
     iters = int(out.iters)
     import numpy as _np
-    return SolveResult(x=x[: A.gn] if A.gn_pad == A.gn else x,
+    return SolveResult(x=x[: A.gn] if A.gn_pad != A.gn else x,
                        status=int(out.status), iters=iters,
                        resid=float(out.resid),
                        true_resid=float("nan"),

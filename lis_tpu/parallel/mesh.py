@@ -19,6 +19,12 @@ AXIS = "p"
 def make_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f"make_mesh({n_devices}) but only {len(devs)} JAX device(s) "
+                "are visible; for a virtual CPU mesh set "
+                "XLA_FLAGS=--xla_force_host_platform_device_count=N and "
+                "JAX_PLATFORMS=cpu before JAX initializes its backends")
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (AXIS,))
 

@@ -95,3 +95,40 @@ def test_dist_nondivisible_size(mesh):
     res = dist_solve(Ad, b, mesh, options="-i cg -tol 1e-10")
     assert res.status == lis_tpu.LIS_SUCCESS
     assert _tr(a.to_dense(), b, res.x) < 1e-8
+
+
+@pytest.mark.parametrize("precon", ["ilu", "ssor"])
+def test_dist_block_precon(mesh, prob, precon):
+    """Block-Jacobi ILU/SSOR (the reference's MPI semantics): converges to
+    the same solution, possibly in more iterations than single-chip."""
+    a, b, ad = prob
+    Ad = distribute_csr(a, mesh)
+    res = dist_solve(Ad, b, mesh, options=f"-i cg -p {precon} -tol 1e-10")
+    assert res.status == lis_tpu.LIS_SUCCESS
+    assert _tr(ad, b, res.x) < 1e-9
+    r0 = solve(a, b, options=f"-i cg -p {precon} -tol 1e-10")
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(r0.x),
+                               rtol=0, atol=1e-7)
+
+
+def test_dist_x_truncated_to_global_size(mesh):
+    a = poisson2d(13, 7)           # 91 rows: not divisible by 8
+    b = np.ones(91)
+    Ad = distribute_csr(a, mesh)
+    res = dist_solve(Ad, b, mesh, options="-i cg -tol 1e-10")
+    assert res.x.shape == (91,)
+
+
+def test_redistribute_roundtrip(mesh):
+    from lis_tpu.parallel.dist import redistribute_csr, undistribute_csr
+    a = poisson2d(11, 9)
+    Ad = distribute_csr(a, mesh)
+    a2 = undistribute_csr(Ad)
+    pa, ia, va = a.to_csr_arrays()
+    pb, ib, vb = a2.to_csr_arrays()
+    assert np.array_equal(np.asarray(pa), np.asarray(pb))
+    assert np.array_equal(np.asarray(ia), np.asarray(ib))
+    np.testing.assert_allclose(np.asarray(va), np.asarray(vb))
+    Ad2 = redistribute_csr(Ad, mesh, halo="gather")
+    res = dist_solve(Ad2, np.ones(99), mesh, options="-i cg -tol 1e-10")
+    assert res.status == lis_tpu.LIS_SUCCESS

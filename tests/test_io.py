@@ -101,3 +101,29 @@ def test_checkpoint_resume(tmp_path):
     rh = str(tmp_path / "rh.txt")
     output_rhistory(rh, res)
     assert len(open(rh).readlines()) == len(res.rhistory)
+
+
+def test_lis_input_autodetect(tmp_path):
+    from lis_tpu.io import lis_input, lis_input_vector, lis_output
+    from lis_tpu.io.plain import write_vector_plain
+    from lis_tpu.io.mm import write_matrix_market
+    from tests.problems import poisson2d
+    a = poisson2d(5, 5)
+    write_matrix_market(str(tmp_path / "a.mtx"), a)
+    m, b, x = lis_input(str(tmp_path / "a.mtx"))
+    assert b is None and m.shape == (25, 25)
+    np.testing.assert_allclose(m.to_dense(), a.to_dense())
+
+    lis_output(str(tmp_path / "a.lis"), a, b=np.arange(25.0), fmt="lis")
+    m2, b2, _ = lis_input(str(tmp_path / "a.lis"))
+    np.testing.assert_allclose(m2.to_dense(), a.to_dense())
+    np.testing.assert_allclose(np.asarray(b2), np.arange(25.0))
+
+
+def test_plain_vector_roundtrip(tmp_path):
+    from lis_tpu.io import lis_input_vector
+    from lis_tpu.io.plain import read_vector_plain, write_vector_plain
+    v = np.linspace(-3, 9, 17)
+    write_vector_plain(str(tmp_path / "v.txt"), v)
+    np.testing.assert_allclose(np.asarray(read_vector_plain(str(tmp_path / "v.txt"))), v)
+    np.testing.assert_allclose(np.asarray(lis_input_vector(str(tmp_path / "v.txt"))), v)
