@@ -92,7 +92,8 @@ def _make_spec(opts: SolverOptions, axis_name=None) -> SolverSpec:
                       axis_name=axis_name)
 
 
-def solve(A: SparseMatrix, b, x0=None, options=None, **overrides) -> SolveResult:
+def solve(A: SparseMatrix, b, x0=None, options=None, M=None,
+          **overrides) -> SolveResult:
     """Solve Ax = b (the lis_solve equivalent).
 
     ``options`` may be a SolverOptions, an option string
@@ -155,7 +156,9 @@ def solve(A: SparseMatrix, b, x0=None, options=None, **overrides) -> SolveResult
 
     # ---- preconditioner -----------------------------------------------------
     t_p = C.wtime()
-    if opts.precon == "none":
+    if M is not None:
+        pass                       # caller-supplied preconditioner object
+    elif opts.precon == "none":
         M = NonePrecon()
     else:
         if opts.precon not in PRECON_REGISTRY:
