@@ -83,11 +83,37 @@ class DistCSRMatrix(SparseMatrix):
         return xg, 0
 
     def matvec(self, x_local):
-        xe, offset = self._gather_x(x_local)
-        idx = self.index - offset
         if self.halo == "neighbor":
-            idx = jnp.clip(idx, 0, xe.shape[0] - 1)
-        prod = self.value * jnp.take(xe, idx, axis=0, mode="clip")
+            # Interior/boundary split — the analogue of the reference's
+            # USE_OVERLAP path (lis_matvec.c:119-124): the interior product
+            # needs only x_local, so XLA's async collectives can overlap
+            # the two ppermutes with it; the boundary product touches only
+            # the exchanged slabs.
+            p, hw = self.nprocs, self.hw
+            perm_up = [(i, (i + 1) % p) for i in range(p)]
+            perm_dn = [(i, (i - 1) % p) for i in range(p)]
+            from_left = jax.lax.ppermute(x_local[-hw:], AXIS, perm_up)
+            from_right = jax.lax.ppermute(x_local[:hw], AXIS, perm_dn)
+
+            k = jax.lax.axis_index(AXIS)
+            lidx = self.index - k * self.nlocal      # local column offsets
+            interior = (lidx >= 0) & (lidx < self.nlocal)
+            prod_int = jnp.where(interior, self.value, 0) * jnp.take(
+                x_local, jnp.clip(lidx, 0, self.nlocal - 1), axis=0)
+            y = jax.ops.segment_sum(prod_int, self.row_ids,
+                                    num_segments=self.nlocal,
+                                    indices_are_sorted=True)
+
+            slabs = jnp.concatenate([from_left, from_right])
+            # left slab covers lidx in [-hw, 0), right slab [nlocal, nlocal+hw)
+            sidx = jnp.where(lidx < 0, lidx + hw, lidx - self.nlocal + hw)
+            prod_b = jnp.where(interior, 0, self.value) * jnp.take(
+                slabs, jnp.clip(sidx, 0, 2 * hw - 1), axis=0, mode="clip")
+            return y + jax.ops.segment_sum(prod_b, self.row_ids,
+                                           num_segments=self.nlocal,
+                                           indices_are_sorted=True)
+        xe, offset = self._gather_x(x_local)
+        prod = self.value * jnp.take(xe, self.index, axis=0, mode="clip")
         return jax.ops.segment_sum(prod, self.row_ids,
                                    num_segments=self.nlocal,
                                    indices_are_sorted=True)
