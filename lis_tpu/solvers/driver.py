@@ -44,6 +44,7 @@ from lis_tpu.solvers import bicgstabl as _bicgstabl        # noqa: F401
 from lis_tpu.solvers import idrs as _idrs                  # noqa: F401
 from lis_tpu.solvers import cocg as _cocg                  # noqa: F401
 from lis_tpu.solvers import quad as _quad                  # noqa: F401
+from lis_tpu.solvers import quad_ext as _quad_ext          # noqa: F401
 from lis_tpu.precon.base import PRECON_REGISTRY, NonePrecon, create_precon
 from lis_tpu.precon import jacobi as _pjac                 # noqa: F401
 from lis_tpu.precon import ssor as _pssor                  # noqa: F401

@@ -73,7 +73,11 @@ def test_switch_variant():
     assert err < 1e-10
 
 
-@pytest.mark.parametrize("name", ["cg", "cr", "bicg", "cgs", "bicgstab"])
+@pytest.mark.parametrize("name", ["cg", "cr", "bicg", "cgs", "bicgstab",
+                                  "bicr", "crs", "bicrstab", "gpbicg",
+                                  "gpbicr", "bicgsafe", "bicrsafe",
+                                  "tfqmr", "orthomin", "bicgstabl",
+                                  "gmres", "fgmres"])
 def test_quad_variants_converge(name):
     a = poisson2d(8, 8)
     b = np.ones(64)
@@ -82,3 +86,15 @@ def test_quad_variants_converge(name):
     x = np.asarray(r.x)
     tr = np.linalg.norm(b - a.to_dense() @ x) / np.linalg.norm(b)
     assert tr < 1e-12, (name, tr)
+
+
+def test_quad_gmres_beats_double_accuracy():
+    """-tol 1e-14 with conv on the recursive residual: quad GMRES reaches a
+    true residual double cannot represent through the Givens recurrences."""
+    a = poisson2d(10, 10)
+    ad = a.to_dense()
+    b = np.ones(100)
+    rq = solve(a, b, options="-i gmres -f quad -tol 1e-15 -maxiter 400")
+    tr = np.linalg.norm(b - np.asarray(ad) @ np.asarray(rq.x)) / np.linalg.norm(b)
+    assert rq.status == lis_tpu.LIS_SUCCESS
+    assert tr < 5e-15, tr
