@@ -73,11 +73,31 @@ def gesolve(A, B, options=None, x0=None, **overrides) -> EsolveResult:
         raise NotImplementedError(f"eigensolver {base!r} not implemented; "
                                   f"have {sorted(ESOLVER_FNS)}")
 
+    # -estorage: convert the operator before iterating (lis_esolver.c
+    # storage-convert step, mirroring lis_solve_kernel's -storage)
+    if opts.estorage:
+        from lis_tpu.matrix.convert import convert_matrix
+        from lis_tpu.solvers.driver import _STORAGE_BY_ID
+        kw = ({"bnr": opts.estorage_block}
+              if opts.estorage in (7, 8) else {})
+        A = convert_matrix(A, _STORAGE_BY_ID[opts.estorage], **kw)
+        if B is not None:
+            B = convert_matrix(B, _STORAGE_BY_ID[opts.estorage], **kw)
+
     n = A.nrows
     if x0 is None:
         x0 = jnp.ones(n, dtype=A.get_diagonal().dtype) if opts.initx_ones \
             else jnp.ones(n)
-    return ESOLVER_FNS[base](A, B, x0, opts)
+    res = ESOLVER_FNS[base](A, B, x0, opts)
+    # -m: report the mode-th eigenpair of a subspace run (lis_esolver.c
+    # LIS_EOPTIONS_MODE — etest5 prints the chosen mode)
+    if opts.mode and res.evalues is not None and len(res.evalues) > opts.mode:
+        import dataclasses as _dc
+        res = _dc.replace(
+            res, evalue=float(res.evalues[opts.mode]),
+            evector=res.evectors[opts.mode],
+            resid=float(res.resids_all[opts.mode]))
+    return res
 
 
 def esolve(A, options=None, x0=None, **overrides) -> EsolveResult:

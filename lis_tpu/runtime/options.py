@@ -129,9 +129,14 @@ class EsolverOptions:
     print_: int = 0                 # -eprint
     ss: int = 1                     # -ss (subspace size)
     inner_esolver: str = "ii"       # -ie (inner esolver for SI/LI/AI)
-    rval: float = 0.0               # -shift (sigma)
+    rval: float = 0.0               # -shift / -rval (sigma)
     shift_im: float = 0.0           # -shift_im
-    initx_ones: bool = True         # -einitx_ones
+    initx_ones: bool = True         # -initx_ones (alias -einitx_ones)
+    mode: int = 0                   # -m (eigenvalue mode index)
+    inner_gesolver: str = "ii"      # -ige (inner esolver, generalized)
+    estorage: int = 0               # -estorage (0 = keep input format)
+    estorage_block: int = 2         # -estorage_block
+    precision: str = "double"       # -ef {double|quad}
     # inner linear-solver options (II/RQI run a Krylov solve per iteration)
     inner: SolverOptions = field(default_factory=lambda: SolverOptions(
         solver="bicg", precon="none", maxiter=1000, tol=1e-12))
@@ -255,7 +260,31 @@ _ESOLVER_ACTIONS = {
     "-shift_im": _set_float("shift_im"),
     "-einitx_ones": lambda o, v: setattr(o, "initx_ones",
                                          bool(TRUEFALSE[v.lower()])),
+    "-initx_ones": lambda o, v: setattr(o, "initx_ones",
+                                        bool(TRUEFALSE[v.lower()])),
+    "-m": _set_int("mode"),
+    "-rval": _set_float("rval"),
+    "-ige": _set_name("inner_gesolver", ESOLVER_IDS),
+    "-estorage": _set_int("estorage"),
+    "-estorage_block": _set_int("estorage_block"),
+    "-ef": _set_name("precision", PRECISION_NAMES),
 }
+
+
+def _show_help(obj):
+    """-h (reference: lis_solve usage banner, lis_solver.c SHOWHELP)."""
+    names = sorted(_SOLVER_ACTIONS) + ["-h", "-ver"]
+    print("lis_tpu solver options:")
+    for n in names:
+        print(f"  {n} <value>" if n not in ("-h", "-ver") else f"  {n}")
+
+
+def _show_version(obj):
+    import lis_tpu
+    print(f"lis_tpu {lis_tpu.__version__} (Lis-compatible TPU framework)")
+
+
+_FLAG_ACTIONS = {"-h": _show_help, "-ver": _show_version}
 
 
 def _apply_tokens(obj, tokens, actions, collect_rest: bool = False):
@@ -263,6 +292,11 @@ def _apply_tokens(obj, tokens, actions, collect_rest: bool = False):
     i = 0
     while i < len(tokens):
         tok = tokens[i]
+        flag = _FLAG_ACTIONS.get(tok)
+        if flag is not None:
+            flag(obj)
+            i += 1
+            continue
         act = actions.get(tok)
         if act is not None and i + 1 < len(tokens):
             act(obj, tokens[i + 1])
