@@ -92,7 +92,8 @@ class SolverOptions:
     switch_tol: float = 1.0e-12     # -switch_tol
     switch_maxiter: int = -1        # -switch_maxiter
     use_at: bool = False            # -use_at (explicit Aᵀ for BiCG family)
-    storage: int = 0                # -storage (0 = keep)
+    storage: int = 0                # -storage (0 = auto: DIA for banded)
+    auto_storage: bool = True       # -auto_storage (TPU-first DIA routing)
     storage_block: int = 2          # -storage_block
     irestart: int = 2               # -irestart (IDR(s) shadow dim)
     ric2s_tau: float = 0.05         # -ric2s_tau
@@ -245,6 +246,8 @@ _SOLVER_ACTIONS = {
     "-iluc_gamma": _set_float("iluc_gamma"),
     "-iluc_rate": _set_float("iluc_rate"),
     "-storage": _set_storage,
+    "-auto_storage": lambda o, v: setattr(o, "auto_storage",
+                                          bool(TRUEFALSE[v.lower()])),
     "-storage_block": _set_int("storage_block"),
     "-irestart": _set_int("irestart"),
 }

@@ -59,6 +59,31 @@ SOLVER_REGISTRY = SOLVER_FNS
 _STORAGE_BY_ID = {i: n for n, i in STORAGE_NAMES.items()}
 
 
+def auto_storage(A):
+    """TPU-first default storage: route diagonal-structured operators to
+    DIA, where SpMV is shift-and-FMA streaming at the HBM roofline, instead
+    of gather-bound CSR/ELL (random gathers run at <1 GB/s on TPU — see
+    BENCH notes).  The reference leaves storage to the user (-storage);
+    here the hardware penalty is 2-3 orders of magnitude, so banded inputs
+    are converted automatically unless -auto_storage false or an explicit
+    -storage is given.  Fill guard: nnd diagonals must pad the nnz by at
+    most 4x (and nnd <= 512) so memory stays bounded."""
+    if A.format_name == "dia":
+        return A
+    try:
+        ptr, index, value = A.to_csr_arrays()
+    except NotImplementedError:
+        return A
+    nnz = len(value)
+    if nnz == 0 or A.nrows != A.ncols:
+        return A
+    rows = np.repeat(np.arange(A.nrows, dtype=np.int64), np.diff(ptr))
+    offs = np.unique(index.astype(np.int64) - rows)
+    if len(offs) <= 512 and len(offs) * A.nrows <= 4 * nnz:
+        return convert_matrix(A, "dia")
+    return A
+
+
 @dataclass
 class SolveResult:
     x: jax.Array
@@ -149,6 +174,8 @@ def solve(A: SparseMatrix, b, x0=None, options=None, M=None,
         A = convert_matrix(A, _STORAGE_BY_ID[opts.storage],
                            **({"bnr": opts.storage_block}
                               if opts.storage in (7, 8) else {}))
+    elif opts.auto_storage:
+        A = auto_storage(A)
 
     # ---- explicit transpose for the BiCG family (-use_at) ------------------
     if opts.use_at:
