@@ -24,6 +24,9 @@ import jax
 import jax.numpy as jnp
 
 _SPLITTER = 134217729.0          # 2^27+1 for f64 Dekker split
+_SPLITTER_F32 = 4097.0           # 2^12+1 for f32 pairs ("double-float" —
+                                 # the TPU-native pairing: both limbs run at
+                                 # native VPU speed, unit roundoff 2^-48)
 
 
 def _nb(x):
@@ -50,11 +53,23 @@ class DD(NamedTuple):
 
 
 def dd(hi, lo=None) -> DD:
-    hi = jnp.asarray(hi, dtype=jnp.float64)
+    """Lift to a DD pair.  f32 input stays f32 (double-float pairs — the
+    TPU-native extended precision); everything else is cast to f64 pairs.
+    A DD input passes through unchanged."""
+    if isinstance(hi, DD):
+        return hi
+    hi = jnp.asarray(hi)
+    if hi.dtype != jnp.float32:
+        hi = hi.astype(jnp.float64)
     return DD(hi, jnp.zeros_like(hi) if lo is None else jnp.asarray(lo))
 
 
 def to_float(x: DD):
+    """Collapse to a plain float array.  f32 pairs are reconstructed in f64
+    (when x64 is enabled) so the pair's full ~2^-48 accuracy survives."""
+    import jax as _jax
+    if x.hi.dtype == jnp.float32 and _jax.config.jax_enable_x64:
+        return x.hi.astype(jnp.float64) + x.lo.astype(jnp.float64)
     return x.hi + x.lo
 
 
@@ -84,7 +99,8 @@ def _split(a):
     restores exactness; the test suite sets this.  optimization_barrier
     does not help — XLA CPU strips it before fusion.
     """
-    t = _SPLITTER * a
+    spl = _SPLITTER_F32 if a.dtype == jnp.float32 else _SPLITTER
+    t = spl * a
     ahi = t - (t - a)
     alo = a - ahi
     return ahi, alo
@@ -269,7 +285,18 @@ def _dd_row_reduce(p, e) -> DD:
     return DD(p[:, 0], e[:, 0])
 
 
-def matvec_dd_ell(index, value, x: DD) -> DD:
+def _split_limbs(value, limb):
+    """f64 values -> (hi, lo) limb pairs in the requested limb dtype, so the
+    operator itself carries full precision (casting A to single f32 would
+    perturb the system by ~1e-7 relative)."""
+    if limb is None or value.dtype == limb:
+        return value, None
+    vhi = value.astype(limb)
+    vlo = (value - vhi.astype(value.dtype)).astype(limb)
+    return vhi, vlo
+
+
+def matvec_dd_ell(index, value, x: DD, value_lo=None) -> DD:
     """y = A x with a double ELL matrix (n, maxnzr) and DD vector:
     gather both limbs, TWO_PROD per entry, exact DD tree reduction per
     row.  This preserves the full double-double accumulation quality the
@@ -278,43 +305,131 @@ def matvec_dd_ell(index, value, x: DD) -> DD:
     xg_lo = jnp.take(x.lo, index, axis=0)
     p, e = two_prod(value, xg_hi)
     e = e + value * xg_lo
+    if value_lo is not None:
+        e = e + value_lo * xg_hi
     return _dd_row_reduce(p, e)
 
 
 class DDOperator:
-    """Matrix wrapped for DD matvec/matvech: ELL views of A and Aᴴ."""
+    """Matrix wrapped for DD matvec/matvech: ELL views of A and Aᴴ.
+    With limb=float32 the values are stored as f32 pairs (double-float)."""
 
-    def __init__(self, index, value, index_t, value_t):
+    def __init__(self, index, value, index_t, value_t,
+                 value_lo=None, value_t_lo=None):
         self.index = index
         self.value = value
         self.index_t = index_t
         self.value_t = value_t
+        self.value_lo = value_lo
+        self.value_t_lo = value_t_lo
 
     def matvec(self, x: DD) -> DD:
-        return matvec_dd_ell(self.index, self.value, x)
+        return matvec_dd_ell(self.index, self.value, x, self.value_lo)
 
     def matvech(self, x: DD) -> DD:
-        return matvec_dd_ell(self.index_t, self.value_t, x)
+        return matvec_dd_ell(self.index_t, self.value_t, x, self.value_t_lo)
 
     @classmethod
-    def from_matrix(cls, A) -> "DDOperator":
+    def from_matrix(cls, A, limb=None) -> "DDOperator":
         from lis_tpu.matrix.convert import convert_matrix
         from lis_tpu.matrix.ell import ELLMatrix
         ell = convert_matrix(A, "ell")
         ell_t = ELLMatrix.from_csr_arrays(
             *convert_matrix(A, "csr").transpose().to_csr_arrays(),
             (A.shape[1], A.shape[0]))
-        return cls(ell.index, ell.value, ell_t.index, ell_t.value)
+        v, vlo = _split_limbs(ell.value, limb)
+        vt, vtlo = _split_limbs(ell_t.value, limb)
+        return cls(ell.index, v, ell_t.index, vt, vlo, vtlo)
 
 
 jax.tree_util.register_pytree_node(
     DDOperator,
-    lambda o: ((o.index, o.value, o.index_t, o.value_t), None),
+    lambda o: ((o.index, o.value, o.index_t, o.value_t, o.value_lo,
+                o.value_t_lo), None),
     lambda aux, c: DDOperator(*c))
 
 
+class DDDiaOperator:
+    """DIA (stencil) operator for DD matvec: per-diagonal two_prod streams,
+    no gathers — the DD lift of the roofline DIA SpMV (the TPU-fast path;
+    the ELL DDOperator is gather-bound on TPU and kept for general
+    sparsity)."""
+
+    def __init__(self, offsets, value, nrows, ncols, value_lo=None):
+        self.offsets = offsets          # static tuple of ints
+        self.value = value              # (nnd, n)
+        self.nrows = nrows
+        self.ncols = ncols
+        self.value_lo = value_lo        # (nnd, n) second limb or None
+
+    def _mv(self, offsets, value, x: DD, value_lo=None) -> DD:
+        n = self.nrows
+        pad = max((abs(o) for o in offsets), default=1) or 1
+        zp = lambda a: jnp.pad(a, (pad, pad))
+        xh, xl = zp(x.hi), zp(x.lo)
+        acc = DD(jnp.zeros(n, x.hi.dtype), jnp.zeros(n, x.hi.dtype))
+        for k, off in enumerate(offsets):
+            sh = jax.lax.dynamic_slice(xh, (pad + off,), (n,))
+            sl = jax.lax.dynamic_slice(xl, (pad + off,), (n,))
+            ph, pe = two_prod(value[k], sh)
+            pe = pe + value[k] * sl
+            if value_lo is not None:
+                pe = pe + value_lo[k] * sh
+            acc = add(acc, DD(ph, pe))
+        return acc
+
+    def matvec(self, x: DD) -> DD:
+        return self._mv(self.offsets, self.value, x, self.value_lo)
+
+    def matvech(self, x: DD) -> DD:
+        # Aᵀ[i, i-o] = A[i-o, i] = value[k, i-o]: negate each offset and
+        # shift its value stream by +o with zero fill (no wraparound)
+        offs = tuple(-o for o in self.offsets)
+
+        def shift(vrow, off):
+            if jnp.iscomplexobj(vrow):
+                vrow = jnp.conj(vrow)
+            if off > 0:
+                return jnp.concatenate([jnp.zeros(off, vrow.dtype),
+                                        vrow[:-off]])
+            if off < 0:
+                return jnp.concatenate([vrow[-off:],
+                                        jnp.zeros(-off, vrow.dtype)])
+            return vrow
+
+        vt = jnp.stack([shift(self.value[k], off)
+                        for k, off in enumerate(self.offsets)])
+        vt_lo = (None if self.value_lo is None else
+                 jnp.stack([shift(self.value_lo[k], off)
+                            for k, off in enumerate(self.offsets)]))
+        op = DDDiaOperator(offs, vt, self.ncols, self.nrows, vt_lo)
+        return op._mv(offs, vt, x, vt_lo)
+
+    @classmethod
+    def from_matrix(cls, A, limb=None) -> "DDDiaOperator":
+        v, vlo = _split_limbs(A.value, limb)
+        return cls(tuple(int(o) for o in A.offsets), v,
+                   A.nrows, A.ncols, vlo)
+
+
+jax.tree_util.register_pytree_node(
+    DDDiaOperator,
+    lambda o: ((o.value, o.value_lo), (o.offsets, o.nrows, o.ncols)),
+    lambda aux, c: DDDiaOperator(aux[0], c[0], aux[1], aux[2], c[1]))
+
+
+def make_dd_operator(A, limb=None):
+    """Wrap a format object for DD iterations: DIA stays DIA (stream
+    kernel), everything else goes through the ELL gather pair.  With
+    limb=float32 the operator carries its values as f32 pairs
+    ("double-float") so no precision is lost casting the system."""
+    if getattr(A, "format_name", None) == "dia":
+        return DDDiaOperator.from_matrix(A, limb)
+    return DDOperator.from_matrix(A, limb)
+
+
 def matvec_dd(A, x: DD) -> DD:
-    """y = A x; A is a DDOperator (driver wraps matrices for quad runs)."""
+    """y = A x; A is a DD operator (driver wraps matrices for quad runs)."""
     return A.matvec(x)
 
 

@@ -48,7 +48,9 @@ STORAGE_NAMES = {name: i + 1 for i, name in enumerate(
 PRINT_NAMES = {"none": 0, "mem": 1, "out": 2, "all": 3}
 SCALE_NAMES = {"none": 0, "jacobi": 1, "symm_diag": 2}
 CONV_COND_NAMES = {"nrm2_r": 0, "nrm2_b": 1, "nrm1_b": 2}
-PRECISION_NAMES = {"double": 0, "quad": 1, "switch": 2}
+PRECISION_NAMES = {"double": 0, "quad": 1, "switch": 2,
+                   # TPU-native extensions: f32 and f32-pair double-float
+                   "single": 3, "df": 4, "switch_df": 5}
 TRUEFALSE = {"false": 0, "true": 1, "0": 0, "1": 1}
 
 

@@ -206,25 +206,53 @@ def solve(A: SparseMatrix, b, x0=None, options=None, M=None,
     aux = prepare(A, spec) if prepare else None
     t_i = C.wtime()
     extra_iters = 0
-    if opts.precision in ("quad", "switch"):
-        # DD paths need the exact-accumulation ELL operator pair
-        from lis_tpu.core.ddreal import DDOperator
-        A_dd = DDOperator.from_matrix(A)
+    def _cast32(t):
+        return jax.tree.map(
+            lambda a: a.astype(jnp.float32)
+            if hasattr(a, "dtype") and a.dtype == jnp.float64 else a, t)
+
+    if opts.precision in ("quad", "switch", "df", "switch_df"):
+        # DD paths: f64 pairs for quad/switch; f32 pairs ("double-float",
+        # the TPU-native extended precision — both limbs at native VPU
+        # speed, unit roundoff 2^-48) for df/switch_df.
+        from lis_tpu.core.ddreal import make_dd_operator
         qname = opts.solver + "_quad"
         if qname not in SOLVER_FNS:
             raise NotImplementedError(
                 f"no quad variant of {opts.solver!r}; have "
                 f"{sorted(k for k in SOLVER_FNS if k.endswith('_quad'))}")
-        if opts.precision == "switch":
-            # double phase to -switch_tol, then DD continues from its x
-            # (lis_solver.c switch dispatch :121-144)
+        b_dd = b
+        if opts.precision in ("df", "switch_df"):
+            # vectors/preconditioner run on f32 limbs; the OPERATOR and the
+            # RHS keep full precision as f32 pairs (casting either to
+            # single would perturb the system by ~1e-7 relative)
+            from lis_tpu.core.ddreal import DD
+            A_dd = make_dd_operator(A, limb=jnp.float32)
+            b64 = b
+            A, b, x0, M = _cast32((A, b, x0, M))
+            b_dd = DD(b, (b64 - b.astype(b64.dtype)).astype(jnp.float32))
+        else:
+            A_dd = make_dd_operator(A)
+        if opts.precision in ("switch", "switch_df"):
+            # lower-precision phase to -switch_tol, then DD continues from
+            # its x (lis_solver.c switch dispatch :121-144)
             sw_maxiter = (opts.switch_maxiter if opts.switch_maxiter > 0
                           else opts.maxiter)
-            dspec = spec._replace(tol=opts.switch_tol, maxiter=sw_maxiter)
+            # in switch_df the first phase is f32: past ~1e-6 its recursive
+            # residual no longer tracks the true one, so don't burn
+            # iterations below that floor
+            sw_tol = (opts.switch_tol if opts.precision == "switch"
+                      else max(opts.switch_tol, 1.0e-6))
+            dspec = spec._replace(tol=sw_tol, maxiter=sw_maxiter)
             out1 = _execute(A, b, x0, M, aux, dspec)
             x0 = out1.x
             extra_iters = int(out1.iters)
-        out = _execute(A_dd, b, x0, M, aux, spec._replace(solver=qname))
+        out = _execute(A_dd, b_dd, x0, M, aux, spec._replace(solver=qname))
+    elif opts.precision == "single":
+        # pure f32 — TPU-native speed; true residual plateaus near 1e-7
+        A32, b32, x032, M32 = _cast32((A, b, x0, M))
+        out = _execute(A32, b32, x032, M32, aux, spec)
+        out = out._replace(x=out.x.astype(b.dtype))
     else:
         out = _execute(A, b, x0, M, aux, spec)
     x = out.x.block_until_ready()

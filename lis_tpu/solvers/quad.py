@@ -65,7 +65,7 @@ def _kd(broke, new: DD, old: DD) -> DD:
 def cg_quad(A, b, x0, M, spec: SolverSpec, aux=None) -> SolverOutput:
     r, bnrm_inv, tol_eff, nrm0 = _init_dd(A, b, x0, spec)
     rh = new_rhistory(spec, nrm0, jnp.float64)
-    one = q.dd(jnp.asarray(1.0, jnp.float64))
+    one = q.dd(jnp.asarray(1.0, b.dtype))
 
     state = dict(it=jnp.asarray(1), flag=jnp.asarray(RUNNING),
                  x=q.dd(x0), r=r, p=q.zeros_like(r), rho_old=one,
@@ -99,7 +99,7 @@ def cg_quad(A, b, x0, M, spec: SolverSpec, aux=None) -> SolverOutput:
 def cr_quad(A, b, x0, M, spec: SolverSpec, aux=None) -> SolverOutput:
     r, bnrm_inv, tol_eff, nrm0 = _init_dd(A, b, x0, spec)
     rh = new_rhistory(spec, nrm0, jnp.float64)
-    one = q.dd(jnp.asarray(1.0, jnp.float64))
+    one = q.dd(jnp.asarray(1.0, b.dtype))
 
     p = _psolve_dd(M, r)
     qv = q.matvec_dd(A, p)
@@ -138,7 +138,7 @@ def cr_quad(A, b, x0, M, spec: SolverSpec, aux=None) -> SolverOutput:
 def bicg_quad(A, b, x0, M, spec: SolverSpec, aux=None) -> SolverOutput:
     r, bnrm_inv, tol_eff, nrm0 = _init_dd(A, b, x0, spec)
     rh = new_rhistory(spec, nrm0, jnp.float64)
-    one = q.dd(jnp.asarray(1.0, jnp.float64))
+    one = q.dd(jnp.asarray(1.0, b.dtype))
     rtld = r
 
     state = dict(it=jnp.asarray(1), flag=jnp.asarray(RUNNING),
@@ -180,7 +180,7 @@ def bicg_quad(A, b, x0, M, spec: SolverSpec, aux=None) -> SolverOutput:
 def cgs_quad(A, b, x0, M, spec: SolverSpec, aux=None) -> SolverOutput:
     r, bnrm_inv, tol_eff, nrm0 = _init_dd(A, b, x0, spec)
     rh = new_rhistory(spec, nrm0, jnp.float64)
-    one = q.dd(jnp.asarray(1.0, jnp.float64))
+    one = q.dd(jnp.asarray(1.0, b.dtype))
 
     state = dict(it=jnp.asarray(1), flag=jnp.asarray(RUNNING),
                  x=q.dd(x0), r=r, rtld=r,
@@ -222,7 +222,7 @@ def cgs_quad(A, b, x0, M, spec: SolverSpec, aux=None) -> SolverOutput:
 def bicgstab_quad(A, b, x0, M, spec: SolverSpec, aux=None) -> SolverOutput:
     r, bnrm_inv, tol_eff, nrm0 = _init_dd(A, b, x0, spec)
     rh = new_rhistory(spec, nrm0, jnp.float64)
-    one = q.dd(jnp.asarray(1.0, jnp.float64))
+    one = q.dd(jnp.asarray(1.0, b.dtype))
     z = q.zeros_like(r)
 
     state = dict(it=jnp.asarray(1), flag=jnp.asarray(RUNNING),

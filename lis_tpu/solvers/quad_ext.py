@@ -29,12 +29,12 @@ def _z(a: DD):
     return (a.hi == 0.0) & (a.lo == 0.0)
 
 
-def _one():
-    return q.dd(jnp.asarray(1.0, jnp.float64))
+def _one(dt=jnp.float64):
+    return q.dd(jnp.asarray(1.0, dt))
 
 
 def _safe(den: DD, broke) -> DD:
-    return q.where(broke, _one(), den)
+    return q.where(broke, q.dd(jnp.ones((), den.hi.dtype)), den)
 
 
 def _row(X: DD, i) -> DD:
@@ -53,8 +53,8 @@ def _get1(x: DD, i) -> DD:
     return DD(x.hi[i], x.lo[i])
 
 
-def _zeros(shape) -> DD:
-    z = jnp.zeros(shape, jnp.float64)
+def _zeros(shape, dt=jnp.float64) -> DD:
+    z = jnp.zeros(shape, dt)
     return DD(z, z)
 
 
@@ -126,7 +126,7 @@ def crs_quad(A, b, x0, M, spec: SolverSpec, aux=None) -> SolverOutput:
 
     state = dict(it=jnp.asarray(1), flag=jnp.asarray(RUNNING),
                  x=q.dd(x0), r=r, rtld=rtld, p=z0, qq=z0,
-                 rho_old=_one(), nrm=nrm0, rh=rh)
+                 rho_old=_one(b.dtype), nrm=nrm0, rh=rh)
 
     def step(s):
         z = _psolve_dd(M, s["r"])
@@ -223,7 +223,7 @@ def _qsi_eta_dd(first, y: DD, tvec: DD, w: DD, axis_name):
     qsi_n = q.div(q.sub(q.mul(d0, d1), q.mul(d2, d3)), tmp)
     eta_n = q.div(q.sub(q.mul(d4, d2), q.mul(d3, d1)), tmp)
     qsi_1 = q.div(d1, _safe(d4, _z(d4)))
-    zero = q.dd(jnp.asarray(0.0, jnp.float64))
+    zero = q.dd(jnp.zeros((), y.hi.dtype))
     return q.where(first, qsi_1, qsi_n), q.where(first, zero, eta_n)
 
 
@@ -232,7 +232,7 @@ def gpbicg_quad(A, b, x0, M, spec: SolverSpec, aux=None) -> SolverOutput:
     r, bnrm_inv, tol_eff, nrm0 = _init_dd(A, b, x0, spec)
     rh = new_rhistory(spec, nrm0, jnp.float64)
     z0 = q.zeros_like(r)
-    one = _one()
+    one = _one(b.dtype)
 
     state = dict(it=jnp.asarray(1), flag=jnp.asarray(RUNNING),
                  x=q.dd(x0), r=r, rtld=r,
@@ -300,7 +300,7 @@ def gpbicr_quad(A, b, x0, M, spec: SolverSpec, aux=None) -> SolverOutput:
     rtld = q.matvech_dd(A, r)
     p = _psolve_dd(M, r)
     rho_old = q.dot(rtld, p, spec.axis_name)
-    zero = q.dd(jnp.asarray(0.0, jnp.float64))
+    zero = q.dd(jnp.asarray(0.0, b.dtype))
 
     state = dict(it=jnp.asarray(1), flag=jnp.asarray(RUNNING),
                  x=q.dd(x0), r=r, mr=z0, p=p, t=z0, w=z0, u=z0, y=z0,
@@ -369,7 +369,7 @@ def bicgsafe_quad(A, b, x0, M, spec: SolverSpec, aux=None) -> SolverOutput:
     mr = _psolve_dd(M, r)
     amr = q.matvec_dd(A, mr)
     rho_old = q.dot(rtld, r, spec.axis_name)
-    zero = q.dd(jnp.asarray(0.0, jnp.float64))
+    zero = q.dd(jnp.asarray(0.0, b.dtype))
 
     state = dict(it=jnp.asarray(1), flag=jnp.asarray(RUNNING),
                  x=q.dd(x0), r=r, mr=mr, amr=amr, p=mr, ap=amr,
@@ -423,7 +423,7 @@ def bicrsafe_quad(A, b, x0, M, spec: SolverSpec, aux=None) -> SolverOutput:
     mr = _psolve_dd(M, r)
     amr = q.matvec_dd(A, mr)
     rho_old = q.dot(rtld, amr, spec.axis_name)
-    zero = q.dd(jnp.asarray(0.0, jnp.float64))
+    zero = q.dd(jnp.asarray(0.0, b.dtype))
 
     state = dict(it=jnp.asarray(1), flag=jnp.asarray(RUNNING),
                  x=q.dd(x0), r=r, mr=mr, amr=amr, p=mr, ap=amr,
@@ -472,8 +472,8 @@ def bicrsafe_quad(A, b, x0, M, spec: SolverSpec, aux=None) -> SolverOutput:
 def tfqmr_quad(A, b, x0, M, spec: SolverSpec, aux=None) -> SolverOutput:
     r, bnrm_inv, tol_eff, nrm0 = _init_dd(A, b, x0, spec)
     rh = new_rhistory(spec, nrm0, jnp.float64)
-    one = _one()
-    zero = q.dd(jnp.asarray(0.0, jnp.float64))
+    one = _one(b.dtype)
+    zero = q.dd(jnp.asarray(0.0, b.dtype))
     rtld = r
     p = r
     u = r
@@ -559,13 +559,13 @@ def orthomin_quad(A, b, x0, M, spec: SolverSpec, aux=None) -> SolverOutput:
     r, bnrm_inv, tol_eff, nrm0 = _init_dd(A, b, x0, spec)
     rtld = _psolve_dd(M, r)
     rh = new_rhistory(spec, nrm0, jnp.float64)
-    one = _one()
-    zero = q.dd(jnp.asarray(0.0, jnp.float64))
+    one = _one(b.dtype)
+    zero = q.dd(jnp.asarray(0.0, b.dtype))
 
     state = dict(it=jnp.asarray(1), flag=jnp.asarray(RUNNING),
                  x=q.dd(x0), r=r, rtld=rtld,
-                 P=_zeros((m + 1, n)), AP=_zeros((m + 1, n)),
-                 APT=_zeros((m + 1, n)), dotsave=_zeros(m + 1),
+                 P=_zeros((m + 1, n), b.dtype), AP=_zeros((m + 1, n), b.dtype),
+                 APT=_zeros((m + 1, n), b.dtype), dotsave=_zeros(m + 1, b.dtype),
                  nrm=nrm0, rh=rh)
 
     def step(s):
@@ -627,12 +627,12 @@ def bicgstabl_quad(A, b, x0, M, spec: SolverSpec, aux=None) -> SolverOutput:
     n = b.shape[0]
     r0, bnrm_inv, tol_eff, nrm0 = _init_dd(A, b, x0, spec)
     rh = new_rhistory(spec, nrm0, jnp.float64)
-    one = _one()
-    zero = q.dd(jnp.asarray(0.0, jnp.float64))
+    one = _one(b.dtype)
+    zero = q.dd(jnp.asarray(0.0, b.dtype))
     rtld = r0
 
-    R = _setrow(_zeros((l + 1, n)), 0, r0)
-    U = _zeros((l + 1, n))
+    R = _setrow(_zeros((l + 1, n), b.dtype), 0, r0)
+    U = _zeros((l + 1, n), b.dtype)
 
     state = dict(it=jnp.asarray(0), flag=jnp.asarray(RUNNING),
                  xc=q.zeros_like(r0), R=R, U=U,
@@ -678,9 +678,9 @@ def bicgstabl_quad(A, b, x0, M, spec: SolverSpec, aux=None) -> SolverOutput:
         return jax.lax.fori_loop(0, l, jstep, carry)
 
     def mr_part(xc, R, U, rh, it):
-        tau = _zeros((l + 1, l + 1))
-        sigma = _zeros(l + 1)
-        gamma1 = _zeros(l + 1)
+        tau = _zeros((l + 1, l + 1), b.dtype)
+        sigma = _zeros(l + 1, b.dtype)
+        gamma1 = _zeros(l + 1, b.dtype)
 
         def jloop(j, carry):
             R, tau, sigma, gamma1 = carry
@@ -708,24 +708,24 @@ def bicgstabl_quad(A, b, x0, M, spec: SolverSpec, aux=None) -> SolverOutput:
         R, tau, sigma, gamma1 = jax.lax.fori_loop(
             1, l + 1, jloop, (R, tau, sigma, gamma1))
 
-        gamma = _set1(_zeros(l + 1), l, _get1(gamma1, l))
+        gamma = _set1(_zeros(l + 1, b.dtype), l, _get1(gamma1, l))
         omega = _get1(gamma1, l)
 
         def gback(jj, gamma):
             j = l - 1 - (jj - 1)
             idx = jnp.arange(l + 1)
             prods = q.mul(_row(tau, j), gamma)
-            nu = q._dd_sum(q.where(idx > j, prods, _zeros(l + 1)))
+            nu = q._dd_sum(q.where(idx > j, prods, _zeros(l + 1, b.dtype)))
             return _set1(gamma, j, q.sub(_get1(gamma1, j), nu))
         gamma = jax.lax.fori_loop(1, l, gback, gamma)
 
-        gamma2 = _zeros(l + 1)
+        gamma2 = _zeros(l + 1, b.dtype)
 
         def g2loop(j, gamma2):
             idx = jnp.arange(l + 1)
             prods = q.mul(_row(tau, j), _roll0(gamma, -1))
             nu = q._dd_sum(q.where((idx > j) & (idx <= l - 1), prods,
-                                   _zeros(l + 1)))
+                                   _zeros(l + 1, b.dtype)))
             return _set1(gamma2, j,
                          q.add(_get1(gamma, jnp.minimum(j + 1, l)), nu))
         gamma2 = jax.lax.fori_loop(1, l, g2loop, gamma2)
@@ -777,8 +777,8 @@ def _gmres_core_dd(A, b, x0, M, spec: SolverSpec,
     n = b.shape[0]
     r, bnrm_inv, tol_eff, nrm0 = _init_dd(A, b, x0, spec)
     rh = new_rhistory(spec, nrm0, jnp.float64)
-    one = _one()
-    zero = q.dd(jnp.asarray(0.0, jnp.float64))
+    one = _one(b.dtype)
+    zero = q.dd(jnp.asarray(0.0, b.dtype))
     bdd = q.dd(b)
 
     def inner_step(carry):
@@ -814,7 +814,7 @@ def _gmres_core_dd(A, b, x0, M, spec: SolverSpec,
         aa = DD(H.hi[i, i], H.lo[i, i])
         bb = DD(H.hi[i + 1, i], H.lo[i + 1, i])
         rr = q.sqrt(q.add(q.mul(aa, aa), q.mul(bb, bb)))
-        rr = q.where(_z(rr), q.dd(jnp.asarray(1.0e-17, jnp.float64)), rr)
+        rr = q.where(_z(rr), q.dd(jnp.asarray(1.0e-17, b.dtype)), rr)
         ci, si = q.div(aa, rr), q.div(bb, rr)
         cs2, sn2 = _set1(cs, i, ci), _set1(sn, i, si)
         svi = _get1(svec, i)
@@ -835,12 +835,12 @@ def _gmres_core_dd(A, b, x0, M, spec: SolverSpec,
         x, r, it, nrm, rh = s["x"], s["r"], s["it"], s["nrm"], s["rh"]
         rnorm = q.nrm2(r, spec.axis_name)
         rinv = q.div(one, _safe(rnorm, _z(rnorm)))
-        V = _setrow(_zeros((m + 1, n)), 0, q.scal(rinv, r))
-        Z = _zeros((m if flexible else 1, n))
-        H = _zeros((m + 1, m))
-        cs = _zeros(m + 1)
-        sn = _zeros(m + 1)
-        svec = _set1(_zeros(m + 2), 0, rnorm)
+        V = _setrow(_zeros((m + 1, n), b.dtype), 0, q.scal(rinv, r))
+        Z = _zeros((m if flexible else 1, n), b.dtype)
+        H = _zeros((m + 1, m), b.dtype)
+        cs = _zeros(m + 1, b.dtype)
+        sn = _zeros(m + 1, b.dtype)
+        svec = _set1(_zeros(m + 2, b.dtype), 0, rnorm)
 
         carry = (jnp.asarray(0), it, V, Z, H, cs, sn, svec, nrm, rh)
         carry = jax.lax.while_loop(inner_cond, inner_step, carry)
@@ -848,13 +848,13 @@ def _gmres_core_dd(A, b, x0, M, spec: SolverSpec,
 
         # DD back-substitution on the padded upper-triangular H
         valid = jnp.arange(m) < i_fin
-        y = _zeros(m)
+        y = _zeros(m, b.dtype)
 
         def back(kk, y):
             i = m - 1 - kk
             prods = q.mul(DD(H.hi[i, :], H.lo[i, :]), y)
             idx = jnp.arange(m)
-            ssum = q._dd_sum(q.where(idx > i, prods, _zeros(m)))
+            ssum = q._dd_sum(q.where(idx > i, prods, _zeros(m, b.dtype)))
             hii = DD(H.hi[i, i], H.lo[i, i])
             hii = q.where(valid[i], hii, one)
             yi = q.div(q.sub(_get1(svec, i), ssum), hii)
@@ -866,7 +866,7 @@ def _gmres_core_dd(A, b, x0, M, spec: SolverSpec,
             src = _row(Z, i) if flexible else _row(V, i)
             return q.axpy(_get1(y, i), src, dx)
         dx = jax.lax.fori_loop(0, m if flexible else m, accum,
-                               _zeros(n))
+                               _zeros(n, b.dtype))
         if not flexible:
             dx = _psolve_dd(M, dx)
         x = q.add(x, dx)

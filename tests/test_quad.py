@@ -98,3 +98,29 @@ def test_quad_gmres_beats_double_accuracy():
     tr = np.linalg.norm(b - np.asarray(ad) @ np.asarray(rq.x)) / np.linalg.norm(b)
     assert rq.status == lis_tpu.LIS_SUCCESS
     assert tr < 5e-15, tr
+
+
+def test_df_matches_double_accuracy():
+    """-f df (f32-pair double-float, the TPU-native extended precision):
+    solution accuracy matches -f double on the same problem."""
+    a = poisson2d(20, 20)
+    xs = np.linspace(1, 2, 400)
+    b = np.asarray(a.to_dense() @ xs)
+    rd = solve(a, b, options="-i cg -f double -tol 1e-10")
+    rf = solve(a, b, options="-i cg -f df -tol 1e-10")
+    ed = np.abs(np.asarray(rd.x) - xs).max()
+    ef = np.abs(np.asarray(rf.x) - xs).max()
+    assert rf.status == lis_tpu.LIS_SUCCESS
+    assert ef < 10 * max(ed, 1e-12), (ef, ed)
+
+
+def test_single_and_switch_df():
+    a = poisson2d(20, 20)
+    xs = np.linspace(1, 2, 400)
+    b = np.asarray(a.to_dense() @ xs)
+    rs = solve(a, b, options="-i cg -f single -tol 1e-7")
+    assert rs.status == lis_tpu.LIS_SUCCESS
+    assert np.asarray(rs.x).dtype == np.float64  # driver returns host dtype
+    rsw = solve(a, b, options="-i cg -f switch_df -tol 1e-10")
+    assert rsw.status == lis_tpu.LIS_SUCCESS
+    assert np.abs(np.asarray(rsw.x) - xs).max() < 1e-9
