@@ -203,11 +203,21 @@ def distribute_csr(A, mesh: Mesh, halo: str = "auto") -> DistCSRMatrix:
     return jax.tree.map(lambda a: jax.device_put(a, sh), dist)
 
 
-def undistribute_csr(A: DistCSRMatrix):
+def undistribute_csr(A):
     """Collect a sharded matrix back into a host CSRMatrix (inverse of
-    distribute_csr; the reference's lis_matrix_merge direction)."""
+    distribute_csr/dia; the reference's lis_matrix_merge direction)."""
     import scipy.sparse as sp
     from lis_tpu.matrix.csr import CSRMatrix
+    if isinstance(A, DistDIAMatrix):
+        from lis_tpu.matrix.dia import DIAMatrix
+        from lis_tpu.matrix.convert import convert_matrix
+        nnd = len(A.offsets)
+        val = host(A.value).reshape(A.nprocs, nnd, A.nlocal)
+        val = val.transpose(1, 0, 2).reshape(nnd, A.gn_pad)[:, :A.gn]
+        nnz = int(np.count_nonzero(val))
+        D = DIAMatrix(value=jnp.asarray(val), nrows=A.gn, ncols=A.gn,
+                      nnz=nnz, offsets=A.offsets)
+        return convert_matrix(D, "csr")
     val = host(A.value)
     idx = host(A.index).astype(np.int64)
     rid = host(A.row_ids).astype(np.int64)
@@ -326,19 +336,137 @@ def _dist_execute(A, b, x0, M, aux, aux_spec, mesh, spec):
     return _shard_map(body, mesh, in_specs, out_specs)(A, b, x0, M, aux)
 
 
-def make_dist_jacobi(A: DistCSRMatrix, mesh: Mesh):
+def make_dist_jacobi(A, mesh: Mesh):
     """Jacobi preconditioner with a sharded dinv (computed on host)."""
     from lis_tpu.precon.jacobi import JacobiPrecon
-    val = host(A.value)
-    idx = host(A.index).astype(np.int64)
-    rid = host(A.row_ids).astype(np.int64)
-    p, nl = A.nprocs, A.nlocal
-    shard = np.repeat(np.arange(p), len(val) // p)
-    grow = shard * nl + rid
-    d = np.zeros(A.gn_pad, dtype=val.dtype)
-    isdiag = grow == idx
-    np.add.at(d, grow[isdiag], val[isdiag])
+    g = undistribute_csr(A)
+    d = np.zeros(A.gn_pad, dtype=np.asarray(g.value).dtype)
+    d[: A.gn] = np.asarray(g.get_diagonal())
     with np.errstate(divide="ignore"):
         dinv = np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 1.0)
     return JacobiPrecon(dinv=jax.device_put(
         jnp.asarray(dinv), NamedSharding(mesh, P(AXIS))))
+
+
+@dataclasses.dataclass(frozen=True)
+class DistDIAMatrix(SparseMatrix):
+    """Block-row sharded DIA — the TPU-fast distributed operator.
+
+    Per shard the local view is (nnd, nlocal) diagonal streams; the halo is
+    the two ring-neighbor slabs of width hw = max|offset| exchanged with
+    ppermute, and each diagonal contributes by a dynamic slice of the
+    extended local x — no gathers anywhere (random gathers run at <1 GB/s
+    on TPU; diagonal streams run at the HBM roofline).  Out-of-range
+    positions carry zero values (the DIA convention), so wrapped ring slabs
+    at the global edges are harmlessly multiplied away."""
+    value: jax.Array          # (p·nnd, nlocal)
+    offsets: tuple            # static: global diagonal offsets
+    nlocal: int
+    gn: int
+    gn_pad: int
+    nprocs: int
+    hw: int                   # halo width = max(|off|) (≤ nlocal)
+
+    def _exchange(self, x_local):
+        p, hw = self.nprocs, self.hw
+        perm_up = [(i, (i + 1) % p) for i in range(p)]
+        perm_dn = [(i, (i - 1) % p) for i in range(p)]
+        from_left = jax.lax.ppermute(x_local[-hw:], AXIS, perm_up)
+        from_right = jax.lax.ppermute(x_local[:hw], AXIS, perm_dn)
+        return jnp.concatenate([from_left, x_local, from_right])
+
+    def matvec(self, x_local):
+        xe = self._exchange(x_local)
+        y = jnp.zeros(self.nlocal, dtype=jnp.result_type(self.value.dtype,
+                                                         x_local.dtype))
+        for k, off in enumerate(self.offsets):
+            y = y + self.value[k] * jax.lax.dynamic_slice(
+                xe, (self.hw + off,), (self.nlocal,))
+        return y
+
+    def matvech(self, x_local):
+        # Aᵀ[i, i-o] = value[k, i-o]: exchanged value slabs realign the
+        # diagonal streams across the shard boundary
+        v = jnp.conj(self.value) if jnp.iscomplexobj(self.value) \
+            else self.value
+        xe = self._exchange(x_local)
+        p, hw, nl = self.nprocs, self.hw, self.nlocal
+        perm_up = [(i, (i + 1) % p) for i in range(p)]
+        perm_dn = [(i, (i - 1) % p) for i in range(p)]
+        vl = jax.lax.ppermute(v[:, -hw:], AXIS, perm_up)
+        vr = jax.lax.ppermute(v[:, :hw], AXIS, perm_dn)
+        ve = jnp.concatenate([vl, v, vr], axis=1)   # (nnd, nl + 2hw)
+        y = jnp.zeros(nl, dtype=jnp.result_type(v.dtype, x_local.dtype))
+        for k, off in enumerate(self.offsets):
+            # yᵀ[r] += value[k, r - off] · x[r - off + off_of_value... ]:
+            # contribution of diagonal off to row i-off ⇒ at local row r,
+            # (Aᵀx)[r] += value[k, r-off]·x[r-off]
+            vs = jax.lax.dynamic_slice(ve[k], (hw - off,), (nl,))
+            xs = jax.lax.dynamic_slice(xe, (hw - off,), (nl,))
+            y = y + vs * xs
+        return y
+
+    @property
+    def nrows(self):
+        return self.gn
+
+    @property
+    def ncols(self):
+        return self.gn
+
+    def get_diagonal(self):
+        """LOCAL diagonal slice (inside shard_map)."""
+        k0 = self.offsets.index(0) if 0 in self.offsets else None
+        if k0 is None:
+            return jnp.zeros(self.nlocal, self.value.dtype)
+        return self.value[k0]
+
+
+jax.tree_util.register_pytree_node(
+    DistDIAMatrix,
+    lambda m: ((m.value,),
+               (m.offsets, m.nlocal, m.gn, m.gn_pad, m.nprocs, m.hw)),
+    lambda aux, c: DistDIAMatrix(c[0], *aux))
+
+
+def distribute_dia(A, mesh: Mesh) -> DistDIAMatrix:
+    """Partition a matrix into sharded DIA (the distributed fast path for
+    banded operators)."""
+    from lis_tpu.matrix.convert import convert_matrix
+    D = A if getattr(A, "format_name", None) == "dia" \
+        else convert_matrix(A, "dia")
+    gn = D.nrows
+    p = mesh.shape[AXIS]
+    nlocal = -(-gn // p)
+    gn_pad = p * nlocal
+    offsets = tuple(int(o) for o in D.offsets)
+    hw = max((abs(o) for o in offsets), default=1) or 1
+    if hw > nlocal:
+        raise ValueError(f"bandwidth {hw} exceeds shard size {nlocal}; "
+                         "use distribute_csr with halo='gather'")
+    val = np.zeros((len(offsets), gn_pad), dtype=np.asarray(D.value).dtype)
+    val[:, :gn] = np.asarray(D.value)
+    # (nnd, p, nlocal) -> (p, nnd, nlocal) -> (p·nnd, nlocal)
+    val = val.reshape(len(offsets), p, nlocal).transpose(1, 0, 2)
+    val = val.reshape(p * len(offsets), nlocal)
+    dist = DistDIAMatrix(value=jnp.asarray(val), offsets=offsets,
+                         nlocal=nlocal, gn=gn, gn_pad=gn_pad, nprocs=p,
+                         hw=hw)
+    sh = NamedSharding(mesh, P(AXIS))
+    return jax.tree.map(lambda a: jax.device_put(a, sh), dist)
+
+
+def distribute_matrix(A, mesh: Mesh, halo: str = "auto"):
+    """TPU-first distributed layout choice: banded operators become sharded
+    DIA (stream SpMV over ring halos), everything else block-row CSR."""
+    ptr, index, value = A.to_csr_arrays()
+    gn = A.nrows
+    p = mesh.shape[AXIS]
+    nlocal = -(-gn // p)
+    rows = np.repeat(np.arange(gn, dtype=np.int64), np.diff(ptr))
+    offs = np.unique(index.astype(np.int64) - rows) if len(rows) else []
+    bw = int(np.abs(offs).max()) if len(offs) else 0
+    if (len(offs) and len(offs) <= 512 and len(offs) * gn <= 4 * len(value)
+            and bw <= nlocal):
+        return distribute_dia(A, mesh)
+    return distribute_csr(A, mesh, halo=halo)

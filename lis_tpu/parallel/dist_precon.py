@@ -26,27 +26,26 @@ from lis_tpu.parallel.mesh import AXIS
 
 
 def local_diag_blocks(A) -> list:
-    """Per-shard diagonal blocks of a DistCSRMatrix as host CSRMatrix
-    objects of uniform size (nlocal × nlocal).  Padding rows (beyond the
-    true global size) get an explicit unit diagonal so factors act as
-    identity there."""
-    val = host(A.value)
-    idx = host(A.index).astype(np.int64)
-    rid = host(A.row_ids).astype(np.int64)
+    """Per-shard diagonal blocks of a distributed matrix (CSR or DIA
+    sharding) as host CSRMatrix objects of uniform size (nlocal × nlocal).
+    Padding rows (beyond the true global size) get an explicit unit
+    diagonal so factors act as identity there."""
+    from lis_tpu.parallel.dist import undistribute_csr
+    g = undistribute_csr(A)
+    gp, gi, gv = g.to_csr_arrays()
+    gs = sp.csr_matrix((np.asarray(gv), np.asarray(gi), np.asarray(gp)),
+                       shape=(A.gn, A.gn))
     p, nl, gn = A.nprocs, A.nlocal, A.gn
-    shard = np.repeat(np.arange(p), len(val) // p)
     blocks = []
     for k in range(p):
         lo, hi = k * nl, min((k + 1) * nl, gn)
-        sel = (shard == k) & (val != 0) & (idx >= lo) & (idx < hi)
-        r = rid[sel]
-        c = idx[sel] - lo
-        v = val[sel]
+        m = gs[lo:hi, lo:hi].tocoo()
+        r, c, v = m.row, m.col, m.data
         npad = nl - (hi - lo)
         if npad > 0:
             r = np.concatenate([r, np.arange(hi - lo, nl)])
             c = np.concatenate([c, np.arange(hi - lo, nl)])
-            v = np.concatenate([v, np.ones(npad, dtype=val.dtype)])
+            v = np.concatenate([v, np.ones(npad, dtype=v.dtype)])
         m = sp.coo_matrix((v, (r, c)), shape=(nl, nl)).tocsr()
         m.sort_indices()
         blocks.append(CSRMatrix.from_csr_arrays(m.indptr, m.indices, m.data,
