@@ -41,8 +41,82 @@ class SSORPrecon:
         return trisolve(self.bwd_t, z)
 
 
+@precon_pytree
+class SSORRelaxPrecon:
+    """SSOR applied by Jacobi-relaxed triangular sweeps on split DIA
+    operators — the TPU-native variant.  Exact level-scheduled triangular
+    solves are gather-bound on TPU (<1 GB/s); the reference's own OpenMP
+    path already relaxes cross-thread dependencies
+    (src/matrix/lis_matrix_csr.c:1577-1605), and this extends the same
+    truncated-sweep idea to the whole (DIA-structured) triangle, keeping
+    every op a diagonal stream.  Sweep count: -ssor_sweeps (default 2)."""
+    L: object                 # strict-lower DIA
+    U: object                 # strict-upper DIA
+    wd: jax.Array             # (D/ω)⁻¹
+    dtil: jax.Array           # D/ω
+    nsweeps: int
+    _static = ("nsweeps",)
+
+    def _fwd(self, r):
+        y = r * self.wd
+        for _ in range(self.nsweeps):
+            y = (r - self.L.matvec(y)) * self.wd
+        return y
+
+    def _bwd(self, rhs):
+        y = rhs * self.wd
+        for _ in range(self.nsweeps):
+            y = (rhs - self.U.matvec(y)) * self.wd
+        return y
+
+    def psolve(self, r):
+        return self._bwd(self._fwd(r) * self.dtil)
+
+    def psolveh(self, r):
+        # Mᵀ = (I + ωUᵀD⁻¹)ᵀ-order: solve (I + ωUᵀD⁻¹) y = r, then
+        # (D/ω + Lᵀ) z = y — the transposed triangles in the right order
+        y = r
+        for _ in range(self.nsweeps):
+            y = r - self.U.matvech(self.wd * y)
+        z = y * self.wd
+        for _ in range(self.nsweeps):
+            z = (y - self.L.matvech(z)) * self.wd
+        return z
+
+
+def _split_dia(A):
+    """Split a DIA matrix into strict-lower / strict-upper DIA + diagonal."""
+    from lis_tpu.matrix.dia import DIAMatrix
+    offs = tuple(int(o) for o in A.offsets)
+    v = np.asarray(A.value)
+    n = A.nrows
+    low = [k for k, o in enumerate(offs) if o < 0]
+    up = [k for k, o in enumerate(offs) if o > 0]
+    dk = [k for k, o in enumerate(offs) if o == 0]
+    d = v[dk[0]].copy() if dk else np.zeros(n, v.dtype)
+
+    def sub(ks):
+        if not ks:
+            return DIAMatrix(value=jnp.zeros((1, n), v.dtype), nrows=n,
+                             ncols=n, nnz=0, offsets=(0,))
+        vv = v[ks]
+        return DIAMatrix(value=jnp.asarray(vv), nrows=n, ncols=n,
+                         nnz=int(np.count_nonzero(vv)),
+                         offsets=tuple(offs[k] for k in ks))
+    return sub(low), sub(up), d
+
+
 @register_precon("ssor")
 def create_ssor(A, opts):
+    if getattr(A, "format_name", None) == "dia":
+        w = getattr(opts, "ssor_omega", 1.0)
+        ns = getattr(opts, "ssor_sweeps", 2)
+        L, U, d = _split_dia(A)
+        with np.errstate(divide="ignore"):
+            wd = np.where(d != 0, w / np.where(d != 0, d, 1), 1.0)
+        dtil = np.where(wd != 0, 1.0 / wd, 1.0)
+        return SSORRelaxPrecon(L=L, U=U, wd=jnp.asarray(wd),
+                               dtil=jnp.asarray(dtil), nsweeps=ns)
     w = getattr(opts, "ssor_omega", 1.0)
     s = split_matrix(A)
     n = A.nrows

@@ -70,6 +70,8 @@ class SolverOptions:
     m: int = 3                      # -m / -is_m
     omega: float = 1.9              # -omega (SOR)
     ssor_omega: float = 1.0         # -ssor_omega
+    ssor_sweeps: int = 2            # -ssor_sweeps (relaxed-sweep count on
+                                    #  the TPU DIA fast path; extension)
     ilu_fill: int = 0               # -ilu_fill
     ilu_relax: float = 1.0          # -ilu_relax
     is_alpha: float = 1.0           # -is_alpha
@@ -213,6 +215,7 @@ _SOLVER_ACTIONS = {
     "-scale": _set_enum("scale", SCALE_NAMES),
     "-conv_cond": _set_enum("conv_cond", CONV_COND_NAMES),
     "-ssor_omega": _set_float("ssor_omega"),
+    "-ssor_sweeps": _set_int("ssor_sweeps"),
     "-ilu_fill": _set_int("ilu_fill"),
     "-ilu_relax": _set_float("ilu_relax"),
     "-is_alpha": _set_float("is_alpha"),
