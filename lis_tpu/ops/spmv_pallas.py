@@ -14,8 +14,14 @@ window (block + halo rows) is DMA'd manually per block since overlapping
 windows cannot be expressed as a BlockSpec.
 
 The XLA-fused jnp path (lis_tpu.matrix.dia) already reaches the HBM
-roofline on v5e; this kernel is the explicitly-scheduled variant for
+roofline on v5e (measured 810 GB/s = 99% of the 819 GB/s spec at 96^3,
+27 diagonals, f32); this kernel is the explicitly-scheduled variant for
 comparison and for fusing further work into the block loop.
+
+STATUS: experimental — the manual x-window DMA pattern triggers a Mosaic
+"failed to legalize func.return" AOT error (and can crash the worker) on
+remote-compile v5e environments; the jnp path is the product path and is
+what bench.py measures.
 """
 
 from __future__ import annotations
@@ -37,8 +43,11 @@ def _shifted(win_ref, row0: int, q: int, r: int, rows: int):
     a = win_ref[pl.ds(row0 + q, rows), :]
     b = win_ref[pl.ds(row0 + q + 1, rows), :]
     # want out[l] = in[(l+r)%128]; pltpu.roll(x, s)[l] = x[(l-s)%128]
-    ra = pltpu.roll(a, LANES - r, axis=1)
-    rb = pltpu.roll(b, LANES - r, axis=1)
+    # keep the (static) shift i32: under jax_enable_x64 a python int traces
+    # as i64, which tpu.dynamic_rotate rejects
+    shift = jnp.int32(LANES - r)
+    ra = pltpu.roll(a, shift, axis=1)
+    rb = pltpu.roll(b, shift, axis=1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
     return jnp.where(lane < LANES - r, ra, rb)
 
