@@ -83,6 +83,13 @@ def gesolve(A, B, options=None, x0=None, **overrides) -> EsolveResult:
         A = convert_matrix(A, _STORAGE_BY_ID[opts.estorage], **kw)
         if B is not None:
             B = convert_matrix(B, _STORAGE_BY_ID[opts.estorage], **kw)
+    else:
+        # TPU-first default: banded operators iterate in DIA (see
+        # lis_tpu.solvers.driver.auto_storage)
+        from lis_tpu.solvers.driver import auto_storage
+        A = auto_storage(A)
+        if B is not None:
+            B = auto_storage(B)
 
     n = A.nrows
     if x0 is None:
