@@ -19,6 +19,8 @@ import jax
 import numpy as np
 import scipy.sparse as sp
 
+import jax.numpy as jnp
+
 from lis_tpu.ops.trisolve import TriSolvePlan, make_plan, trisolve
 from lis_tpu.precon.base import precon_pytree, register_precon
 
@@ -211,10 +213,91 @@ def _plans_from_lu(lp, li, lv, up, ui, uv, udiag, n, shape):
                      lower_t=lower_t, upper_t=upper_t)
 
 
+@precon_pytree
+class ILUDiaPrecon:
+    """ILU(0) factors of a DIA-structured matrix, applied by Jacobi-relaxed
+    sweeps of diagonal streams — the TPU fast path (level-scheduled
+    triangular solves are gather-bound; the reference's own OpenMP
+    tri-solve already relaxes cross-thread dependencies,
+    src/matrix/lis_matrix_csr.c:1577-1605).  ILU(0) preserves the sparsity
+    pattern, so the factors of a DIA matrix are DIA with the same offsets.
+    Sweep count: -ssor_sweeps (shared knob, default 2)."""
+    L: object                 # strict-lower DIA (unit diagonal implied)
+    U: object                 # strict-upper DIA
+    udinv: jax.Array          # 1 / diag(U)
+    nsweeps: int
+    _static = ("nsweeps",)
+
+    def psolve(self, r):
+        y = r
+        for _ in range(self.nsweeps):
+            y = r - self.L.matvec(y)
+        z = y * self.udinv
+        for _ in range(self.nsweeps):
+            z = (y - self.U.matvec(z)) * self.udinv
+        return z
+
+    def psolveh(self, r):
+        # (LU)ᴴ = UᴴLᴴ: solve Uᴴw = r then Lᴴz = w
+        ud = jnp.conj(self.udinv) if jnp.iscomplexobj(self.udinv)             else self.udinv
+        w = r * ud
+        for _ in range(self.nsweeps):
+            w = (r - self.U.matvech(w)) * ud
+        z = w
+        for _ in range(self.nsweeps):
+            z = w - self.L.matvech(z)
+        return z
+
+
+def _dia_from_csr(ptr, index, value, n):
+    """(ptr,index,value) -> (strict-lower DIA, strict-upper DIA, diag)."""
+    from lis_tpu.matrix.dia import DIAMatrix
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(ptr))
+    offs_all = index.astype(np.int64) - rows
+    diag = np.zeros(n, dtype=value.dtype)
+    isd = offs_all == 0
+    np.add.at(diag, rows[isd], value[isd])
+
+    def side(mask):
+        offs = np.unique(offs_all[mask])
+        v = np.zeros((max(len(offs), 1), n), dtype=value.dtype)
+        pos = {o: k for k, o in enumerate(offs)}
+        for r, o, val in zip(rows[mask], offs_all[mask], value[mask]):
+            v[pos[o], r] += val
+        return DIAMatrix(value=jnp.asarray(v), nrows=n, ncols=n,
+                         nnz=int(np.count_nonzero(v)),
+                         offsets=tuple(int(o) for o in offs) or (0,))
+    return side(offs_all < 0), side(offs_all > 0), diag
+
+
 @register_precon("ilu")
 def create_iluk(A, opts):
     ptr, index, value = A.to_csr_arrays()
     fill = getattr(opts, "ilu_fill", 0)
+    if getattr(A, "format_name", None) == "dia" and fill == 0             and not np.iscomplexobj(value):
+        # factor on host (pattern preserved => DIA factors), apply by sweeps
+        from lis_tpu import _native
+        n = A.nrows
+        out = _native.iluk_factor(ptr, index, value, 0)
+        if out is not None:
+            fp, fi, fv = out[0], out[1], out[2]
+        else:
+            rows_val = _factor_iluk(ptr, index, value, n, 0)
+            fi, fv, fp = [], [], [0]
+            for i in range(n):
+                for j in sorted(rows_val[i]):
+                    fi.append(j)
+                    fv.append(rows_val[i][j])
+                fp.append(len(fi))
+            fp = np.asarray(fp, np.int32)
+            fi = np.asarray(fi, np.int32)
+            fv = np.asarray(fv)
+        L, U, d = _dia_from_csr(np.asarray(fp), np.asarray(fi),
+                                np.asarray(fv), n)
+        with np.errstate(divide="ignore"):
+            udinv = np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 1.0)
+        return ILUDiaPrecon(L=L, U=U, udinv=jnp.asarray(udinv),
+                            nsweeps=getattr(opts, "ssor_sweeps", 2))
     if not np.iscomplexobj(value):
         from lis_tpu import _native
         out = _native.iluk_factor(ptr, index, value, fill)
