@@ -45,16 +45,33 @@ def run_sweep(A0, iters: int, formats=None, dense_ok=True):
             print(f"{fmt:4s}: conversion failed ({e})")
             continue
 
-        @jax.jit
-        def loop(v, A=A):
+        # two loop lengths differenced: cancels the fixed dispatch cost
+        # (which can dominate through a remote-chip relay) — same
+        # methodology as bench.py
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def loop(v, A, k):
             def body(_, vv):
                 return A.matvec(vv) * (1.0 / 4.0)
-            return jnp.sum(jax.lax.fori_loop(0, iters, body, v))
+            return jnp.sum(jax.lax.fori_loop(0, k, body, v))
 
-        _sync(loop(x))                     # compile
-        t0 = time.perf_counter()
-        _sync(loop(x))
-        t = (time.perf_counter() - t0) / iters
+        la, lb = max(1, iters // 10), iters + max(1, iters // 10)
+        _sync(loop(x, A, k=la))            # compile
+        _sync(loop(x, A, k=lb))
+
+        def best(k):
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _sync(loop(x, A, k=k))
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        t = (best(lb) - best(la)) / (lb - la)
+        if t <= 0:
+            # below timer noise — bound by the whole-loop time instead
+            t = best(lb) / lb
         mflops = 2.0 * nnz / t / 1e6
         results[fmt] = mflops
         print(f"format = {fmt.upper():4s} ({FORMATS.index(fmt)+1:2d}), "

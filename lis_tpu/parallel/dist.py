@@ -304,6 +304,16 @@ def dist_solve(A: DistCSRMatrix, b, mesh: Mesh, options=None, M=None,
             "distributed gs/sor need block-local triangular plans; "
             "use jacobi or a Krylov solver")
 
+    if opts.precision == "single":
+        # TPU-native f32 distributed solve (true residual plateaus ~1e-7)
+        cast = lambda t: jax.tree.map(
+            lambda a: a.astype(jnp.float32)
+            if hasattr(a, "dtype") and a.dtype == jnp.float64 else a, t)
+        A, b, x0, M, aux = cast((A, b, x0, M, aux))
+    elif opts.precision != "double":
+        raise NotImplementedError(
+            f"distributed -f {opts.precision}: supported are double, single")
+
     t0 = C.wtime()
     out = _dist_execute(A, b, x0, M, aux, aux_spec, mesh, spec)
     x = out.x.block_until_ready()

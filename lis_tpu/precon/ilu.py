@@ -261,9 +261,9 @@ def _dia_from_csr(ptr, index, value, n):
     def side(mask):
         offs = np.unique(offs_all[mask])
         v = np.zeros((max(len(offs), 1), n), dtype=value.dtype)
-        pos = {o: k for k, o in enumerate(offs)}
-        for r, o, val in zip(rows[mask], offs_all[mask], value[mask]):
-            v[pos[o], r] += val
+        if mask.any():
+            pos = np.searchsorted(offs, offs_all[mask])
+            np.add.at(v, (pos, rows[mask]), value[mask])
         return DIAMatrix(value=jnp.asarray(v), nrows=n, ncols=n,
                          nnz=int(np.count_nonzero(v)),
                          offsets=tuple(int(o) for o in offs) or (0,))
