@@ -34,14 +34,7 @@ def main(argv=None):
     options = " ".join(argv[opt_start:])
 
     lis_tpu.initialize(argv)
-    if path.endswith((".rua", ".rsa", ".hb", ".rb")):
-        A = lis_tpu.read_harwell_boeing(path)
-        b = None
-    elif path.endswith(".lis"):
-        A, b, _ = lis_tpu.read_lis_file(path)
-    else:
-        A = read_matrix_market(path)
-        b = None
+    A, b, _ = lis_tpu.lis_input(path)   # MM / Lis / HB auto-detected
 
     n = A.nrows
     if rhs == "1":
