@@ -304,15 +304,55 @@ def dist_solve(A: DistCSRMatrix, b, mesh: Mesh, options=None, M=None,
             "distributed gs/sor need block-local triangular plans; "
             "use jacobi or a Krylov solver")
 
+    cast32 = lambda t: jax.tree.map(
+        lambda a: a.astype(jnp.float32)
+        if hasattr(a, "dtype") and a.dtype == jnp.float64 else a, t)
     if opts.precision == "single":
         # TPU-native f32 distributed solve (true residual plateaus ~1e-7)
-        cast = lambda t: jax.tree.map(
-            lambda a: a.astype(jnp.float32)
-            if hasattr(a, "dtype") and a.dtype == jnp.float64 else a, t)
-        A, b, x0, M, aux = cast((A, b, x0, M, aux))
+        A, b, x0, M, aux = cast32((A, b, x0, M, aux))
+    elif opts.precision in ("df", "switch_df", "quad", "switch"):
+        from lis_tpu.core.ddreal import DD
+        from lis_tpu.solvers.base import SOLVER_FNS as _FNS
+        if not isinstance(A, DistDIAMatrix):
+            raise NotImplementedError(
+                "distributed DD precision needs a DIA-sharded matrix "
+                "(distribute_matrix picks it for banded operators)")
+        qname = opts.solver + "_quad"
+        if qname not in _FNS:
+            raise NotImplementedError(f"no quad variant of {opts.solver!r}")
+        limb = jnp.float32 if opts.precision in ("df", "switch_df") else None
+        A_dd = make_dist_dd_operator(A, mesh, limb=limb)
+        b64 = b
+        if limb is not None:
+            A, b, x0, M, aux = cast32((A, b, x0, M, aux))
+            b_dd = DD(b, (b64 - b.astype(b64.dtype)).astype(jnp.float32))
+        else:
+            b_dd = b
+        if opts.precision in ("switch", "switch_df"):
+            sw_tol = (opts.switch_tol if opts.precision == "switch"
+                      else max(opts.switch_tol, 1.0e-6))
+            sw_maxiter = (opts.switch_maxiter if opts.switch_maxiter > 0
+                          else opts.maxiter)
+            dspec = spec._replace(tol=sw_tol, maxiter=sw_maxiter)
+            out1 = _dist_execute(A, b, x0, M, aux, aux_spec, mesh, dspec)
+            x0 = out1.x
+        t0 = C.wtime()
+        out = _dist_execute(A_dd, b_dd, x0, M, aux, aux_spec, mesh,
+                            spec._replace(solver=qname))
+        x = out.x.block_until_ready()
+        elapsed = C.wtime() - t0
+        iters = int(out.iters)
+        import numpy as _np
+        return SolveResult(x=x[: A_dd.gn] if A_dd.gn_pad != A_dd.gn else x,
+                           status=int(out.status), iters=iters,
+                           resid=float(out.resid), true_resid=float("nan"),
+                           rhistory=_np.asarray(out.rhistory)[: iters + 1],
+                           time=elapsed, itime=elapsed, ptime=0.0,
+                           options=opts)
     elif opts.precision != "double":
         raise NotImplementedError(
-            f"distributed -f {opts.precision}: supported are double, single")
+            f"distributed -f {opts.precision}: supported are double, "
+            "single, df, switch_df, quad, switch")
 
     t0 = C.wtime()
     out = _dist_execute(A, b, x0, M, aux, aux_spec, mesh, spec)
@@ -338,7 +378,8 @@ def _dist_execute(A, b, x0, M, aux, aux_spec, mesh, spec):
                                        aux=aux_loc)
 
     in_specs = (jax.tree.map(lambda _: P(AXIS), A),
-                P(AXIS), P(AXIS),
+                jax.tree.map(lambda _: P(AXIS), b),
+                jax.tree.map(lambda _: P(AXIS), x0),
                 jax.tree.map(lambda _: P(AXIS), M),
                 jax.tree.map(lambda _: aux_spec, aux))
     out_specs = SolverOutput(x=P(AXIS), status=P(), iters=P(),
@@ -480,3 +521,84 @@ def distribute_matrix(A, mesh: Mesh, halo: str = "auto"):
             and bw <= nlocal):
         return distribute_dia(A, mesh)
     return distribute_csr(A, mesh, halo=halo)
+
+
+@dataclasses.dataclass(frozen=True)
+class DistDIADDOperator:
+    """DD (limb-pair) matvec over a block-row sharded DIA operator — the
+    distributed double-float path: x's hi and lo limbs ride the same ring
+    halos, matrix values are f32 pairs, and products accumulate through
+    two_prod error-free transforms.  Reductions inside the DD solvers go
+    through ddreal._dd_sum's axis_name branch (the analogue of the
+    reference's custom quad MPI_Op, lis_precision_vec.c:778)."""
+    value: jax.Array          # (p·nnd, nlocal) hi limbs
+    value_lo: jax.Array       # (p·nnd, nlocal) lo limbs
+    offsets: tuple
+    nlocal: int
+    gn: int
+    gn_pad: int
+    nprocs: int
+    hw: int
+
+    def _exchange(self, v):
+        p, hw = self.nprocs, self.hw
+        perm_up = [(i, (i + 1) % p) for i in range(p)]
+        perm_dn = [(i, (i - 1) % p) for i in range(p)]
+        left = jax.lax.ppermute(v[..., -hw:], AXIS, perm_up)
+        right = jax.lax.ppermute(v[..., :hw], AXIS, perm_dn)
+        return jnp.concatenate([left, v, right], axis=-1)
+
+    def matvec(self, x):
+        from lis_tpu.core import ddreal as q
+        xh = self._exchange(x.hi)
+        xl = self._exchange(x.lo)
+        nl, hw = self.nlocal, self.hw
+        acc = q.DD(jnp.zeros(nl, x.hi.dtype), jnp.zeros(nl, x.hi.dtype))
+        for k, off in enumerate(self.offsets):
+            sh = jax.lax.dynamic_slice(xh, (hw + off,), (nl,))
+            sl = jax.lax.dynamic_slice(xl, (hw + off,), (nl,))
+            ph, pe = q.two_prod(self.value[k], sh)
+            pe = pe + self.value[k] * sl + self.value_lo[k] * sh
+            acc = q.add(acc, q.DD(ph, pe))
+        return acc
+
+    def matvech(self, x):
+        from lis_tpu.core import ddreal as q
+        xh = self._exchange(x.hi)
+        xl = self._exchange(x.lo)
+        vh = self._exchange(self.value)
+        vl = self._exchange(self.value_lo)
+        nl, hw = self.nlocal, self.hw
+        acc = q.DD(jnp.zeros(nl, x.hi.dtype), jnp.zeros(nl, x.hi.dtype))
+        for k, off in enumerate(self.offsets):
+            vs = jax.lax.dynamic_slice(vh[k], (hw - off,), (nl,))
+            vls = jax.lax.dynamic_slice(vl[k], (hw - off,), (nl,))
+            xs = jax.lax.dynamic_slice(xh, (hw - off,), (nl,))
+            xls = jax.lax.dynamic_slice(xl, (hw - off,), (nl,))
+            ph, pe = q.two_prod(vs, xs)
+            pe = pe + vs * xls + vls * xs
+            acc = q.add(acc, q.DD(ph, pe))
+        return acc
+
+
+jax.tree_util.register_pytree_node(
+    DistDIADDOperator,
+    lambda m: ((m.value, m.value_lo),
+               (m.offsets, m.nlocal, m.gn, m.gn_pad, m.nprocs, m.hw)),
+    lambda aux, c: DistDIADDOperator(c[0], c[1], *aux))
+
+
+def make_dist_dd_operator(A: DistDIAMatrix, mesh: Mesh,
+                          limb=None) -> DistDIADDOperator:
+    v64 = host(A.value)
+    if limb is not None:
+        vhi = v64.astype(np.float32)
+        vlo = (v64 - vhi.astype(v64.dtype)).astype(np.float32)
+    else:
+        vhi, vlo = v64, np.zeros_like(v64)
+    sh = NamedSharding(mesh, P(AXIS))
+    return DistDIADDOperator(
+        value=jax.device_put(jnp.asarray(vhi), sh),
+        value_lo=jax.device_put(jnp.asarray(vlo), sh),
+        offsets=A.offsets, nlocal=A.nlocal, gn=A.gn, gn_pad=A.gn_pad,
+        nprocs=A.nprocs, hw=A.hw)

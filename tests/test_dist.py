@@ -160,3 +160,18 @@ def test_dist_dia_matvec_and_solve(mesh):
     r = dist_solve(Ad, b, mesh, options="-i bicg -p ilu -tol 1e-10")
     assert r.status == lis_tpu.LIS_SUCCESS
     assert _tr(ad, b, r.x) < 1e-9
+
+
+@pytest.mark.parametrize("prec,bound", [("single", 1e-5), ("df", 1e-9),
+                                        ("switch_df", 1e-12)])
+def test_dist_precision_modes(mesh, prec, bound):
+    """Distributed -f single / df / switch_df over sharded DIA: limb pairs
+    ride the ring halos, DD reductions psum through the compensated tree."""
+    from lis_tpu.parallel.dist import distribute_matrix
+    a = poisson2d(20, 20)
+    xs = np.linspace(1, 2, 400)
+    b = np.asarray(a.to_dense() @ xs)
+    Ad = distribute_matrix(a, mesh)
+    r = dist_solve(Ad, b, mesh, options=f"-i cg -p jacobi -tol 1e-10 -f {prec}")
+    assert r.status == lis_tpu.LIS_SUCCESS
+    assert np.abs(np.asarray(r.x) - xs).max() < bound
