@@ -32,12 +32,22 @@ def _result(evalue, x, iters, resid, status, rh):
                         rhistory=np.asarray(rh))
 
 
+def _inner_precision(opts):
+    """-ef {quad,df,...} runs the INNER Krylov solves in extended precision
+    (matching the reference, whose esolver quad registry is empty —
+    lis_esolver.c:69-72 — and whose quad support routes through the inner
+    lis_solve)."""
+    p = getattr(opts, "precision", "double")
+    return p if p != "double" else opts.inner.precision
+
+
 def _bsolve(B, rhs, opts):
     """Solve B y = rhs for the generalized reduction."""
     from lis_tpu.solvers.driver import solve
     r = solve(B, rhs, options=None,
               solver=opts.inner.solver, precon=opts.inner.precon,
-              maxiter=opts.inner.maxiter, tol=max(opts.tol * 1e-2, 1e-14))
+              maxiter=opts.inner.maxiter, tol=max(opts.tol * 1e-2, 1e-14),
+              precision=_inner_precision(opts))
     return r.x
 
 
@@ -77,7 +87,8 @@ def _shift_solve(A, B, sigma, rhs, opts):
         As = B.axpy(-sigma, A)                # A + (-σ)·B
     r = solve(As, rhs, options=None,
               solver=opts.inner.solver, precon=opts.inner.precon,
-              maxiter=opts.inner.maxiter, tol=opts.inner.tol)
+              maxiter=opts.inner.maxiter, tol=opts.inner.tol,
+              precision=_inner_precision(opts))
     return r.x
 
 
