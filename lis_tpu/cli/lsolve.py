@@ -27,10 +27,12 @@ def main(argv=None):
               "[solution_filename] [rhistory_filename] [options]")
         return 1
     path, rhs = argv[0], argv[1]
-    pos = [a for a in argv[2:] if not a.startswith("-")][:2]
     opt_start = 2
     while opt_start < len(argv) and not argv[opt_start].startswith("-"):
         opt_start += 1
+    # positional filenames stop at the first option token — option VALUES
+    # are not filenames
+    pos = argv[2:opt_start][:2]
     options = " ".join(argv[opt_start:])
 
     lis_tpu.initialize(argv)
@@ -39,10 +41,14 @@ def main(argv=None):
     n = A.nrows
     if rhs == "1":
         b = jnp.ones(n)
-    elif rhs == "2" or b is None:
+    elif rhs == "2":
         b = A.matvec(jnp.ones(n))
-    elif rhs not in ("0",):
-        b = read_vector_mm(rhs)
+    elif rhs == "0":
+        if b is None:                   # no rhs bundled in the file
+            b = A.matvec(jnp.ones(n))
+    else:
+        from lis_tpu.io import lis_input_vector
+        b = lis_input_vector(rhs)
 
     kw = {} if "-print" in options else {"print_": 2}
     res = solve(A, b, options=options or None, **kw)

@@ -92,9 +92,12 @@ def gesolve(A, B, options=None, x0=None, **overrides) -> EsolveResult:
             B = auto_storage(B)
 
     n = A.nrows
-    if x0 is None:
-        x0 = jnp.ones(n, dtype=A.get_diagonal().dtype) if opts.initx_ones \
-            else jnp.ones(n)
+    # -initx_ones true (default) overwrites any given x0 with ones; false
+    # keeps the caller's x0 (the reference's LIS_EOPTIONS_INITGUESS_ONES)
+    if x0 is None or opts.initx_ones:
+        x0 = jnp.ones(n, dtype=A.get_diagonal().dtype)
+    else:
+        x0 = jnp.asarray(x0)
     res = ESOLVER_FNS[base](A, B, x0, opts)
     # -m: report the mode-th eigenpair of a subspace run (lis_esolver.c
     # LIS_EOPTIONS_MODE — etest5 prints the chosen mode)

@@ -42,10 +42,13 @@ def _gen_op(A, B, opts):
         return A.matvec
     from lis_tpu.solvers.driver import solve
 
+    from lis_tpu.esolvers.power import _inner_precision
+
     def op(x):
         z = A.matvec(x)
         return solve(B, z, solver=opts.inner.solver, precon=opts.inner.precon,
-                     maxiter=opts.inner.maxiter, tol=1e-13).x
+                     maxiter=opts.inner.maxiter, tol=1e-13,
+                     precision=_inner_precision(opts)).x
     return op
 
 

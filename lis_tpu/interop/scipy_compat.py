@@ -61,7 +61,9 @@ def _run(solver: str, A, b, x0, rtol, atol, maxiter, M, callback,
          conv_cond: str = "nrm2_b", **extra):
     from lis_tpu.solvers.driver import solve
     m = from_scipy(A)
-    b = np.asarray(b, dtype=np.float64).ravel()
+    b = np.asarray(b).ravel()
+    if not np.iscomplexobj(b):
+        b = b.astype(np.float64)
     # scipy convergence: ||r|| <= max(rtol*||b||, atol).  The driver's
     # nrm2_b criterion is ||r||/||b|| <= tol; fold atol in via the max.
     bnrm = float(np.linalg.norm(b))
@@ -80,6 +82,10 @@ def _run(solver: str, A, b, x0, rtol, atol, maxiter, M, callback,
                 options=opts, M=precon)
     x = np.asarray(res.x)
     if callback is not None:
+        # deviation from scipy: the whole iteration runs inside one
+        # compiled XLA while-loop, so per-iteration callbacks cannot fire;
+        # the callback is invoked once with the final iterate (use
+        # SolveResult.rhistory via lis_tpu.solve for residual traces)
         callback(x)
     info = 0 if res.status == 0 else (res.iters if res.iters else -1)
     return x, info

@@ -23,3 +23,24 @@ def convert_matrix(matrix: SparseMatrix, target: str, **kw) -> SparseMatrix:
         kw.setdefault("bnr", getattr(matrix, "bnr", 2))
         kw.setdefault("bnc", getattr(matrix, "bnc", None))
     return cls.from_csr_arrays(ptr, index, value, matrix.shape, **kw)
+
+
+def diag_profile(A):
+    """(offsets, nnz) of the matrix's diagonal structure — host-side.
+    Shared by the single-chip and distributed DIA-routing policies."""
+    import numpy as np
+    ptr, index, value = A.to_csr_arrays()
+    nnz = len(value)
+    if nnz == 0 or A.nrows != A.ncols:
+        return None, nnz
+    rows = np.repeat(np.arange(A.nrows, dtype=np.int64), np.diff(np.asarray(ptr)))
+    offs = np.unique(np.asarray(index).astype(np.int64) - rows)
+    return offs, nnz
+
+
+def is_banded(A, max_nnd: int = 512, max_fill: float = 4.0):
+    """True when A's nonzeros lie on few enough diagonals for DIA storage
+    (nnd <= max_nnd and padding <= max_fill x nnz)."""
+    offs, nnz = diag_profile(A)
+    return (offs is not None and len(offs) <= max_nnd
+            and len(offs) * A.nrows <= max_fill * nnz)

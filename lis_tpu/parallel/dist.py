@@ -328,6 +328,7 @@ def dist_solve(A: DistCSRMatrix, b, mesh: Mesh, options=None, M=None,
             b_dd = DD(b, (b64 - b.astype(b64.dtype)).astype(jnp.float32))
         else:
             b_dd = b
+        extra_iters = 0
         if opts.precision in ("switch", "switch_df"):
             sw_tol = (opts.switch_tol if opts.precision == "switch"
                       else max(opts.switch_tol, 1.0e-6))
@@ -336,12 +337,13 @@ def dist_solve(A: DistCSRMatrix, b, mesh: Mesh, options=None, M=None,
             dspec = spec._replace(tol=sw_tol, maxiter=sw_maxiter)
             out1 = _dist_execute(A, b, x0, M, aux, aux_spec, mesh, dspec)
             x0 = out1.x
+            extra_iters = int(out1.iters)
         t0 = C.wtime()
         out = _dist_execute(A_dd, b_dd, x0, M, aux, aux_spec, mesh,
                             spec._replace(solver=qname))
         x = out.x.block_until_ready()
         elapsed = C.wtime() - t0
-        iters = int(out.iters)
+        iters = int(out.iters) + extra_iters
         import numpy as _np
         return SolveResult(x=x[: A_dd.gn] if A_dd.gn_pad != A_dd.gn else x,
                            status=int(out.status), iters=iters,
@@ -510,15 +512,11 @@ def distribute_dia(A, mesh: Mesh) -> DistDIAMatrix:
 def distribute_matrix(A, mesh: Mesh, halo: str = "auto"):
     """TPU-first distributed layout choice: banded operators become sharded
     DIA (stream SpMV over ring halos), everything else block-row CSR."""
-    ptr, index, value = A.to_csr_arrays()
-    gn = A.nrows
-    p = mesh.shape[AXIS]
-    nlocal = -(-gn // p)
-    rows = np.repeat(np.arange(gn, dtype=np.int64), np.diff(ptr))
-    offs = np.unique(index.astype(np.int64) - rows) if len(rows) else []
-    bw = int(np.abs(offs).max()) if len(offs) else 0
-    if (len(offs) and len(offs) <= 512 and len(offs) * gn <= 4 * len(value)
-            and bw <= nlocal):
+    from lis_tpu.matrix.convert import diag_profile, is_banded
+    nlocal = -(-A.nrows // mesh.shape[AXIS])
+    offs, _ = diag_profile(A)
+    bw = int(np.abs(offs).max()) if offs is not None and len(offs) else 0
+    if is_banded(A) and 0 < bw <= nlocal:
         return distribute_dia(A, mesh)
     return distribute_csr(A, mesh, halo=halo)
 

@@ -70,18 +70,22 @@ def auto_storage(A):
     most 4x (and nnd <= 512) so memory stays bounded."""
     if A.format_name == "dia":
         return A
+    cached = getattr(A, "_auto_dia", None)
+    if cached is not None:
+        return cached if cached is not False else A
+    from lis_tpu.matrix.convert import is_banded
     try:
-        ptr, index, value = A.to_csr_arrays()
+        banded = is_banded(A)
     except NotImplementedError:
-        return A
-    nnz = len(value)
-    if nnz == 0 or A.nrows != A.ncols:
-        return A
-    rows = np.repeat(np.arange(A.nrows, dtype=np.int64), np.diff(ptr))
-    offs = np.unique(index.astype(np.int64) - rows)
-    if len(offs) <= 512 and len(offs) * A.nrows <= 4 * nnz:
-        return convert_matrix(A, "dia")
-    return A
+        banded = False
+    out = convert_matrix(A, "dia") if banded else False
+    try:
+        # cache on the (frozen) format object so repeated solves with the
+        # same matrix skip the O(nnz) host analysis and re-conversion
+        object.__setattr__(A, "_auto_dia", out)
+    except Exception:
+        pass
+    return out if out is not False else A
 
 
 @dataclass
@@ -229,7 +233,7 @@ def solve(A: SparseMatrix, b, x0=None, options=None, M=None,
             from lis_tpu.core.ddreal import DD
             A_dd = make_dd_operator(A, limb=jnp.float32)
             b64 = b
-            A, b, x0, M = _cast32((A, b, x0, M))
+            A, b, x0, M, aux = _cast32((A, b, x0, M, aux))
             b_dd = DD(b, (b64 - b.astype(b64.dtype)).astype(jnp.float32))
         else:
             A_dd = make_dd_operator(A)
@@ -250,8 +254,8 @@ def solve(A: SparseMatrix, b, x0=None, options=None, M=None,
         out = _execute(A_dd, b_dd, x0, M, aux, spec._replace(solver=qname))
     elif opts.precision == "single":
         # pure f32 — TPU-native speed; true residual plateaus near 1e-7
-        A32, b32, x032, M32 = _cast32((A, b, x0, M))
-        out = _execute(A32, b32, x032, M32, aux, spec)
+        A32, b32, x032, M32, aux32 = _cast32((A, b, x0, M, aux))
+        out = _execute(A32, b32, x032, M32, aux32, spec)
         out = out._replace(x=out.x.astype(b.dtype))
     else:
         out = _execute(A, b, x0, M, aux, spec)
