@@ -68,7 +68,7 @@ def auto_storage(A):
     are converted automatically unless -auto_storage false or an explicit
     -storage is given.  Fill guard: nnd diagonals must pad the nnz by at
     most 4x (and nnd <= 512) so memory stays bounded."""
-    if A.format_name == "dia":
+    if A.format_name in ("dia", "hdi"):
         return A
     cached = getattr(A, "_auto_dia", None)
     if cached is not None:
@@ -78,7 +78,17 @@ def auto_storage(A):
         banded = is_banded(A)
     except NotImplementedError:
         banded = False
-    out = convert_matrix(A, "dia") if banded else False
+    if banded:
+        out = convert_matrix(A, "dia")
+    else:
+        # quasi-banded: dominant diagonals + small gather remainder
+        from lis_tpu.matrix.hybrid import HybridMatrix
+        try:
+            out = HybridMatrix.from_csr_arrays(*A.to_csr_arrays(), A.shape)
+        except NotImplementedError:
+            out = None
+        if out is None:
+            out = False
     try:
         # cache on the (frozen) format object so repeated solves with the
         # same matrix skip the O(nnz) host analysis and re-conversion

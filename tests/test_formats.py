@@ -102,3 +102,33 @@ def test_assembler_set_value():
 def test_registry_covers_all_lis_formats():
     for fmt in FORMATS:
         assert fmt in _MATRIX_REGISTRY
+
+
+def test_hybrid_hdi_format():
+    """HDI (dominant diagonals + gather remainder — TPU-first extension):
+    exact matvec/matvech, auto-routing for quasi-banded operators."""
+    import scipy.sparse as sp
+    from lis_tpu.matrix.hybrid import HybridMatrix
+    from lis_tpu.solvers.driver import auto_storage
+    from tests.problems import poisson2d
+    n = 400
+    a = sp.csr_matrix(np.asarray(poisson2d(20, 20).to_dense())) \
+        + sp.random(n, n, density=0.0015, random_state=7)
+    a = a.tocsr(); a.sort_indices()
+    H = HybridMatrix.from_csr_arrays(a.indptr, a.indices, a.data, a.shape)
+    assert H is not None and len(H.rem.value) < 0.25 * a.nnz
+    x = np.random.default_rng(2).standard_normal(n)
+    np.testing.assert_allclose(np.asarray(H.matvec(x)), a @ x, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(H.matvech(x)), a.T @ x, atol=1e-12)
+    # csr round trip preserves the matrix
+    p2, i2, v2 = H.to_csr_arrays()
+    a2 = sp.csr_matrix((np.asarray(v2), np.asarray(i2), np.asarray(p2)),
+                       shape=a.shape)
+    assert abs(a2 - a).max() < 1e-14
+    # dense (fully random) matrices must NOT route to hdi
+    import lis_tpu
+    from lis_tpu.matrix.csr import CSRMatrix
+    r = sp.random(100, 100, density=0.2, random_state=1).tocsr()
+    r.sort_indices()
+    R = CSRMatrix.from_csr_arrays(r.indptr, r.indices, r.data, r.shape)
+    assert auto_storage(R).format_name == "csr"
