@@ -1,0 +1,118 @@
+"""Weak/strong-scaling harness for the distributed SpMV and solves.
+
+The reference measures multi-rank behavior by re-running spmvtest/test2
+under ``mpirun -np N`` (test/test.sh); here the mesh width takes the place
+of the rank count.  On a real multi-chip slice this reports ICI-scaled
+numbers; on a single host set
+``XLA_FLAGS=--xla_force_host_platform_device_count=N JAX_PLATFORMS=cpu``
+to validate the sharding and collective plan (timings then reflect host
+CPUs, not TPUs).
+
+Usage:
+  python -m lis_tpu.cli.scaling weak  m n iter   [ndev ...]
+  python -m lis_tpu.cli.scaling strong m n iter  [ndev ...]
+
+weak:   2-D 5-pt Poisson with m·n rows PER DEVICE (global grows with the
+        mesh); reports MFLOPS and efficiency vs 1 device.
+strong: fixed global m·n rows split over the mesh.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+
+def _bench_dist_matvec(A, mesh, iters):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from lis_tpu.parallel.dist import _shard_map, distribute_vector
+    from lis_tpu.parallel.mesh import AXIS
+
+    x = distribute_vector(jnp.ones(A.gn), mesh, A.gn_pad)
+
+    def loop(k):
+        def body(Ad, xv):
+            def it(_, v):
+                return Ad.matvec(v) * 0.25
+            return jax.lax.fori_loop(0, k, it, xv)
+        return jax.jit(_shard_map(body, mesh,
+                                  (jax.tree.map(lambda _: P(AXIS), A),
+                                   P(AXIS)), P(AXIS)))
+
+    la, lb = max(1, iters // 10), iters + max(1, iters // 10)
+    fa, fb = loop(la), loop(lb)
+    float(fa(A, x)[0]); float(fb(A, x)[0])
+
+    def best(f):
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(f(A, x)[0])
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t = (best(fb) - best(fa)) / (lb - la)
+    return max(t, 1e-12)
+
+
+def main(argv=None):
+    import jax
+    import lis_tpu
+    from lis_tpu.parallel.mesh import make_mesh
+    from lis_tpu.parallel.dist import distribute_matrix
+    from lis_tpu.utils.testmat import poisson2d
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if len(argv) < 4:
+        print(__doc__)
+        return 1
+    mode, m, n, iters = argv[0], int(argv[1]), int(argv[2]), int(argv[3])
+    ndevs = [int(a) for a in argv[4:]] or None
+    total = len(jax.devices())
+    need = max(ndevs) if ndevs else min(total, 8) or 8
+    if total < need:
+        # self-provision a virtual CPU mesh (validates sharding; timings
+        # then reflect host CPUs, not TPUs)
+        try:
+            from jax._src import xla_bridge as _xb
+            _xb._backends.clear()
+            _xb._backend_errors.clear()
+            _xb._default_backend = None
+            jax.clear_caches()
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_num_cpu_devices", need)
+            total = len(jax.devices())
+            print(f"(re-initialized on {total} virtual CPU devices)")
+        except Exception as e:
+            print(f"cannot provision {need} devices: {e}")
+            return 1
+    if ndevs is None:
+        ndevs = [d for d in (1, 2, 4, 8, 16, 32) if d <= total]
+
+    lis_tpu.initialize(argv)
+    base = None
+    print(f"{mode} scaling, 2-D 5-pt Poisson, base grid {m}x{n}, "
+          f"{iters} iterations")
+    for nd in ndevs:
+        mesh = make_mesh(nd)
+        if mode == "weak":
+            A0 = poisson2d(m, n * nd)
+        else:
+            A0 = poisson2d(m, n)
+        Ad = distribute_matrix(A0, mesh)
+        t = _bench_dist_matvec(Ad, mesh, iters)
+        mflops = 2.0 * A0.nnz / t / 1e6
+        if base is None:
+            base = (mflops, nd)
+        ideal = base[0] * (nd / base[1] if mode == "weak" else 1.0)
+        eff = mflops / ideal if mode == "weak" else \
+            (mflops / (base[0] * nd / base[1]))
+        print(f"  ndev={nd:3d}  n={A0.nrows:9d}  {t*1e6:10.1f} us/matvec  "
+              f"{mflops:10.1f} MFLOPS  efficiency {eff:5.2f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

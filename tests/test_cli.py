@@ -70,3 +70,9 @@ def test_spmvtest4_filelist(mtx, tmp_path):
 def test_hpcg_cli():
     rc, out = _run("hpcg", ["4", "4", "4", "-tol", "1e-6"])
     assert rc == 0
+
+
+def test_scaling_cli():
+    rc, out = _run("scaling", ["weak", "16", "16", "5", "1", "2"])
+    assert rc == 0
+    assert "efficiency" in out
