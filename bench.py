@@ -72,6 +72,18 @@ def main():
 
     t = _timed(make_spmv, x, 20, 220)
 
+    # secondary metric: warm-cache whole-solve iteration rate (CG+Jacobi on
+    # 64^3, the hpcg-style problem) per precision mode — recorded in extra
+    import lis_tpu
+    A2 = poisson3d27(64, 64, 64)
+    b2 = np.ones(A2.nrows)
+    solve_ms = {}
+    for f in ("single", "double", "switch_df"):
+        opts = f"-i cg -p jacobi -tol 1e-8 -f {f} -maxiter 300"
+        lis_tpu.solve(A2, b2, options=opts)          # compile
+        r = lis_tpu.solve(A2, b2, options=opts)
+        solve_ms[f] = round(r.itime / max(r.iters, 1) * 1e3, 3)
+
     esize = np.dtype(np.float32).itemsize
     bytes_moved = (nnd * n + 2 * n) * esize      # diagonals + x read + y write
     gbs = bytes_moved / t / 1e9
@@ -96,6 +108,7 @@ def main():
             "hbm_spec_gbs": stream_gbs,
             "rows": n, "nnz": nnz, "format": "dia", "dtype": "float32",
             "spmv_convention": "2*nnz*iter/comptime (test/spmvtest3b.c:247)",
+            "cg_jacobi_64cubed_ms_per_iter": solve_ms,
         },
     }))
 
