@@ -105,3 +105,16 @@ def nrmi(x, axis_name=None):
 
 def vsum(x, axis_name=None):
     return _maybe_psum(jnp.sum(x), axis_name)
+
+
+def gather(v):
+    """Copy a (possibly device-resident) vector into a host numpy array
+    (lis_vector_gather, src/vector/lis_vector.c)."""
+    import numpy as np
+    return np.asarray(v)
+
+
+def scatter(arr, like=None):
+    """Place a host array onto device as a solver-ready vector
+    (lis_vector_scatter)."""
+    return jnp.asarray(arr, dtype=None if like is None else like.dtype)

@@ -58,3 +58,21 @@ def split_matrix(matrix: SparseMatrix) -> SplitMatrix:
         dinv = np.where(diag != 0, 1.0 / np.where(diag != 0, diag, 1), 0.0)
     return SplitMatrix(L=build(lower), U=build(upper),
                        D=jnp.asarray(diag), Dinv=jnp.asarray(dinv))
+
+
+def merge_matrix(s: SplitMatrix, shape=None):
+    """Reassemble A = L + D + U from a split (lis_matrix_merge,
+    src/matrix/lis_matrix_ops.c:1052)."""
+    import scipy.sparse as sp
+    from lis_tpu.matrix.csr import CSRMatrix
+    lp, li, lv = s.L.to_csr_arrays()
+    up, ui, uv = s.U.to_csr_arrays()
+    shape = shape or s.L.shape
+    n = shape[0]
+    a = (sp.csr_matrix((np.asarray(lv), np.asarray(li), np.asarray(lp)),
+                       shape=shape)
+         + sp.csr_matrix((np.asarray(uv), np.asarray(ui), np.asarray(up)),
+                         shape=shape)
+         + sp.diags(np.asarray(s.D), shape=shape)).tocsr()
+    a.sort_indices()
+    return CSRMatrix.from_csr_arrays(a.indptr, a.indices, a.data, shape)
