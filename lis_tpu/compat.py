@@ -1,0 +1,389 @@
+"""Classic Lis-style imperative API (lis.h compatibility shim).
+
+Mirrors the reference's C calling convention (include/lis.h: vector ops
+:824-859, matrix ops :865-914, solvers :961-984, eigensolvers :990-1013)
+so code written against Lis ports line by line:
+
+    import lis_tpu.compat as lis
+    lis.lis_initialize([])
+    A = lis.lis_matrix_create(0)
+    lis.lis_matrix_set_size(A, 0, n)
+    for i, j, v in entries:
+        lis.lis_matrix_set_value(lis.LIS_INS_VALUE, i, j, v, A)
+    lis.lis_matrix_set_type(A, lis.LIS_MATRIX_CSR)
+    lis.lis_matrix_assemble(A)
+    b, x = lis.lis_vector_create(0), lis.lis_vector_create(0)
+    lis.lis_vector_set_size(b, 0, n); lis.lis_vector_set_all(1.0, b)
+    lis.lis_vector_set_size(x, 0, n)
+    solver = lis.lis_solver_create()
+    lis.lis_solver_set_option("-i cg -p jacobi -tol 1e-12", solver)
+    lis.lis_solve(A, b, x, solver)
+    iters = lis.lis_solver_get_iter(solver)
+
+Handles are thin mutable wrappers over the functional core; "destroy"
+calls are no-ops kept for source compatibility (memory is managed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lis_tpu.config import (LIS_SUCCESS, LIS_FAILS, LIS_ILL_OPTION,
+                            LIS_BREAKDOWN, LIS_OUT_OF_MEMORY, LIS_MAXITER,
+                            LIS_ERR_NOT_IMPLEMENTED, LIS_ERR_FILE_IO)
+from lis_tpu.config import initialize as lis_initialize          # noqa: F401
+from lis_tpu.config import finalize as lis_finalize              # noqa: F401
+from lis_tpu.config import wtime as lis_wtime                    # noqa: F401
+from lis_tpu.matrix.assembly import LIS_INS_VALUE, LIS_ADD_VALUE  # noqa: F401
+from lis_tpu.runtime.options import STORAGE_NAMES
+
+# storage-type constants (include/lis.h:252-284)
+LIS_MATRIX_CSR = 1
+LIS_MATRIX_CSC = 2
+LIS_MATRIX_MSR = 3
+LIS_MATRIX_DIA = 4
+LIS_MATRIX_ELL = 5
+LIS_MATRIX_JAD = 6
+LIS_MATRIX_BSR = 7
+LIS_MATRIX_BSC = 8
+LIS_MATRIX_VBR = 9
+LIS_MATRIX_COO = 10
+LIS_MATRIX_DNS = 11
+_TYPE_NAMES = {i: n for n, i in STORAGE_NAMES.items()}
+
+
+class _MatrixHandle:
+    def __init__(self, comm=0):
+        self.comm = comm
+        self.n = None
+        self.matrix_type = LIS_MATRIX_CSR
+        self._asm = None
+        self._csr = None           # (ptr, index, value) direct-set path
+        self.m = None              # assembled format object
+
+
+class _VectorHandle:
+    def __init__(self, comm=0):
+        self.comm = comm
+        self.n = None
+        self.value = None
+
+
+class _SolverHandle:
+    def __init__(self):
+        self.options = ""
+        self.result = None
+
+
+class _EsolverHandle:
+    def __init__(self):
+        self.options = ""
+        self.result = None
+
+
+# ---- matrix (lis.h:865-914) -------------------------------------------------
+
+def lis_matrix_create(comm=0):
+    return _MatrixHandle(comm)
+
+
+def lis_matrix_destroy(A):
+    return LIS_SUCCESS
+
+
+def lis_matrix_set_size(A, local_n, global_n):
+    A.n = int(global_n or local_n)
+    from lis_tpu.matrix.assembly import MatrixAssembler
+    A._asm = MatrixAssembler((A.n, A.n))
+    return LIS_SUCCESS
+
+
+def lis_matrix_get_size(A):
+    return A.n, A.n
+
+
+def lis_matrix_set_type(A, matrix_type):
+    A.matrix_type = int(matrix_type)
+    return LIS_SUCCESS
+
+
+def lis_matrix_get_type(A):
+    return A.matrix_type
+
+
+def lis_matrix_set_value(flag, i, j, value, A):
+    A._asm.set_value(flag, int(i), int(j), value)
+    return LIS_SUCCESS
+
+
+def lis_matrix_set_csr(nnz, ptr, index, value, A):
+    A._csr = (np.asarray(ptr), np.asarray(index), np.asarray(value))
+    return LIS_SUCCESS
+
+
+def lis_matrix_assemble(A):
+    from lis_tpu.matrix.csr import CSRMatrix
+    from lis_tpu.matrix.convert import convert_matrix
+    if A._csr is not None:
+        ptr, index, value = A._csr
+        m = CSRMatrix.from_csr_arrays(ptr, index, value, (A.n, A.n))
+    else:
+        m = A._asm.assemble("csr")
+    name = _TYPE_NAMES.get(A.matrix_type, "csr")
+    A.m = convert_matrix(m, name) if name != "csr" else m
+    return LIS_SUCCESS
+
+
+def lis_matrix_convert(Ain, Aout):
+    from lis_tpu.matrix.convert import convert_matrix
+    Aout.n = Ain.n
+    Aout.m = convert_matrix(Ain.m, _TYPE_NAMES.get(Aout.matrix_type, "csr"))
+    return LIS_SUCCESS
+
+
+def lis_matrix_get_diagonal(A, d):
+    d.value = A.m.get_diagonal()
+    d.n = A.n
+    return LIS_SUCCESS
+
+
+# ---- vector (lis.h:824-859) -------------------------------------------------
+
+def lis_vector_create(comm=0):
+    return _VectorHandle(comm)
+
+
+def lis_vector_destroy(v):
+    return LIS_SUCCESS
+
+
+def lis_vector_set_size(v, local_n, global_n=0):
+    import jax.numpy as jnp
+    v.n = int(global_n or local_n)
+    v.value = jnp.zeros(v.n)
+    return LIS_SUCCESS
+
+
+def lis_vector_duplicate(vin, _cls=None):
+    import jax.numpy as jnp
+    v = _VectorHandle(vin.comm)
+    v.n = vin.n
+    v.value = jnp.zeros_like(vin.value)
+    return v
+
+
+def lis_vector_set_all(alpha, v):
+    import jax.numpy as jnp
+    v.value = jnp.full(v.n, alpha, dtype=v.value.dtype
+                       if v.value is not None else None)
+    return LIS_SUCCESS
+
+
+def lis_vector_set_value(flag, i, value, v):
+    old = v.value[i] if flag == LIS_ADD_VALUE else 0.0
+    v.value = v.value.at[int(i)].set(value + old)
+    return LIS_SUCCESS
+
+
+def lis_vector_get_value(v, i):
+    return float(v.value[int(i)])
+
+
+def lis_vector_get_values(v, start, count):
+    return np.asarray(v.value[int(start):int(start) + int(count)])
+
+
+def lis_vector_nrm2(v):
+    return float(np.linalg.norm(np.asarray(v.value)))
+
+
+def lis_vector_dot(u, v):
+    return float(np.dot(np.asarray(u.value), np.asarray(v.value)))
+
+
+def lis_vector_axpy(alpha, x, y):
+    y.value = y.value + alpha * x.value
+    return LIS_SUCCESS
+
+
+def lis_vector_scale(alpha, x):
+    x.value = alpha * x.value
+    return LIS_SUCCESS
+
+
+def lis_vector_copy(src, dst):
+    dst.value = src.value
+    dst.n = src.n
+    return LIS_SUCCESS
+
+
+# ---- matvec (lis.h:920-921) -------------------------------------------------
+
+def lis_matvec(A, x, y):
+    y.value = A.m.matvec(x.value)
+    y.n = A.n
+    return LIS_SUCCESS
+
+
+def lis_matvech(A, x, y):
+    y.value = A.m.matvech(x.value)
+    y.n = A.n
+    return LIS_SUCCESS
+
+
+# ---- solver (lis.h:961-984) -------------------------------------------------
+
+def lis_solver_create():
+    return _SolverHandle()
+
+
+def lis_solver_destroy(s):
+    return LIS_SUCCESS
+
+
+def lis_solver_set_option(text, solver):
+    solver.options = (solver.options + " " + text).strip()
+    return LIS_SUCCESS
+
+
+def lis_solver_set_optionC(solver):
+    from lis_tpu import config as C
+    solver.options = (solver.options + " "
+                      + " ".join(C.get_cmd_args())).strip()
+    return LIS_SUCCESS
+
+
+def lis_solve(A, b, x, solver):
+    from lis_tpu.solvers.driver import solve
+    res = solve(A.m, b.value, x0=x.value, options=solver.options or None)
+    solver.result = res
+    x.value = res.x
+    x.n = A.n
+    return res.status
+
+
+def lis_solver_get_iter(solver):
+    return solver.result.iters
+
+
+def lis_solver_get_iterex(solver):
+    r = solver.result
+    return r.iters, r.iters, 0
+
+
+def lis_solver_get_time(solver):
+    return solver.result.time
+
+
+def lis_solver_get_timeex(solver):
+    r = solver.result
+    return r.time, r.itime, r.ptime, 0.0, 0.0
+
+
+def lis_solver_get_residualnorm(solver):
+    return solver.result.resid
+
+
+def lis_solver_get_rhistory(solver, v=None):
+    rh = solver.result.rhistory
+    if v is not None:
+        import jax.numpy as jnp
+        v.value = jnp.asarray(rh)
+        v.n = len(rh)
+        return LIS_SUCCESS
+    return rh
+
+
+def lis_solver_get_status(solver):
+    return solver.result.status
+
+
+def lis_solver_get_solver(solver):
+    return solver.result.options.solver_id
+
+
+def lis_solver_get_solvername(nsol):
+    from lis_tpu.runtime.options import SOLVER_NAMES
+    return SOLVER_NAMES[int(nsol) - 1]
+
+
+# ---- eigensolver (lis.h:990-1013) --------------------------------------------
+
+def lis_esolver_create():
+    return _EsolverHandle()
+
+
+def lis_esolver_destroy(e):
+    return LIS_SUCCESS
+
+
+def lis_esolver_set_option(text, esolver):
+    esolver.options = (esolver.options + " " + text).strip()
+    return LIS_SUCCESS
+
+
+def lis_esolve(A, x, esolver):
+    from lis_tpu.esolvers.driver import esolve
+    res = esolve(A.m, options=esolver.options or None,
+                 x0=None if x.value is None else x.value)
+    esolver.result = res
+    x.value = res.evector
+    x.n = A.n
+    return res.status, res.evalue
+
+
+def lis_gesolve(A, B, x, esolver):
+    from lis_tpu.esolvers.driver import gesolve
+    res = gesolve(A.m, B.m, options=esolver.options or None,
+                  x0=None if x.value is None else x.value)
+    esolver.result = res
+    x.value = res.evector
+    x.n = A.n
+    return res.status, res.evalue
+
+
+def lis_esolver_get_iter(esolver):
+    return esolver.result.iters
+
+
+def lis_esolver_get_residualnorm(esolver):
+    return esolver.result.resid
+
+
+def lis_esolver_get_evalues(esolver, v=None):
+    ev = esolver.result.evalues
+    if v is not None:
+        import jax.numpy as jnp
+        v.value = jnp.asarray(ev)
+        v.n = len(ev)
+        return LIS_SUCCESS
+    return ev
+
+
+def lis_esolver_get_status(esolver):
+    return esolver.result.status
+
+
+# ---- I/O (lis.h:1019-1026) --------------------------------------------------
+
+def lis_input(A, b, x, filename):
+    from lis_tpu.io import lis_input as _inp
+    m, bv, xv = _inp(filename)
+    A.m = m
+    A.n = m.nrows
+    if b is not None and bv is not None:
+        b.value = bv
+        b.n = m.nrows
+    if x is not None and xv is not None:
+        x.value = xv
+        x.n = m.nrows
+    return LIS_SUCCESS
+
+
+def lis_output(A, b, x, fmt, filename):
+    from lis_tpu.io import lis_output as _out
+    _out(filename, A.m,
+         b=None if b is None else np.asarray(b.value),
+         x=None if x is None else np.asarray(x.value),
+         fmt="lis" if fmt in (3, "lis") else "mm")
+    return LIS_SUCCESS
