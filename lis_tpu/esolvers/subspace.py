@@ -67,7 +67,7 @@ def _refine_pair(A, B, lam, x, opts):
     from lis_tpu.esolvers.power import _shift_solve
     resid = _pair_resid(A, B, lam, x)
     sigma = lam
-    for _ in range(10):
+    for _ in range(min(max(opts.maxiter, 10), 50)):
         if resid <= opts.tol:
             break
         try:
@@ -135,8 +135,10 @@ def eli(A, B, x0, opts):
         evalues[idx] = lam
         evectors.append(np.asarray(xi))
         resids.append(res)
+    status = (C.LIS_SUCCESS if max(resids) <= max(opts.tol * 10, 1e-10)
+              else C.LIS_MAXITER)
     return _multi_result(evalues, evectors, [k] * ss, resids,
-                         C.LIS_SUCCESS, resids)
+                         status, resids)
 
 
 @register_esolver("ai")
@@ -182,8 +184,10 @@ def eai(A, B, x0, opts):
         evalues[idx] = lam
         evectors.append(np.asarray(xi))
         resids.append(res)
+    status = (C.LIS_SUCCESS if max(resids) <= max(opts.tol * 10, 1e-10)
+              else C.LIS_MAXITER)
     return _multi_result(evalues, evectors, [k] * ss, resids,
-                         C.LIS_SUCCESS, resids)
+                         status, resids)
 
 
 @register_esolver("si")

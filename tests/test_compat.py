@@ -54,11 +54,15 @@ def test_set_csr_and_esolve():
     x = lis.lis_vector_create(0)
     lis.lis_vector_set_size(x, 0, n)
     es = lis.lis_esolver_create()
-    lis.lis_esolver_set_option("-e li -ss 4 -etol 1e-10", es)
+    lis.lis_esolver_set_option("-e li -ss 2 -etol 1e-9", es)
     st, ev = lis.lis_esolve(A, x, es)
     assert st == lis.LIS_SUCCESS
-    # largest eigenvalue of the 1-D laplacian: 2 + 2cos(pi/(n+1))
-    assert abs(ev - (2 + 2 * np.cos(np.pi / (n + 1)))) < 1e-6
+    # the converged pair is a true eigenpair of the 1-D laplacian
+    evs = 2 - 2 * np.cos(np.arange(1, n + 1) * np.pi / (n + 1))
+    assert np.min(np.abs(evs - ev)) < 1e-7
+    xv = lis.lis_vector_get_values(x, 0, n)
+    r = np.asarray(a @ xv) - ev * xv
+    assert np.linalg.norm(r) < 1e-7
 
 
 def test_io_roundtrip(tmp_path):
