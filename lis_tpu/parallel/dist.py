@@ -300,9 +300,18 @@ def dist_solve(A: DistCSRMatrix, b, mesh: Mesh, options=None, M=None,
                              NamedSharding(mesh, P(None, AXIS)))
         aux_spec = P(None, AXIS)
     elif opts.solver in ("gs", "sor"):
-        raise NotImplementedError(
-            "distributed gs/sor need block-local triangular plans; "
-            "use jacobi or a Krylov solver")
+        # block-local (D+L)⁻¹ sweeps per shard — the reference's OpenMP
+        # tri-solve relaxation applied at shard granularity.  NOTE: the
+        # block variant has a tighter SOR stability bound than the exact
+        # sweep; the single-chip default -omega 1.9 can diverge across
+        # many shards (omega <= ~1.5 is safe on the Poisson family)
+        from lis_tpu.parallel.dist_precon import (local_diag_blocks,
+                                                  _stack_plans)
+        from lis_tpu.solvers.stationary import _lower_plan
+        w = 1.0 if opts.solver == "gs" else opts.omega
+        aux = _stack_plans([_lower_plan(blk, w)
+                            for blk in local_diag_blocks(A)], mesh)
+        aux_spec = P(AXIS)
 
     cast32 = lambda t: jax.tree.map(
         lambda a: a.astype(jnp.float32)

@@ -175,3 +175,15 @@ def test_dist_precision_modes(mesh, prec, bound):
     r = dist_solve(Ad, b, mesh, options=f"-i cg -p jacobi -tol 1e-10 -f {prec}")
     assert r.status == lis_tpu.LIS_SUCCESS
     assert np.abs(np.asarray(r.x) - xs).max() < bound
+
+
+@pytest.mark.parametrize("sopt", ["-i gs", "-i sor -omega 1.5"])
+def test_dist_stationary(mesh, prob, sopt):
+    """Block-local GS/SOR sweeps per shard (more iterations than exact,
+    same solution)."""
+    a, b, ad = prob
+    from lis_tpu.parallel.dist import distribute_matrix
+    Ad = distribute_matrix(a, mesh)
+    r = dist_solve(Ad, b, mesh, options=f"{sopt} -tol 1e-8 -maxiter 5000")
+    assert r.status == lis_tpu.LIS_SUCCESS
+    assert _tr(ad, b, r.x) < 1e-7
