@@ -33,7 +33,13 @@ def main(argv=None):
         options = "-p ssor -adds true " + options
 
     lis_tpu.initialize(argv)
-    A = poisson3d27(l, m, n)
+    if l * m * n > 1_000_000:
+        # direct DIA construction: O(27N) memory (the COO assembly path
+        # peaks at ~50 bytes/nnz and cannot build very large grids)
+        from lis_tpu.utils.testmat import poisson3d27_dia
+        A = poisson3d27_dia(l, m, n)
+    else:
+        A = poisson3d27(l, m, n)
     b = A.matvec(jnp.ones(A.nrows))
     res = solve(A, b, options=options)
     gn = A.nrows

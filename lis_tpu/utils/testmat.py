@@ -89,3 +89,35 @@ def random_sparse(n: int, density: float = 0.05, seed: int = 0,
     else:
         a = a + n * sp.identity(n)     # diagonally dominant, nonsymmetric
     return _to_matrix(a.tocsr())
+
+
+def poisson3d27_dia(l, m, n, dtype=np.float64):
+    """27-point 3-D Poisson operator built DIRECTLY in DIA form — O(27·N)
+    memory instead of the COO/CSR assembly path (which peaks at ~50 bytes
+    per nnz and cannot build 192³+ problems on modest hosts).  Same
+    operator as poisson3d27 (diag 26, off-diag -1; test/spmvtest3b.c)."""
+    import jax.numpy as jnp
+    from lis_tpu.matrix.dia import DIAMatrix
+    N = l * m * n
+    i = np.arange(N, dtype=np.int64)
+    x = i % l
+    y = (i // l) % m
+    z = i // (l * m)
+    offsets, vals = [], []
+    for dz in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                off = dx + dy * l + dz * l * m
+                valid = ((0 <= x + dx) & (x + dx < l)
+                         & (0 <= y + dy) & (y + dy < m)
+                         & (0 <= z + dz) & (z + dz < n))
+                v = np.where(valid,
+                             26.0 if (dx, dy, dz) == (0, 0, 0) else -1.0,
+                             0.0).astype(dtype)
+                offsets.append(int(off))
+                vals.append(v)
+    order = np.argsort(offsets)
+    value = np.stack([vals[k] for k in order])
+    offsets = tuple(offsets[k] for k in order)
+    return DIAMatrix(value=jnp.asarray(value), nrows=N, ncols=N,
+                     nnz=int(np.count_nonzero(value)), offsets=offsets)

@@ -132,3 +132,12 @@ def test_hybrid_hdi_format():
     r.sort_indices()
     R = CSRMatrix.from_csr_arrays(r.indptr, r.indices, r.data, r.shape)
     assert auto_storage(R).format_name == "csr"
+
+
+def test_poisson3d27_dia_generator():
+    """Direct-DIA stencil construction matches the COO/CSR path."""
+    from lis_tpu.utils.testmat import poisson3d27, poisson3d27_dia
+    A = poisson3d27(5, 4, 3)
+    D = poisson3d27_dia(5, 4, 3)
+    np.testing.assert_allclose(np.asarray(D.to_dense()),
+                               np.asarray(A.to_dense()))
