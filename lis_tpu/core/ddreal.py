@@ -357,10 +357,10 @@ class DDDiaOperator:
 
     def __init__(self, offsets, value, nrows, ncols, value_lo=None):
         self.offsets = offsets          # static tuple of ints
-        self.value = value              # (nnd, n)
+        self.value = value              # tuple of (n,) per-diagonal arrays
         self.nrows = nrows
         self.ncols = ncols
-        self.value_lo = value_lo        # (nnd, n) second limb or None
+        self.value_lo = value_lo        # tuple of (n,) second limbs or None
 
     def _mv(self, offsets, value, x: DD, value_lo=None) -> DD:
         n = self.nrows
@@ -397,17 +397,20 @@ class DDDiaOperator:
                                         jnp.zeros(-off, vrow.dtype)])
             return vrow
 
-        vt = jnp.stack([shift(self.value[k], off)
-                        for k, off in enumerate(self.offsets)])
+        vt = tuple(shift(self.value[k], off)
+                   for k, off in enumerate(self.offsets))
         vt_lo = (None if self.value_lo is None else
-                 jnp.stack([shift(self.value_lo[k], off)
-                            for k, off in enumerate(self.offsets)]))
+                 tuple(shift(self.value_lo[k], off)
+                       for k, off in enumerate(self.offsets)))
         op = DDDiaOperator(offs, vt, self.ncols, self.nrows, vt_lo)
         return op._mv(offs, vt, x, vt_lo)
 
     @classmethod
     def from_matrix(cls, A, limb=None) -> "DDDiaOperator":
-        v, vlo = _split_limbs(A.value, limb)
+        pairs = [_split_limbs(vk, limb) for vk in A.value]
+        v = tuple(p[0] for p in pairs)
+        vlo = (None if (not pairs or pairs[0][1] is None)
+               else tuple(p[1] for p in pairs))
         return cls(tuple(int(o) for o in A.offsets), v,
                    A.nrows, A.ncols, vlo)
 

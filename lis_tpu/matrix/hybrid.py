@@ -77,8 +77,9 @@ class HybridMatrix(SparseMatrix):
         pos = np.searchsorted(dense, offs_all[on_dia])
         np.add.at(dval, (pos, rows[on_dia]), value[on_dia])
         import jax.numpy as jnp
-        dia = DIAMatrix(value=jnp.asarray(dval), nrows=n, ncols=m,
-                        nnz=int(np.count_nonzero(dval)),
+        dia = DIAMatrix(value=tuple(jnp.asarray(dval[k])
+                                    for k in range(dval.shape[0])),
+                        nrows=n, ncols=m, nnz=int(np.count_nonzero(dval)),
                         offsets=tuple(int(o) for o in dense))
         remmask = ~on_dia
         remc = sp.coo_matrix(

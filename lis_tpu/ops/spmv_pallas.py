@@ -107,4 +107,6 @@ def matvec_dia_pallas(value, x, offsets: tuple, block_rows: int = 64):
 
 def dia_matvec(A, x):
     """Pallas SpMV for a DIAMatrix pytree."""
-    return matvec_dia_pallas(A.value, x, A.offsets)
+    import jax.numpy as _jnp
+    v = _jnp.stack(A.value) if isinstance(A.value, tuple) else A.value
+    return matvec_dia_pallas(v, x, A.offsets)

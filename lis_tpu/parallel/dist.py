@@ -211,11 +211,9 @@ def undistribute_csr(A):
     if isinstance(A, DistDIAMatrix):
         from lis_tpu.matrix.dia import DIAMatrix
         from lis_tpu.matrix.convert import convert_matrix
-        nnd = len(A.offsets)
-        val = host(A.value).reshape(A.nprocs, nnd, A.nlocal)
-        val = val.transpose(1, 0, 2).reshape(nnd, A.gn_pad)[:, :A.gn]
-        nnz = int(np.count_nonzero(val))
-        D = DIAMatrix(value=jnp.asarray(val), nrows=A.gn, ncols=A.gn,
+        vals = tuple(jnp.asarray(host(v)[: A.gn]) for v in A.value)
+        nnz = sum(int(np.count_nonzero(host(v))) for v in vals)
+        D = DIAMatrix(value=vals, nrows=A.gn, ncols=A.gn,
                       nnz=nnz, offsets=A.offsets)
         return convert_matrix(D, "csr")
     val = host(A.value)
@@ -421,7 +419,7 @@ class DistDIAMatrix(SparseMatrix):
     on TPU; diagonal streams run at the HBM roofline).  Out-of-range
     positions carry zero values (the DIA convention), so wrapped ring slabs
     at the global edges are harmlessly multiplied away."""
-    value: jax.Array          # (p·nnd, nlocal)
+    value: tuple              # per-diagonal (p·nlocal,) arrays sharded P("p")
     offsets: tuple            # static: global diagonal offsets
     nlocal: int
     gn: int
@@ -439,31 +437,28 @@ class DistDIAMatrix(SparseMatrix):
 
     def matvec(self, x_local):
         xe = self._exchange(x_local)
-        y = jnp.zeros(self.nlocal, dtype=jnp.result_type(self.value.dtype,
-                                                         x_local.dtype))
+        dt = jnp.result_type(self.value[0].dtype, x_local.dtype) \
+            if self.value else x_local.dtype
+        y = jnp.zeros(self.nlocal, dtype=dt)
         for k, off in enumerate(self.offsets):
             y = y + self.value[k] * jax.lax.dynamic_slice(
                 xe, (self.hw + off,), (self.nlocal,))
         return y
 
     def matvech(self, x_local):
-        # Aᵀ[i, i-o] = value[k, i-o]: exchanged value slabs realign the
-        # diagonal streams across the shard boundary
-        v = jnp.conj(self.value) if jnp.iscomplexobj(self.value) \
-            else self.value
+        # Aᵀ[i, i-o] = A[i-o, i] = value[k][i-o]: exchanged value slabs
+        # realign the diagonal streams across the shard boundary
         xe = self._exchange(x_local)
-        p, hw, nl = self.nprocs, self.hw, self.nlocal
-        perm_up = [(i, (i + 1) % p) for i in range(p)]
-        perm_dn = [(i, (i - 1) % p) for i in range(p)]
-        vl = jax.lax.ppermute(v[:, -hw:], AXIS, perm_up)
-        vr = jax.lax.ppermute(v[:, :hw], AXIS, perm_dn)
-        ve = jnp.concatenate([vl, v, vr], axis=1)   # (nnd, nl + 2hw)
-        y = jnp.zeros(nl, dtype=jnp.result_type(v.dtype, x_local.dtype))
+        hw, nl = self.hw, self.nlocal
+        dt = jnp.result_type(self.value[0].dtype, x_local.dtype) \
+            if self.value else x_local.dtype
+        y = jnp.zeros(nl, dtype=dt)
         for k, off in enumerate(self.offsets):
-            # yᵀ[r] += value[k, r - off] · x[r - off + off_of_value... ]:
-            # contribution of diagonal off to row i-off ⇒ at local row r,
-            # (Aᵀx)[r] += value[k, r-off]·x[r-off]
-            vs = jax.lax.dynamic_slice(ve[k], (hw - off,), (nl,))
+            vk = self.value[k]
+            if jnp.iscomplexobj(vk):
+                vk = jnp.conj(vk)
+            ve = self._exchange(vk)
+            vs = jax.lax.dynamic_slice(ve, (hw - off,), (nl,))
             xs = jax.lax.dynamic_slice(xe, (hw - off,), (nl,))
             y = y + vs * xs
         return y
@@ -480,7 +475,8 @@ class DistDIAMatrix(SparseMatrix):
         """LOCAL diagonal slice (inside shard_map)."""
         k0 = self.offsets.index(0) if 0 in self.offsets else None
         if k0 is None:
-            return jnp.zeros(self.nlocal, self.value.dtype)
+            return jnp.zeros(self.nlocal, self.value[0].dtype
+                             if self.value else jnp.float64)
         return self.value[k0]
 
 
@@ -506,14 +502,13 @@ def distribute_dia(A, mesh: Mesh) -> DistDIAMatrix:
     if hw > nlocal:
         raise ValueError(f"bandwidth {hw} exceeds shard size {nlocal}; "
                          "use distribute_csr with halo='gather'")
-    val = np.zeros((len(offsets), gn_pad), dtype=np.asarray(D.value).dtype)
-    val[:, :gn] = np.asarray(D.value)
-    # (nnd, p, nlocal) -> (p, nnd, nlocal) -> (p·nnd, nlocal)
-    val = val.reshape(len(offsets), p, nlocal).transpose(1, 0, 2)
-    val = val.reshape(p * len(offsets), nlocal)
-    dist = DistDIAMatrix(value=jnp.asarray(val), offsets=offsets,
-                         nlocal=nlocal, gn=gn, gn_pad=gn_pad, nprocs=p,
-                         hw=hw)
+    v2d = D.value_2d
+    val = np.zeros((len(offsets), gn_pad), dtype=v2d.dtype)
+    val[:, :gn] = v2d
+    dist = DistDIAMatrix(value=tuple(jnp.asarray(val[k])
+                                     for k in range(len(offsets))),
+                         offsets=offsets, nlocal=nlocal, gn=gn,
+                         gn_pad=gn_pad, nprocs=p, hw=hw)
     sh = NamedSharding(mesh, P(AXIS))
     return jax.tree.map(lambda a: jax.device_put(a, sh), dist)
 
@@ -538,8 +533,8 @@ class DistDIADDOperator:
     two_prod error-free transforms.  Reductions inside the DD solvers go
     through ddreal._dd_sum's axis_name branch (the analogue of the
     reference's custom quad MPI_Op, lis_precision_vec.c:778)."""
-    value: jax.Array          # (p·nnd, nlocal) hi limbs
-    value_lo: jax.Array       # (p·nnd, nlocal) lo limbs
+    value: tuple              # per-diagonal (p·nlocal,) hi limbs
+    value_lo: tuple           # per-diagonal (p·nlocal,) lo limbs
     offsets: tuple
     nlocal: int
     gn: int
@@ -551,9 +546,9 @@ class DistDIADDOperator:
         p, hw = self.nprocs, self.hw
         perm_up = [(i, (i + 1) % p) for i in range(p)]
         perm_dn = [(i, (i - 1) % p) for i in range(p)]
-        left = jax.lax.ppermute(v[..., -hw:], AXIS, perm_up)
-        right = jax.lax.ppermute(v[..., :hw], AXIS, perm_dn)
-        return jnp.concatenate([left, v, right], axis=-1)
+        left = jax.lax.ppermute(v[-hw:], AXIS, perm_up)
+        right = jax.lax.ppermute(v[:hw], AXIS, perm_dn)
+        return jnp.concatenate([left, v, right])
 
     def matvec(self, x):
         from lis_tpu.core import ddreal as q
@@ -573,13 +568,13 @@ class DistDIADDOperator:
         from lis_tpu.core import ddreal as q
         xh = self._exchange(x.hi)
         xl = self._exchange(x.lo)
-        vh = self._exchange(self.value)
-        vl = self._exchange(self.value_lo)
         nl, hw = self.nlocal, self.hw
         acc = q.DD(jnp.zeros(nl, x.hi.dtype), jnp.zeros(nl, x.hi.dtype))
         for k, off in enumerate(self.offsets):
-            vs = jax.lax.dynamic_slice(vh[k], (hw - off,), (nl,))
-            vls = jax.lax.dynamic_slice(vl[k], (hw - off,), (nl,))
+            vhe = self._exchange(self.value[k])
+            vle = self._exchange(self.value_lo[k])
+            vs = jax.lax.dynamic_slice(vhe, (hw - off,), (nl,))
+            vls = jax.lax.dynamic_slice(vle, (hw - off,), (nl,))
             xs = jax.lax.dynamic_slice(xh, (hw - off,), (nl,))
             xls = jax.lax.dynamic_slice(xl, (hw - off,), (nl,))
             ph, pe = q.two_prod(vs, xs)
@@ -597,15 +592,18 @@ jax.tree_util.register_pytree_node(
 
 def make_dist_dd_operator(A: DistDIAMatrix, mesh: Mesh,
                           limb=None) -> DistDIADDOperator:
-    v64 = host(A.value)
-    if limb is not None:
-        vhi = v64.astype(np.float32)
-        vlo = (v64 - vhi.astype(v64.dtype)).astype(np.float32)
-    else:
-        vhi, vlo = v64, np.zeros_like(v64)
     sh = NamedSharding(mesh, P(AXIS))
+    vhi, vlo = [], []
+    for vk in A.value:
+        v64 = host(vk)
+        if limb is not None:
+            h = v64.astype(np.float32)
+            l = (v64 - h.astype(v64.dtype)).astype(np.float32)
+        else:
+            h, l = v64, np.zeros_like(v64)
+        vhi.append(jax.device_put(jnp.asarray(h), sh))
+        vlo.append(jax.device_put(jnp.asarray(l), sh))
     return DistDIADDOperator(
-        value=jax.device_put(jnp.asarray(vhi), sh),
-        value_lo=jax.device_put(jnp.asarray(vlo), sh),
+        value=tuple(vhi), value_lo=tuple(vlo),
         offsets=A.offsets, nlocal=A.nlocal, gn=A.gn, gn_pad=A.gn_pad,
         nprocs=A.nprocs, hw=A.hw)

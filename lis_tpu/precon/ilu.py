@@ -264,8 +264,9 @@ def _dia_from_csr(ptr, index, value, n):
         if mask.any():
             pos = np.searchsorted(offs, offs_all[mask])
             np.add.at(v, (pos, rows[mask]), value[mask])
-        return DIAMatrix(value=jnp.asarray(v), nrows=n, ncols=n,
-                         nnz=int(np.count_nonzero(v)),
+        return DIAMatrix(value=tuple(jnp.asarray(v[k])
+                                     for k in range(v.shape[0])),
+                         nrows=n, ncols=n, nnz=int(np.count_nonzero(v)),
                          offsets=tuple(int(o) for o in offs) or (0,))
     return side(offs_all < 0), side(offs_all > 0), diag
 

@@ -88,7 +88,7 @@ def _split_dia(A):
     """Split a DIA matrix into strict-lower / strict-upper DIA + diagonal."""
     from lis_tpu.matrix.dia import DIAMatrix
     offs = tuple(int(o) for o in A.offsets)
-    v = np.asarray(A.value)
+    v = A.value_2d
     n = A.nrows
     low = [k for k, o in enumerate(offs) if o < 0]
     up = [k for k, o in enumerate(offs) if o > 0]
@@ -97,11 +97,11 @@ def _split_dia(A):
 
     def sub(ks):
         if not ks:
-            return DIAMatrix(value=jnp.zeros((1, n), v.dtype), nrows=n,
+            return DIAMatrix(value=(jnp.zeros(n, v.dtype),), nrows=n,
                              ncols=n, nnz=0, offsets=(0,))
-        vv = v[ks]
-        return DIAMatrix(value=jnp.asarray(vv), nrows=n, ncols=n,
-                         nnz=int(np.count_nonzero(vv)),
+        return DIAMatrix(value=tuple(jnp.asarray(v[k]) for k in ks),
+                         nrows=n, ncols=n,
+                         nnz=int(np.count_nonzero(v[ks])),
                          offsets=tuple(offs[k] for k in ks))
     return sub(low), sub(up), d
 

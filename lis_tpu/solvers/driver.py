@@ -107,7 +107,10 @@ class SolveResult:
     true_resid: float         # ||b - Ax|| / ||b|| on the unscaled system
     rhistory: np.ndarray      # relative residuals, [0] = initial
     time: float               # total solve time (s)
-    itime: float              # iteration time
+    itime: float              # iteration time (includes XLA compilation on
+                              # the first call for a given solver/precon/
+                              # shape/precision combination — warm the
+                              # cache before timing; see BENCH.md)
     ptime: float              # preconditioner-creation time
     options: SolverOptions
 

@@ -117,7 +117,7 @@ def poisson3d27_dia(l, m, n, dtype=np.float64):
                 offsets.append(int(off))
                 vals.append(v)
     order = np.argsort(offsets)
-    value = np.stack([vals[k] for k in order])
-    offsets = tuple(offsets[k] for k in order)
-    return DIAMatrix(value=jnp.asarray(value), nrows=N, ncols=N,
-                     nnz=int(np.count_nonzero(value)), offsets=offsets)
+    nnz = sum(int(np.count_nonzero(vals[k])) for k in order)
+    return DIAMatrix(value=tuple(jnp.asarray(vals[k]) for k in order),
+                     nrows=N, ncols=N, nnz=nnz,
+                     offsets=tuple(offsets[k] for k in order))
