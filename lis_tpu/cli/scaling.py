@@ -75,18 +75,12 @@ def main(argv=None):
     if total < need:
         # self-provision a virtual CPU mesh (validates sharding; timings
         # then reflect host CPUs, not TPUs)
+        from lis_tpu.parallel.mesh import ensure_devices
         try:
-            from jax._src import xla_bridge as _xb
-            _xb._backends.clear()
-            _xb._backend_errors.clear()
-            _xb._default_backend = None
-            jax.clear_caches()
-            jax.config.update("jax_platforms", "cpu")
-            jax.config.update("jax_num_cpu_devices", need)
-            total = len(jax.devices())
+            total = ensure_devices(need)
             print(f"(re-initialized on {total} virtual CPU devices)")
-        except Exception as e:
-            print(f"cannot provision {need} devices: {e}")
+        except RuntimeError as e:
+            print(e)
             return 1
     if ndevs is None:
         ndevs = [d for d in (1, 2, 4, 8, 16, 32) if d <= total]
@@ -106,9 +100,8 @@ def main(argv=None):
         mflops = 2.0 * A0.nnz / t / 1e6
         if base is None:
             base = (mflops, nd)
-        ideal = base[0] * (nd / base[1] if mode == "weak" else 1.0)
-        eff = mflops / ideal if mode == "weak" else \
-            (mflops / (base[0] * nd / base[1]))
+        # ideal throughput scales linearly with mesh width in both modes
+        eff = mflops / (base[0] * nd / base[1])
         print(f"  ndev={nd:3d}  n={A0.nrows:9d}  {t*1e6:10.1f} us/matvec  "
               f"{mflops:10.1f} MFLOPS  efficiency {eff:5.2f}")
     return 0

@@ -56,7 +56,6 @@ class DIAMatrix(SparseMatrix):
     def to_csr_arrays(self):
         val = self.value_2d
         n, m = self.shape
-        ptr_rows, idx_rows, val_rows = [], [], []
         cols = np.arange(n)[None, :] + np.array(self.offsets)[:, None]
         valid = (cols >= 0) & (cols < m) & (val != 0)
         rows = np.broadcast_to(np.arange(n)[None, :], cols.shape)

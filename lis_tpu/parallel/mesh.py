@@ -31,3 +31,30 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 
 def nprocs(mesh: Mesh) -> int:
     return mesh.shape[AXIS]
+
+
+def ensure_devices(n: int) -> int:
+    """Make sure at least n JAX devices are visible, re-initializing a
+    virtual CPU backend if needed (some sitecustomize setups rewrite
+    XLA_FLAGS at interpreter start, losing
+    --xla_force_host_platform_device_count).  Returns the visible device
+    count; raises if n cannot be provisioned."""
+    import os
+    if len(jax.devices()) >= n:
+        return len(jax.devices())
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + f" --xla_force_host_platform_device_count={n}")
+    try:
+        from jax._src import xla_bridge as _xb
+        _xb._backends.clear()
+        _xb._backend_errors.clear()
+        _xb._default_backend = None
+        jax.clear_caches()
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", n)
+    except Exception:
+        pass
+    got = len(jax.devices())
+    if got < n:
+        raise RuntimeError(f"cannot provision {n} devices (have {got})")
+    return got
