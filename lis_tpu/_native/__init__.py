@@ -159,3 +159,21 @@ def mm_parse_coords(path: str, skip_lines: int, nnz: int, pattern: bool):
     if got != nnz:
         return None
     return rows, cols, vals
+
+
+def ilu0_dia(offsets, diags):
+    """In-place ILU(0) on DIA storage; diags (nnd, n) float64 C-contiguous.
+    Returns the factored array or None if native code is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "ilu0_dia"):
+        return None
+    d = np.ascontiguousarray(diags, dtype=np.float64)
+    offs = np.ascontiguousarray(offsets, dtype=np.int64)
+    lib.ilu0_dia.restype = ctypes.c_int
+    rc = lib.ilu0_dia(
+        ctypes.c_int64(d.shape[1]), ctypes.c_int32(d.shape[0]),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        d.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return d if rc == 0 else None

@@ -246,4 +246,49 @@ int64_t mm_parse_coords(const char* path, int64_t skip_lines, int64_t nnz,
 
 void lis_native_free(void* p) { free(p); }
 
+// ILU(0) directly on DIA storage: diags is nnd x n row-major
+// (diags[k*n + i] = A[i, i+offsets[k]]), factored IN PLACE into combined
+// LU (L factors at negative offsets, U incl. diagonal at >= 0).  The
+// sparsity pattern is the set of structurally nonzero positions at entry;
+// no fill outside it (classic ILU(0)).
+int ilu0_dia(int64_t n, int32_t nnd, const int64_t* offsets, double* diags) {
+    int32_t d0 = -1;
+    for (int32_t k = 0; k < nnd; ++k)
+        if (offsets[k] == 0) d0 = k;
+    if (d0 < 0) return -1;
+
+    // idx[a*nnd + b] = position of offset (off[a]+off[b]) or -1
+    std::vector<int32_t> idx((size_t)nnd * nnd, -1);
+    for (int32_t a = 0; a < nnd; ++a)
+        for (int32_t b = 0; b < nnd; ++b) {
+            int64_t t = offsets[a] + offsets[b];
+            for (int32_t c = 0; c < nnd; ++c)
+                if (offsets[c] == t) { idx[(size_t)a * nnd + b] = c; break; }
+        }
+    // structural pattern at entry
+    std::vector<uint8_t> pat((size_t)nnd * n);
+    for (size_t q = 0; q < (size_t)nnd * n; ++q) pat[q] = diags[q] != 0.0;
+
+    for (int64_t i = 0; i < n; ++i) {
+        for (int32_t a = 0; a < nnd; ++a) {
+            if (offsets[a] >= 0) continue;
+            if (!pat[(size_t)a * n + i]) continue;
+            int64_t k = i + offsets[a];
+            if (k < 0) continue;
+            double ukk = diags[(size_t)d0 * n + k];
+            if (ukk == 0.0) continue;
+            double f = diags[(size_t)a * n + i] / ukk;
+            diags[(size_t)a * n + i] = f;
+            for (int32_t b = 0; b < nnd; ++b) {
+                if (offsets[b] <= 0) continue;
+                if (!pat[(size_t)b * n + k]) continue;
+                int32_t c = idx[(size_t)a * nnd + b];
+                if (c < 0 || !pat[(size_t)c * n + i]) continue;
+                diags[(size_t)c * n + i] -= f * diags[(size_t)b * n + k];
+            }
+        }
+    }
+    return 0;
+}
+
 }  // extern "C"

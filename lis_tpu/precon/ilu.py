@@ -273,16 +273,45 @@ def _dia_from_csr(ptr, index, value, n):
 
 @register_precon("ilu")
 def create_iluk(A, opts):
-    ptr, index, value = A.to_csr_arrays()
     fill = getattr(opts, "ilu_fill", 0)
-    if getattr(A, "format_name", None) == "dia" and fill == 0             and not np.iscomplexobj(value):
-        # factor on host (pattern preserved => DIA factors), apply by sweeps
-        from lis_tpu import _native
-        n = A.nrows
-        out = _native.iluk_factor(ptr, index, value, 0)
-        if out is not None:
-            fp, fi, fv = out[0], out[1], out[2]
-        else:
+    if getattr(A, "format_name", None) == "dia" and fill == 0:
+        is_complex = any(jnp.iscomplexobj(v) for v in A.value)
+        if not is_complex:
+            n = A.nrows
+            from lis_tpu import _native
+            # fast path: factor directly on the diagonal arrays (no format
+            # round trips; exact match with the generic ILU(0))
+            lu = _native.ilu0_dia(np.asarray(A.offsets), A.value_2d)
+            if lu is not None:
+                from lis_tpu.matrix.dia import DIAMatrix
+                offs = tuple(int(o) for o in A.offsets)
+
+                nnz_row = [int(np.count_nonzero(lu[k]))
+                           for k in range(len(offs))]
+
+                def side(sel):
+                    ks = [k for k, o in enumerate(offs) if sel(o)]
+                    if not ks:
+                        return DIAMatrix(value=(jnp.zeros(n, lu.dtype),),
+                                         nrows=n, ncols=n, nnz=0,
+                                         offsets=(0,))
+                    return DIAMatrix(
+                        value=tuple(jnp.asarray(lu[k]) for k in ks),
+                        nrows=n, ncols=n,
+                        nnz=sum(nnz_row[k] for k in ks),
+                        offsets=tuple(offs[k] for k in ks))
+
+                k0 = offs.index(0)
+                d = lu[k0]
+                with np.errstate(divide="ignore"):
+                    udinv = np.where(d != 0, 1.0 / np.where(d != 0, d, 1),
+                                     1.0)
+                return ILUDiaPrecon(L=side(lambda o: o < 0),
+                                    U=side(lambda o: o > 0),
+                                    udinv=jnp.asarray(udinv),
+                                    nsweeps=getattr(opts, "ssor_sweeps", 2))
+            # no native library: generic factorization, DIA apply
+            ptr, index, value = A.to_csr_arrays()
             rows_val = _factor_iluk(ptr, index, value, n, 0)
             fi, fv, fp = [], [], [0]
             for i in range(n):
@@ -290,15 +319,14 @@ def create_iluk(A, opts):
                     fi.append(j)
                     fv.append(rows_val[i][j])
                 fp.append(len(fi))
-            fp = np.asarray(fp, np.int32)
-            fi = np.asarray(fi, np.int32)
-            fv = np.asarray(fv)
-        L, U, d = _dia_from_csr(np.asarray(fp), np.asarray(fi),
-                                np.asarray(fv), n)
-        with np.errstate(divide="ignore"):
-            udinv = np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 1.0)
-        return ILUDiaPrecon(L=L, U=U, udinv=jnp.asarray(udinv),
-                            nsweeps=getattr(opts, "ssor_sweeps", 2))
+            L, U, d = _dia_from_csr(np.asarray(fp, np.int32),
+                                    np.asarray(fi, np.int32),
+                                    np.asarray(fv), n)
+            with np.errstate(divide="ignore"):
+                udinv = np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 1.0)
+            return ILUDiaPrecon(L=L, U=U, udinv=jnp.asarray(udinv),
+                                nsweeps=getattr(opts, "ssor_sweeps", 2))
+    ptr, index, value = A.to_csr_arrays()
     if not np.iscomplexobj(value):
         from lis_tpu import _native
         out = _native.iluk_factor(ptr, index, value, fill)
