@@ -208,6 +208,19 @@ def undistribute_csr(A):
     distribute_csr/dia; the reference's lis_matrix_merge direction)."""
     import scipy.sparse as sp
     from lis_tpu.matrix.csr import CSRMatrix
+    if isinstance(A, DistHybridMatrix):
+        import scipy.sparse as _sp
+        d = undistribute_csr(A.dia)
+        r = undistribute_csr(A.rem)
+        dp, di, dv = d.to_csr_arrays()
+        rp, ri, rv = r.to_csr_arrays()
+        m = (_sp.csr_matrix((np.asarray(dv), np.asarray(di), np.asarray(dp)),
+                            shape=(A.gn, A.gn))
+             + _sp.csr_matrix((np.asarray(rv), np.asarray(ri),
+                               np.asarray(rp)), shape=(A.gn, A.gn))).tocsr()
+        m.sort_indices()
+        return CSRMatrix.from_csr_arrays(m.indptr, m.indices, m.data,
+                                         (A.gn, A.gn))
     if isinstance(A, DistDIAMatrix):
         from lis_tpu.matrix.dia import DIAMatrix
         from lis_tpu.matrix.convert import convert_matrix
@@ -522,6 +535,18 @@ def distribute_matrix(A, mesh: Mesh, halo: str = "auto"):
     bw = int(np.abs(offs).max()) if offs is not None and len(offs) else 0
     if is_banded(A) and 0 < bw <= nlocal:
         return distribute_dia(A, mesh)
+    # quasi-banded: dominant diagonals stream, small remainder gathers
+    from lis_tpu.matrix.hybrid import HybridMatrix
+    try:
+        H = HybridMatrix.from_csr_arrays(*A.to_csr_arrays(), A.shape)
+    except NotImplementedError:
+        H = None
+    if H is not None:
+        hbw = max((abs(o) for o in H.dia.offsets), default=0)
+        if 0 < hbw <= nlocal:
+            return DistHybridMatrix(
+                dia=distribute_dia(H.dia, mesh),
+                rem=distribute_csr(H.rem, mesh, halo="gather"))
     return distribute_csr(A, mesh, halo=halo)
 
 
@@ -607,3 +632,51 @@ def make_dist_dd_operator(A: DistDIAMatrix, mesh: Mesh,
         value=tuple(vhi), value_lo=tuple(vlo),
         offsets=A.offsets, nlocal=A.nlocal, gn=A.gn, gn_pad=A.gn_pad,
         nprocs=A.nprocs, hw=A.hw)
+
+
+@dataclasses.dataclass(frozen=True)
+class DistHybridMatrix(SparseMatrix):
+    """Sharded HDI: dominant diagonals as a DistDIAMatrix + remainder as a
+    gather-halo DistCSRMatrix — the distributed form of the hybrid layout
+    (matrix/hybrid.py)."""
+    dia: object
+    rem: object
+
+    def matvec(self, x_local):
+        return self.dia.matvec(x_local) + self.rem.matvec(x_local)
+
+    def matvech(self, x_local):
+        return self.dia.matvech(x_local) + self.rem.matvech(x_local)
+
+    def get_diagonal(self):
+        return self.dia.get_diagonal() + self.rem.get_diagonal()
+
+    @property
+    def nrows(self):
+        return self.dia.gn
+
+    @property
+    def ncols(self):
+        return self.dia.gn
+
+    @property
+    def gn(self):
+        return self.dia.gn
+
+    @property
+    def gn_pad(self):
+        return self.dia.gn_pad
+
+    @property
+    def nlocal(self):
+        return self.dia.nlocal
+
+    @property
+    def nprocs(self):
+        return self.dia.nprocs
+
+
+jax.tree_util.register_pytree_node(
+    DistHybridMatrix,
+    lambda m: ((m.dia, m.rem), ()),
+    lambda aux, c: DistHybridMatrix(*c))

@@ -187,3 +187,22 @@ def test_dist_stationary(mesh, prob, sopt):
     r = dist_solve(Ad, b, mesh, options=f"{sopt} -tol 1e-8 -maxiter 5000")
     assert r.status == lis_tpu.LIS_SUCCESS
     assert _tr(ad, b, r.x) < 1e-7
+
+
+def test_dist_hybrid(mesh):
+    """Quasi-banded operators distribute as HDI: DIA streams + gather-halo
+    remainder; block-local precons work through the merged view."""
+    import scipy.sparse as sp
+    from lis_tpu.parallel.dist import distribute_matrix, DistHybridMatrix
+    n = 400
+    a = sp.csr_matrix(np.asarray(poisson2d(20, 20).to_dense())) \
+        + sp.random(n, n, density=0.001, random_state=7)
+    a = a.tocsr(); a.sort_indices()
+    from lis_tpu.matrix.csr import CSRMatrix
+    A = CSRMatrix.from_csr_arrays(a.indptr, a.indices, a.data, a.shape)
+    Ad = distribute_matrix(A, mesh)
+    assert isinstance(Ad, DistHybridMatrix)
+    b = np.asarray(a @ np.ones(n))
+    r = dist_solve(Ad, b, mesh, options="-i bicgstab -p ilu -tol 1e-10")
+    assert r.status == lis_tpu.LIS_SUCCESS
+    assert np.abs(np.asarray(r.x) - 1).max() < 1e-7
