@@ -336,6 +336,23 @@ def create_iluk(A, opts):
     return _plans_from_rows(rows, A.nrows, A.shape)
 
 
+def _maybe_dia_apply(fp, fi, fv, A, opts, max_nnd=512):
+    """Opportunistic DIA relaxed-sweep apply for a factored LU in CSR: the
+    factors of a banded operator keep (roughly) its profile, so when they
+    fit on few diagonals the psolve can be diagonal streams instead of
+    gather-bound level-scheduled plans."""
+    n = A.nrows
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(fp))
+    offs = np.unique(fi.astype(np.int64) - rows)
+    if len(offs) > max_nnd or len(offs) * n > 4 * max(len(fv), 1):
+        return None
+    L, U, d = _dia_from_csr(fp, fi, fv, n)
+    with np.errstate(divide="ignore"):
+        udinv = np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 1.0)
+    return ILUDiaPrecon(L=L, U=U, udinv=jnp.asarray(udinv),
+                        nsweeps=getattr(opts, "ssor_sweeps", 2))
+
+
 @register_precon("ilut")
 def create_ilut(A, opts):
     ptr, index, value = A.to_csr_arrays()
@@ -345,6 +362,12 @@ def create_ilut(A, opts):
         from lis_tpu import _native
         out = _native.ilut_factor(ptr, index, value, drop, rate)
         if out is not None:
+            if getattr(A, "format_name", None) == "dia":
+                fast = _maybe_dia_apply(np.asarray(out[0]),
+                                        np.asarray(out[1]),
+                                        np.asarray(out[2]), A, opts)
+                if fast is not None:
+                    return fast
             return _plans_from_combined_csr(*out, A.nrows, A.shape)
     rows = _factor_ilut(ptr, index, value, A.nrows, drop, rate)
     return _plans_from_rows(rows, A.nrows, A.shape)
@@ -359,6 +382,12 @@ def create_iluc(A, opts):
         from lis_tpu import _native
         out = _native.ilut_factor(ptr, index, value, drop, rate)
         if out is not None:
+            if getattr(A, "format_name", None) == "dia":
+                fast = _maybe_dia_apply(np.asarray(out[0]),
+                                        np.asarray(out[1]),
+                                        np.asarray(out[2]), A, opts)
+                if fast is not None:
+                    return fast
             return _plans_from_combined_csr(*out, A.nrows, A.shape)
     rows = _factor_iluc(ptr, index, value, A.nrows, drop, rate)
     return _plans_from_rows(rows, A.nrows, A.shape)
