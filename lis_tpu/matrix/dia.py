@@ -73,6 +73,12 @@ class DIAMatrix(SparseMatrix):
         ptr = np.cumsum(ptr).astype(np.int32)
         return ptr, c.astype(np.int32), v
 
+    def get_diagonal(self):
+        if 0 in self.offsets:
+            return self.value[self.offsets.index(0)]
+        dt = self.value[0].dtype if self.value else jnp.float64
+        return jnp.zeros(self.nrows, dt)
+
     def _padded(self, x):
         pad = max(max(abs(o) for o in self.offsets), 1) if self.offsets else 1
         return jnp.pad(x, (pad, pad)), pad
