@@ -52,6 +52,15 @@ def ecg(A, B, x0, opts):
                solver="cg", precon="none", tol=1e-10,
                maxiter=opts.inner.maxiter).x
     Ap = x
+    if B is None:
+        # standard problem: the whole iteration is one compiled while_loop
+        iters, x, lam, resid, rh = _ecg_run(A, M, x, Ax, p, Ap,
+                                            opts.maxiter, opts.tol)
+        iters = int(iters)
+        status = (C.LIS_SUCCESS if float(resid) < opts.tol
+                  else C.LIS_MAXITER)
+        return _result(float(lam) + sigma, x, iters, float(resid), status,
+                       np.asarray(rh)[1:iters + 1])
     lam, resid = 0.0, np.inf
     rh = []
     status, iters = C.LIS_MAXITER, opts.maxiter
@@ -75,20 +84,8 @@ def ecg(A, B, x0, opts):
         B3 = np.array([[d(w, w), d(x, w), d(p, w)],
                        [d(x, w), d(x, x), d(p, x)],
                        [d(p, w), d(p, x), d(p, p)]])
-        # smallest Ritz pair via inverse iteration on (A3, B3)
-        v3 = np.ones(3)
-        for _ in range(opts.maxiter):
-            v3 /= np.linalg.norm(v3)
-            B3v3 = B3 @ v3
-            try:
-                z3 = np.linalg.solve(A3, B3v3)
-            except np.linalg.LinAlgError:
-                break
-            mu3 = B3v3 @ z3
-            if np.linalg.norm(z3 - mu3 * B3v3) < opts.tol:
-                v3 = z3
-                break
-            v3 = z3
+        v3 = _small_ritz(np.asarray(A3), np.asarray(B3), opts.tol,
+                         opts.maxiter)
         w2 = v3[0] * w + v3[2] * p
         x = w2 + v3[1] * x
         p = w2
@@ -100,6 +97,93 @@ def ecg(A, B, x0, opts):
         npn = v.nrm2(p)
         p, Ap = p / npn, Ap / npn
     return _result(lam + sigma, x, iters, resid, status, rh)
+
+
+def _small_ritz(A3, B3, tol, maxiter):
+    """Smallest Ritz pair of the 3x3 pencil via inverse iteration (host)."""
+    v3 = np.ones(3)
+    for _ in range(maxiter):
+        v3 /= np.linalg.norm(v3)
+        B3v3 = B3 @ v3
+        try:
+            z3 = np.linalg.solve(A3, B3v3)
+        except np.linalg.LinAlgError:
+            break
+        mu3 = B3v3 @ z3
+        if np.linalg.norm(z3 - mu3 * B3v3) < tol:
+            return z3
+        v3 = z3
+    return v3
+
+
+import jax as _jax
+from functools import partial as _partial
+
+
+@_partial(_jax.jit, static_argnums=(6, 7))
+def _ecg_run(A, M, x, Ax, p, Ap, maxiter, tol):
+    dt = jnp.real(x).dtype
+    rh0 = jnp.full(maxiter + 1, jnp.nan, dtype=dt)
+
+    def cond(s):
+        it, x, Ax, p, Ap, lam, resid, rh = s
+        return (it <= maxiter) & (resid >= tol)
+
+    def step(s):
+        it, x, Ax, p, Ap, lam, resid, rh = s
+        lam = v.dot(x, Ax)
+        r = x - (1.0 / lam) * Ax
+        resid = v.nrm2(r)
+        rh = rh.at[it].set(resid)
+        w = M.psolve(r)
+        w = w / v.nrm2(w)
+        Aw = A.matvec(w)
+        d = lambda a, b: v.dot(a, b)
+        A3 = jnp.array([[d(w, Aw), d(x, Aw), d(p, Aw)],
+                        [d(x, Aw), d(x, Ax), d(p, Ax)],
+                        [d(p, Aw), d(p, Ax), d(p, Ap)]])
+        B3 = jnp.array([[d(w, w), d(x, w), d(p, w)],
+                        [d(x, w), d(x, x), d(p, x)],
+                        [d(p, w), d(p, x), d(p, p)]])
+
+        def solve3(Mm, rhs):
+            # Cramer's rule: TPU's LuDecomposition only supports f32/c64
+            c0 = jnp.cross(Mm[:, 1], Mm[:, 2])
+            det = jnp.dot(Mm[:, 0], c0)
+            det = jnp.where(det == 0, 1.0, det)
+            x0 = jnp.dot(rhs, c0)
+            x1 = jnp.dot(Mm[:, 0], jnp.cross(rhs, Mm[:, 2]))
+            x2 = jnp.dot(Mm[:, 0], jnp.cross(Mm[:, 1], rhs))
+            return jnp.stack([x0, x1, x2]) / det
+
+        def inv_it(_, v3):
+            v3 = v3 / jnp.linalg.norm(v3)
+            z3 = solve3(A3, B3 @ v3)
+            return jnp.where(jnp.all(jnp.isfinite(z3)), z3, v3)
+        v3 = _jax.lax.fori_loop(0, 30, inv_it, jnp.ones(3, A3.dtype))
+
+        w2 = v3[0] * w + v3[2] * p
+        xn = w2 + v3[1] * x
+        pn = w2
+        Aw2 = v3[0] * Aw + v3[2] * Ap
+        Axn = Aw2 + v3[1] * Ax
+        Apn = Aw2
+        nx = v.nrm2(xn)
+        xn, Axn = xn / nx, Axn / nx
+        npn = v.nrm2(pn)
+        pn, Apn = pn / npn, Apn / npn
+        # on convergence this step's updates are masked out by the cond
+        # check at the NEXT evaluation; keep = converged-this-step
+        keep = resid < tol
+        sel = lambda new, old: jnp.where(keep, old, new)
+        return (it + 1, sel(xn, x), sel(Axn, Ax), sel(pn, p),
+                sel(Apn, Ap), lam, resid, rh)
+
+    big = jnp.asarray(jnp.inf, dt)
+    it, x, Ax, p, Ap, lam, resid, rh = _jax.lax.while_loop(
+        cond, step, (jnp.asarray(1), x, Ax, p, Ap,
+                     jnp.zeros((), x.dtype), big, rh0))
+    return it - 1, x, lam, resid, rh
 
 
 @register_esolver("cr")
