@@ -203,6 +203,13 @@ def ecr(A, B, x0, opts):
     M = _make_psolve(A, opts)
 
     x = x0 / v.nrm2(x0)
+    if B is None:
+        iters, x, lam, resid, rh = _ecr_run(A, M, x, opts.maxiter, opts.tol)
+        iters = int(iters)
+        status = (C.LIS_SUCCESS if float(resid) < opts.tol
+                  else C.LIS_MAXITER)
+        return _result(float(lam) + sigma, x, iters, float(resid), status,
+                       np.asarray(rh)[1:iters + 1])
     Ax = matvec(x)
     lam = float(v.dot(x, Ax))
     r = -(Ax - lam * x)
@@ -236,3 +243,46 @@ def ecr(A, B, x0, opts):
             break
     x = x / v.nrm2(x)
     return _result(lam + sigma, x, iters, resid, status, rh)
+
+
+@_partial(_jax.jit, static_argnums=(3, 4))
+def _ecr_run(A, M, x, maxiter, tol):
+    """The ecr iteration as one compiled while_loop (standard problem)."""
+    dt = jnp.real(x).dtype
+    Ax = A.matvec(x)
+    lam = v.dot(x, Ax)
+    r = -(Ax - lam * x)
+    p = r
+    Ap = A.matvec(p)
+    rh0 = jnp.full(maxiter + 1, jnp.nan, dtype=dt)
+
+    def cond(s):
+        it, x, lam, r, p, Ap, resid, rh = s
+        return (it <= maxiter) & (resid >= tol)
+
+    def step(s):
+        it, x, lam, r, p, Ap, resid, rh = s
+        d = v.dot
+        rAp, rp = d(r, Ap), d(r, p)
+        ApAp, pAp, pp = d(Ap, Ap), d(p, Ap), d(p, p)
+        den = ApAp - 2.0 * lam * pAp + lam * lam * pp
+        den = jnp.where(den == 0, 1.0, den)
+        alpha = (rAp - lam * rp) / den
+        x = x + alpha * p
+        Ax = A.matvec(x)
+        lam = d(x, Ax) / (v.nrm2(x) ** 2)
+        r = -(Ax - lam * x)
+        w = M.psolve(r)
+        Aw = A.matvec(w)
+        beta = -(d(Aw, Ap) - lam * (d(p, Aw) + d(w, Ap))
+                 + lam * lam * d(w, p)) / den
+        p = w + beta * p
+        Ap = Aw + beta * Ap
+        resid = v.nrm2(r) / jnp.abs(jnp.where(lam == 0, 1.0, lam))
+        rh = rh.at[it].set(jnp.real(resid))
+        return (it + 1, x, lam, r, p, Ap, resid, rh)
+
+    big = jnp.asarray(jnp.inf, dt)
+    it, x, lam, r, p, Ap, resid, rh = _jax.lax.while_loop(
+        cond, step, (jnp.asarray(1), x, lam, r, p, Ap, big, rh0))
+    return it - 1, x / v.nrm2(x), lam, resid, rh
