@@ -239,6 +239,19 @@ def solve(A: SparseMatrix, b, x0=None, options=None, M=None,
                 f"no quad variant of {opts.solver!r}; have "
                 f"{sorted(k for k in SOLVER_FNS if k.endswith('_quad'))}")
         b_dd = b
+        if opts.precision in ("quad", "switch"):
+            try:
+                backend = jax.default_backend()
+            except Exception:
+                backend = "cpu"
+            if backend != "cpu":
+                import warnings
+                warnings.warn(
+                    "-f quad/switch uses f64-pair double-double, whose "
+                    "error-free transforms do NOT survive this backend's "
+                    "emulated f64 (the run behaves like plain double); use "
+                    "-f df / -f switch_df (f32 pairs) for working extended "
+                    "precision on TPU", RuntimeWarning, stacklevel=3)
         if opts.precision in ("df", "switch_df"):
             # vectors/preconditioner run on f32 limbs; the OPERATOR and the
             # RHS keep full precision as f32 pairs (casting either to
