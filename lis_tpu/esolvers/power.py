@@ -144,8 +144,15 @@ def _shift_solve(A, B, sigma, rhs, opts):
 @register_esolver("ii")
 def eii(A, B, x0, opts):
     """Inverse iteration (lis_eii): one inner solve per outer iteration;
-    eigenvalue from the Rayleigh quotient of the inverse map."""
+    eigenvalue from the Rayleigh quotient of the inverse map.
+
+    Standard problem: the OUTER loop nests the compiled inner Krylov solve
+    inside one while_loop — the whole eigensolve is a single XLA program
+    (the reference dispatches lis_solve_kernel per outer step,
+    lis_esolver_ii.c:216)."""
     sigma = opts.rval
+    if B is None:
+        return _eii_jit(A, x0, opts)
     x = x0 / v.nrm2(x0)
     evalue, resid = 0.0, np.inf
     rh = []
@@ -167,6 +174,64 @@ def eii(A, B, x0, opts):
             status, iters = C.LIS_SUCCESS, it
             break
     return _result(evalue, x, iters, resid, status, rh)
+
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=32)
+def _eii_runner(solver_name, inner_tol, inner_maxiter):
+    from lis_tpu.solvers.base import SOLVER_FNS, SolverSpec
+    from lis_tpu.precon.base import NonePrecon
+    inner = SolverSpec(solver=solver_name, tol=inner_tol,
+                       maxiter=inner_maxiter, conv_cond=0)
+    solver_fn = SOLVER_FNS[solver_name]
+    M = NonePrecon()
+
+    @_partial(_jax.jit, static_argnums=(4, 5))
+    def run(As, A, x0, sigma, maxiter, tol):
+        dt = jnp.real(x0).dtype
+        x = x0 / v.nrm2(x0)
+        rh0 = jnp.full(maxiter + 1, jnp.nan, dtype=dt)
+
+        def cond(s):
+            it, x, ev, resid, rh = s
+            return (it <= maxiter) & (resid > tol)
+
+        def step(s):
+            it, x, ev, resid, rh = s
+            y = solver_fn(As, x, jnp.zeros_like(x), M, inner).x
+            theta = v.dot(x, y)
+            xn = y / v.nrm2(y)
+            evn = sigma + 1.0 / theta
+            az = A.matvec(xn)
+            den = jnp.where(evn == 0, 1.0, jnp.abs(evn))
+            residn = v.nrm2(az - evn * xn) / den
+            rh = rh.at[it].set(jnp.real(residn))
+            return (it + 1, xn, evn, residn, rh)
+
+        big = jnp.asarray(jnp.inf, dt)
+        it, x, ev, resid, rh = _jax.lax.while_loop(
+            cond, step, (jnp.asarray(1), x, jnp.zeros((), dt), big, rh0))
+        return it - 1, x, ev, resid, rh
+
+    return run
+
+
+def _eii_jit(A, x0, opts):
+    sigma = opts.rval
+    As = A.shift_diagonal(sigma) if sigma != 0.0 else A
+    name = (opts.inner.solver
+            if opts.inner.solver in ("cg", "bicgstab", "cgs", "bicg",
+                                     "minres") else "bicgstab")
+    run = _eii_runner(name, opts.inner.tol, opts.inner.maxiter)
+    iters, x, ev, resid, rh = run(As, A, jnp.asarray(x0),
+                                  jnp.asarray(float(sigma)),
+                                  opts.maxiter, opts.tol)
+    iters = int(iters)
+    status = C.LIS_SUCCESS if float(resid) <= opts.tol else C.LIS_MAXITER
+    return _result(float(ev), x, iters, float(resid), status,
+                   np.asarray(rh)[1:iters + 1])
 
 
 @register_esolver("rqi")
