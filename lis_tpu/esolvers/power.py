@@ -201,6 +201,7 @@ def _eii_runner(solver_name, inner_tol, inner_maxiter):
         def step(s):
             it, x, ev, resid, rh = s
             y = solver_fn(As, x, jnp.zeros_like(x), M, inner).x
+            y = jnp.where(jnp.isfinite(y), y, 0.0)
             theta = v.dot(x, y)
             xn = y / v.nrm2(y)
             evn = sigma + 1.0 / theta
@@ -234,10 +235,111 @@ def _eii_jit(A, x0, opts):
                    np.asarray(rh)[1:iters + 1])
 
 
+class _Shifted:
+    """(A - sigma I) with sigma as a traced leaf, so RQI's moving shift
+    lives inside one compiled loop (no per-step matrix rebuild)."""
+
+    def __init__(self, A, sigma):
+        self.A = A
+        self.sigma = sigma
+
+    def matvec(self, x):
+        return self.A.matvec(x) - self.sigma * x
+
+    def matvech(self, x):
+        s = jnp.conj(self.sigma) if jnp.iscomplexobj(self.sigma) \
+            else self.sigma
+        return self.A.matvech(x) - s * x
+
+
+_jax.tree_util.register_pytree_node(
+    _Shifted,
+    lambda m: ((m.A, m.sigma), ()),
+    lambda aux, c: _Shifted(*c))
+
+
+@_lru_cache(maxsize=32)
+def _erqi_runner(solver_name, inner_tol, inner_maxiter):
+    from lis_tpu.solvers.base import SOLVER_FNS, SolverSpec
+    from lis_tpu.precon.base import NonePrecon
+    inner = SolverSpec(solver=solver_name, tol=inner_tol,
+                       maxiter=inner_maxiter, conv_cond=0)
+    solver_fn = SOLVER_FNS[solver_name]
+    M = NonePrecon()
+
+    @_partial(_jax.jit, static_argnums=(2, 3))
+    def run(A, x0, maxiter, tol):
+        dt = jnp.real(x0).dtype
+        x = x0 / v.nrm2(x0)
+        sigma0 = v.dot(x, A.matvec(x)) / v.dot(x, x)
+        rh0 = jnp.full(maxiter + 1, jnp.nan, dtype=dt)
+
+        def cond(s):
+            it, x, sigma, ev, resid, rh, badcnt = s
+            return (it <= maxiter) & (resid > tol) & (badcnt < 3)
+
+        def step(s):
+            it, x, sigma, ev, resid, rh, badcnt = s
+            y = solver_fn(_Shifted(A, sigma), x, jnp.zeros_like(x), M,
+                          inner).x
+            # a near-singular shift makes the inner Krylov blow up in the
+            # target eigendirection — that's RQI working; keep the finite
+            # part (the host path gets the same effect from the driver's
+            # breakdown handling)
+            y = jnp.where(jnp.isfinite(y), y, 0.0)
+            ynrm = v.nrm2(y)
+            bad = ~jnp.isfinite(ynrm) | (ynrm == 0.0)
+            xn = jnp.where(bad, x, y / jnp.where(ynrm == 0, 1.0, ynrm))
+            evn = v.dot(xn, A.matvec(xn)) / v.dot(xn, xn)
+            den = jnp.where(evn == 0, 1.0, jnp.abs(evn))
+            residn = v.nrm2(A.matvec(xn) - evn * xn) / den
+            # guarded shift update (see the host-path comment)
+            move = (residn < 0.5 * resid) | ~jnp.isfinite(resid)
+            sigman = jnp.where(move, evn, sigma)
+            rh = rh.at[it].set(jnp.real(residn))
+            keep = lambda new, old: jnp.where(bad, old, new)
+            # an unusable inner solve (all-nonfinite, e.g. emulated-f64
+            # breakdown on a near-singular shift): nudge the shift off the
+            # eigenvalue and retry; give up after 3 consecutive failures
+            sig_retry = sigma * (1.0 + 1e-6) + jnp.asarray(1e-12, dt)
+            return (it + 1, keep(xn, x),
+                    jnp.where(bad, sig_retry, sigman),
+                    keep(evn, ev), keep(residn, resid), rh,
+                    jnp.where(bad, badcnt + 1, 0))
+
+        big = jnp.asarray(jnp.inf, dt)
+        it, x, sigma, ev, resid, rh, badcnt = _jax.lax.while_loop(
+            cond, step, (jnp.asarray(1), x, sigma0, sigma0, big, rh0,
+                         jnp.asarray(0)))
+        return it - 1, x, ev, resid, rh, badcnt >= 3
+
+    return run
+
+
+def _erqi_jit(A, x0, opts):
+    name = (opts.inner.solver
+            if opts.inner.solver in ("cg", "bicgstab", "cgs", "bicg",
+                                     "minres") else "bicgstab")
+    run = _erqi_runner(name, opts.inner.tol, opts.inner.maxiter)
+    iters, x, ev, resid, rh, dead = run(A, jnp.asarray(x0), opts.maxiter,
+                                        opts.tol)
+    iters = int(iters)
+    resid = float(resid)
+    if bool(dead):
+        status = (C.LIS_SUCCESS if resid <= opts.tol * 1e3
+                  else C.LIS_BREAKDOWN)
+    else:
+        status = C.LIS_SUCCESS if resid <= opts.tol else C.LIS_MAXITER
+    return _result(float(ev), x, iters, resid, status,
+                   np.asarray(rh)[1:iters + 1])
+
+
 @register_esolver("rqi")
 def erqi(A, B, x0, opts):
     """Rayleigh-quotient iteration (lis_erqi): the shift follows the
     Rayleigh quotient, giving cubic local convergence."""
+    if B is None and opts.rval == 0.0:
+        return _erqi_jit(A, x0, opts)
     x = x0 / v.nrm2(x0)
     bx = x if B is None else B.matvec(x)
     sigma = float(v.dot(x, A.matvec(x)) / v.dot(x, bx))
