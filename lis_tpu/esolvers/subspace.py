@@ -63,9 +63,28 @@ def _refine_pair(A, B, lam, x, opts):
     reference's per-pair refinement by the inner esolver,
     lis_esolver_li.c:576).  The shift stays at the Ritz value: updating it
     to the converging eigenvalue makes the inner system exactly singular
-    and stalls the inner Krylov solve."""
+    and stalls the inner Krylov solve.
+
+    Standard problem: runs as the cached compiled II loop (one XLA
+    program per pair instead of a host dispatch per inner solve)."""
     from lis_tpu.esolvers.power import _shift_solve
     resid = _pair_resid(A, B, lam, x)
+    if resid <= opts.tol:
+        return lam, x, resid
+    if B is None:
+        import jax.numpy as _jnp
+        from lis_tpu.esolvers.power import _eii_runner
+        name = (opts.inner.solver
+                if opts.inner.solver in ("cg", "bicgstab", "cgs", "bicg",
+                                         "minres") else "bicgstab")
+        run = _eii_runner(name, opts.inner.tol, opts.inner.maxiter)
+        As = A.shift_diagonal(lam)
+        iters, xr, ev, res, rh = run(As, A, _jnp.asarray(x),
+                                     _jnp.asarray(float(lam)), 50, opts.tol)
+        res = float(res)
+        if np.isfinite(res) and res < resid:
+            return float(ev), xr, res
+        return lam, x, resid
     sigma = lam
     for _ in range(min(max(opts.maxiter, 10), 50)):
         if resid <= opts.tol:
