@@ -105,3 +105,38 @@ def test_formats_solve_identically():
         _check(res, a, b, 1e-10)
         iters[fmt] = res.iters
     assert len(set(iters.values())) == 1, iters  # same math in every format
+
+
+def test_nonzero_x0_and_conv_conds():
+    """-initx_zeros false honors the caller's x0; all three -conv_cond
+    criteria converge (lis_solver_get_residual[], lis_solver.c:157-161)."""
+    from tests.problems import poisson2d
+    a = poisson2d(10, 10)
+    b = np.asarray(a.to_dense() @ np.ones(100))
+    x0 = np.random.default_rng(3).standard_normal(100)
+    r = solve(a, b, options="-i cg -initx_zeros false -tol 1e-10", x0=x0)
+    assert r.status == lis_tpu.LIS_SUCCESS
+    r0 = solve(a, b, options="-i cg -tol 1e-10")
+    # the nonzero guess was actually used: different convergence trajectory
+    k = min(r.iters, r0.iters)
+    assert not np.allclose(r.rhistory[:k], r0.rhistory[:k])
+    # nrm1_b needs -tol_w: its criterion is ||r||_1 <= tol_w*||b||_1 + tol
+    # and the reference's default tol_w=1.0 converges trivially
+    # (lis_solver.c:271,814) — reproduce that too
+    rt = solve(a, b, options="-i bicgstab -conv_cond nrm1_b -tol 1e-9")
+    assert rt.status == lis_tpu.LIS_SUCCESS and rt.iters == 1
+    for copt in ("-conv_cond nrm2_r", "-conv_cond nrm2_b",
+                 "-conv_cond nrm1_b -tol_w 0"):
+        rc = solve(a, b, options=f"-i bicgstab {copt} -tol 1e-9")
+        assert rc.status == lis_tpu.LIS_SUCCESS, copt
+        assert np.abs(np.asarray(rc.x) - 1).max() < 1e-6, copt
+
+
+def test_print_mem_records_history():
+    """-print mem records rhistory without console output (lis.h:141-144)."""
+    from tests.problems import poisson2d
+    a = poisson2d(8, 8)
+    r = solve(a, np.ones(64), options="-i cg -print mem -tol 1e-10")
+    assert len(r.rhistory) == r.iters + 1
+    assert r.rhistory[0] == 1.0
+    assert r.rhistory[-1] < 1e-9
