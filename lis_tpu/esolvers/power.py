@@ -20,6 +20,9 @@ from lis_tpu import config as C
 from lis_tpu.core import vector as v
 from lis_tpu.esolvers.base import register_esolver
 
+import jax as _jax
+from functools import lru_cache as _lru_cache, partial as _partial
+
 
 def _result(evalue, x, iters, resid, status, rh):
     from lis_tpu.esolvers.driver import EsolveResult
@@ -55,12 +58,14 @@ def _bsolve(B, rhs, opts):
 def epi(A, B, x0, opts):
     """Power iteration (lis_epi). For Ax=λBx iterates B⁻¹A.
 
-    The standard problem runs as ONE compiled while_loop (a Python loop
-    costs a dispatch round-trip per iteration — ~35 ms each through a
-    remote-chip relay); the generalized problem keeps the host loop since
-    every step runs a full inner B-solve."""
+    Both the standard and generalized problems run as ONE compiled
+    while_loop (the generalized step nests the inner B-solve — a Python
+    loop costs a dispatch round-trip per iteration, ~35 ms each through a
+    remote-chip relay)."""
     if B is None:
         return _epi_jit(A, x0, opts)
+    if opts.inner.solver in ("cg", "bicgstab", "cgs", "bicg", "minres"):
+        return _egpi_jit(A, B, x0, opts)
     x = x0 / v.nrm2(x0)
     evalue, resid = 0.0, np.inf
     rh = []
@@ -82,10 +87,6 @@ def epi(A, B, x0, opts):
             status, iters = C.LIS_SUCCESS, it
             break
     return _result(evalue, x, iters, resid, status, rh)
-
-
-import jax as _jax
-from functools import partial as _partial
 
 
 @_partial(_jax.jit, static_argnums=(2, 3))
@@ -123,6 +124,58 @@ def _epi_jit(A, x0, opts):
     status = C.LIS_SUCCESS if float(resid) <= opts.tol else C.LIS_MAXITER
     return _result(complex(lam) if jnp.iscomplexobj(x) else float(lam),
                    x, iters, float(resid), status,
+                   np.asarray(rh)[1:iters + 1])
+
+
+@_lru_cache(maxsize=32)
+def _egpi_runner(solver_name, inner_tol, inner_maxiter):
+    from lis_tpu.solvers.base import SOLVER_FNS, SolverSpec
+    from lis_tpu.precon.base import NonePrecon
+    inner = SolverSpec(solver=solver_name, tol=inner_tol,
+                       maxiter=inner_maxiter, conv_cond=0)
+    solver_fn = SOLVER_FNS[solver_name]
+    M = NonePrecon()
+
+    @_partial(_jax.jit, static_argnums=(3, 4))
+    def run(A, B, x0, maxiter, tol):
+        dt = jnp.real(x0).dtype
+        x = x0 / v.nrm2(x0)
+        rh0 = jnp.full(maxiter + 1, jnp.nan, dtype=dt)
+
+        def bsolve(rhs):
+            return solver_fn(B, rhs, jnp.zeros_like(rhs), M, inner).x
+
+        def cond(s):
+            it, x, ev, resid, rh = s
+            return (it <= maxiter) & (resid > tol)
+
+        def step(s):
+            it, x, ev, resid, rh = s
+            z = bsolve(A.matvec(x))
+            evn = v.dot(x, z)
+            xn = z / v.nrm2(z)
+            az = bsolve(A.matvec(xn))
+            den = jnp.where(evn == 0, 1.0, jnp.abs(evn))
+            residn = v.nrm2(az - evn * xn) / den
+            rh = rh.at[it].set(jnp.real(residn))
+            return (it + 1, xn, evn, residn, rh)
+
+        big = jnp.asarray(jnp.inf, dt)
+        it, x, ev, resid, rh = _jax.lax.while_loop(
+            cond, step, (jnp.asarray(1), x, jnp.zeros((), dt), big, rh0))
+        return it - 1, x, ev, resid, rh
+
+    return run
+
+
+def _egpi_jit(A, B, x0, opts):
+    run = _egpi_runner(opts.inner.solver, opts.inner.tol,
+                       opts.inner.maxiter)
+    iters, x, ev, resid, rh = run(A, B, jnp.asarray(x0), opts.maxiter,
+                                  opts.tol)
+    iters = int(iters)
+    status = C.LIS_SUCCESS if float(resid) <= opts.tol else C.LIS_MAXITER
+    return _result(float(ev), x, iters, float(resid), status,
                    np.asarray(rh)[1:iters + 1])
 
 
@@ -174,9 +227,6 @@ def eii(A, B, x0, opts):
             status, iters = C.LIS_SUCCESS, it
             break
     return _result(evalue, x, iters, resid, status, rh)
-
-
-from functools import lru_cache as _lru_cache
 
 
 @_lru_cache(maxsize=32)
