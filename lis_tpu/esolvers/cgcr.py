@@ -52,9 +52,12 @@ def ecg(A, B, x0, opts):
                solver="cg", precon="none", tol=1e-10,
                maxiter=opts.inner.maxiter).x
     Ap = x
-    if B is None:
-        # standard problem: the whole iteration is one compiled while_loop
-        iters, x, lam, resid, rh = _ecg_run(A, M, x, Ax, p, Ap,
+    # both problems run as one compiled while_loop — generalized via the
+    # B⁻¹A pencil operator with the inner B-solve nested
+    from lis_tpu.esolvers.power import _GenOp, _gen_inner_key
+    op = A if B is None else _GenOp(A, B, _gen_inner_key(opts))
+    if True:
+        iters, x, lam, resid, rh = _ecg_run(op, M, x, Ax, p, Ap,
                                             opts.maxiter, opts.tol)
         iters = int(iters)
         status = (C.LIS_SUCCESS if float(resid) < opts.tol
@@ -203,8 +206,11 @@ def ecr(A, B, x0, opts):
     M = _make_psolve(A, opts)
 
     x = x0 / v.nrm2(x0)
-    if B is None:
-        iters, x, lam, resid, rh = _ecr_run(A, M, x, opts.maxiter, opts.tol)
+    from lis_tpu.esolvers.power import _GenOp, _gen_inner_key
+    op = A if B is None else _GenOp(A, B, _gen_inner_key(opts))
+    if True:
+        iters, x, lam, resid, rh = _ecr_run(op, M, x, opts.maxiter,
+                                            opts.tol)
         iters = int(iters)
         status = (C.LIS_SUCCESS if float(resid) < opts.tol
                   else C.LIS_MAXITER)

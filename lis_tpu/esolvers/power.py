@@ -127,6 +127,38 @@ def _epi_jit(A, x0, opts):
                    np.asarray(rh)[1:iters + 1])
 
 
+class _GenOp:
+    """B⁻¹A as a pytree operator: matvec nests the inner Krylov B-solve,
+    so the standard-problem compiled eigensolver loops work unchanged on
+    the generalized pencil."""
+
+    def __init__(self, A, B, inner_key):
+        self.A = A
+        self.B = B
+        self.inner_key = inner_key      # (solver_name, tol, maxiter) static
+
+    def matvec(self, x):
+        from lis_tpu.solvers.base import SOLVER_FNS, SolverSpec
+        from lis_tpu.precon.base import NonePrecon
+        name, tol, mi = self.inner_key
+        spec = SolverSpec(solver=name, tol=tol, maxiter=mi, conv_cond=0)
+        return SOLVER_FNS[name](self.B, self.A.matvec(x),
+                                jnp.zeros_like(x), NonePrecon(), spec).x
+
+
+_jax.tree_util.register_pytree_node(
+    _GenOp,
+    lambda m: ((m.A, m.B), (m.inner_key,)),
+    lambda aux, c: _GenOp(c[0], c[1], aux[0]))
+
+
+def _gen_inner_key(opts):
+    name = (opts.inner.solver
+            if opts.inner.solver in ("cg", "bicgstab", "cgs", "bicg",
+                                     "minres") else "bicgstab")
+    return (name, opts.inner.tol, opts.inner.maxiter)
+
+
 @_lru_cache(maxsize=32)
 def _egpi_runner(solver_name, inner_tol, inner_maxiter):
     from lis_tpu.solvers.base import SOLVER_FNS, SolverSpec
