@@ -352,6 +352,8 @@ def lis_esolver_get_residualnorm(esolver):
 
 def lis_esolver_get_evalues(esolver, v=None):
     ev = esolver.result.evalues
+    if ev is None:
+        ev = np.asarray([esolver.result.evalue])
     if v is not None:
         import jax.numpy as jnp
         v.value = jnp.asarray(ev)

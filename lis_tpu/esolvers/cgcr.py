@@ -48,75 +48,22 @@ def ecg(A, B, x0, opts):
     Ax = matvec(x)
     # p = A⁻¹ x (one inner CG solve, lis_esolver_cg.c:213)
     from lis_tpu.solvers.driver import solve as lsolve
-    p = lsolve(A if B is None else A, np.asarray(x),
-               solver="cg", precon="none", tol=1e-10,
+    p = lsolve(A, np.asarray(x), solver="cg", precon="none", tol=1e-10,
                maxiter=opts.inner.maxiter).x
-    Ap = x
-    # both problems run as one compiled while_loop — generalized via the
-    # B⁻¹A pencil operator with the inner B-solve nested
-    from lis_tpu.esolvers.power import _GenOp, _gen_inner_key
-    op = A if B is None else _GenOp(A, B, _gen_inner_key(opts))
-    if True:
-        iters, x, lam, resid, rh = _ecg_run(op, M, x, Ax, p, Ap,
+    if B is None:
+        # standard problem: one compiled while_loop; A·p = A·A⁻¹x = x
+        iters, x, lam, resid, rh = _ecg_run(A, M, x, Ax, p, x,
                                             opts.maxiter, opts.tol)
-        iters = int(iters)
-        status = (C.LIS_SUCCESS if float(resid) < opts.tol
-                  else C.LIS_MAXITER)
-        return _result(float(lam) + sigma, x, iters, float(resid), status,
-                       np.asarray(rh)[1:iters + 1])
-    lam, resid = 0.0, np.inf
-    rh = []
-    status, iters = C.LIS_MAXITER, opts.maxiter
-    for it in range(1, opts.maxiter + 1):
-        lam = float(v.dot(x, Ax))
-        r = x - (1.0 / lam) * Ax
-        resid = float(v.nrm2(r))
-        rh.append(resid)
-        if resid < opts.tol:
-            status, iters = C.LIS_SUCCESS, it
-            break
-        w = M.psolve(r)
-        w = w / v.nrm2(w)
-        Aw = matvec(w)
-        # 3×3 Rayleigh-Ritz generalized problem on span{w, x, p}
-        def d(a, b):
-            return float(v.dot(a, b))
-        A3 = np.array([[d(w, Aw), d(x, Aw), d(p, Aw)],
-                       [d(x, Aw), d(x, Ax), d(p, Ax)],
-                       [d(p, Aw), d(p, Ax), d(p, Ap)]])
-        B3 = np.array([[d(w, w), d(x, w), d(p, w)],
-                       [d(x, w), d(x, x), d(p, x)],
-                       [d(p, w), d(p, x), d(p, p)]])
-        v3 = _small_ritz(np.asarray(A3), np.asarray(B3), opts.tol,
-                         opts.maxiter)
-        w2 = v3[0] * w + v3[2] * p
-        x = w2 + v3[1] * x
-        p = w2
-        Aw2 = v3[0] * Aw + v3[2] * Ap
-        Ax = Aw2 + v3[1] * Ax
-        Ap = Aw2
-        nx = v.nrm2(x)
-        x, Ax = x / nx, Ax / nx
-        npn = v.nrm2(p)
-        p, Ap = p / npn, Ap / npn
-    return _result(lam + sigma, x, iters, resid, status, rh)
-
-
-def _small_ritz(A3, B3, tol, maxiter):
-    """Smallest Ritz pair of the 3x3 pencil via inverse iteration (host)."""
-    v3 = np.ones(3)
-    for _ in range(maxiter):
-        v3 /= np.linalg.norm(v3)
-        B3v3 = B3 @ v3
-        try:
-            z3 = np.linalg.solve(A3, B3v3)
-        except np.linalg.LinAlgError:
-            break
-        mu3 = B3v3 @ z3
-        if np.linalg.norm(z3 - mu3 * B3v3) < tol:
-            return z3
-        v3 = z3
-    return v3
+    else:
+        # generalized pencil, reference style (lis_egcg): explicit A- and
+        # B-matvecs, Rayleigh-Ritz on the 3x3 pencil — no nested solves
+        iters, x, lam, resid, rh = _egcg_run(A, B, M, x, p,
+                                             opts.maxiter, opts.tol)
+    iters = int(iters)
+    status = (C.LIS_SUCCESS if float(resid) < opts.tol
+              else C.LIS_MAXITER)
+    return _result(float(lam) + sigma, x, iters, float(resid), status,
+                   np.asarray(rh)[1:iters + 1])
 
 
 import jax as _jax
@@ -193,62 +140,20 @@ def _ecg_run(A, M, x, Ax, p, Ap, maxiter, tol):
 def ecr(A, B, x0, opts):
     """CR eigensolver (lis_ecr): conjugate-residual iteration on the
     Rayleigh quotient; the reference's default esolver."""
-    if B is not None:
-        from lis_tpu.esolvers.power import _bsolve
-        matvec = lambda z: _bsolve(B, A.matvec(z), opts)
-    else:
-        matvec = A.matvec
     sigma = opts.rval
     if sigma != 0.0:
         A = A.shift_diagonal(sigma)
-        if B is None:
-            matvec = A.matvec
     M = _make_psolve(A, opts)
 
     x = x0 / v.nrm2(x0)
     from lis_tpu.esolvers.power import _GenOp, _gen_inner_key
     op = A if B is None else _GenOp(A, B, _gen_inner_key(opts))
-    if True:
-        iters, x, lam, resid, rh = _ecr_run(op, M, x, opts.maxiter,
-                                            opts.tol)
-        iters = int(iters)
-        status = (C.LIS_SUCCESS if float(resid) < opts.tol
-                  else C.LIS_MAXITER)
-        return _result(float(lam) + sigma, x, iters, float(resid), status,
-                       np.asarray(rh)[1:iters + 1])
-    Ax = matvec(x)
-    lam = float(v.dot(x, Ax))
-    r = -(Ax - lam * x)
-    p = r
-    Ap = matvec(p)
-    resid = np.inf
-    rh = []
-    status, iters = C.LIS_MAXITER, opts.maxiter
-    for it in range(1, opts.maxiter + 1):
-        rAp = float(v.dot(r, Ap)); rp = float(v.dot(r, p))
-        ApAp = float(v.dot(Ap, Ap)); pAp = float(v.dot(p, Ap))
-        pp = float(v.dot(p, p))
-        den = ApAp - 2.0 * lam * pAp + lam * lam * pp
-        alpha = (rAp - lam * rp) / den
-        x = x + alpha * p
-        Ax = matvec(x)
-        nx2 = float(v.nrm2(x)) ** 2
-        lam = float(v.dot(x, Ax)) / nx2
-        r = -(Ax - lam * x)
-        w = M.psolve(r)
-        Aw = matvec(w)
-        AwAp = float(v.dot(Aw, Ap)); pAw = float(v.dot(p, Aw))
-        wAp = float(v.dot(w, Ap)); wp = float(v.dot(w, p))
-        beta = -(AwAp - lam * (pAw + wAp) + lam * lam * wp) / den
-        p = w + beta * p
-        Ap = Aw + beta * Ap
-        resid = float(v.nrm2(r)) / abs(lam)
-        rh.append(resid)
-        if resid < opts.tol:
-            status, iters = C.LIS_SUCCESS, it
-            break
-    x = x / v.nrm2(x)
-    return _result(lam + sigma, x, iters, resid, status, rh)
+    iters, x, lam, resid, rh = _ecr_run(op, M, x, opts.maxiter, opts.tol)
+    iters = int(iters)
+    status = (C.LIS_SUCCESS if float(resid) < opts.tol
+              else C.LIS_MAXITER)
+    return _result(float(lam) + sigma, x, iters, float(resid), status,
+                   np.asarray(rh)[1:iters + 1])
 
 
 @_partial(_jax.jit, static_argnums=(3, 4))
@@ -292,3 +197,78 @@ def _ecr_run(A, M, x, maxiter, tol):
     it, x, lam, r, p, Ap, resid, rh = _jax.lax.while_loop(
         cond, step, (jnp.asarray(1), x, lam, r, p, Ap, big, rh0))
     return it - 1, x / v.nrm2(x), lam, resid, rh
+
+
+@_partial(_jax.jit, static_argnums=(5, 6))
+def _egcg_run(A, B, M, x, p, maxiter, tol):
+    """Generalized CG eigeniteration (lis_egcg, lis_esolver_cg.c): pencil
+    Rayleigh-Ritz on span{w, x, p} with explicit A/B images; the residual
+    is r = Bx - Ax/lam with lam = (Ax·Bx)/(Bx·Bx), as in the reference."""
+    dt = jnp.real(x).dtype
+    Ax = A.matvec(x)
+    Bx = B.matvec(x)
+    Ap = x                      # p = A⁻¹x from the setup solve
+    Bp = B.matvec(p)
+    rh0 = jnp.full(maxiter + 1, jnp.nan, dtype=dt)
+
+    def solve3(Mm, rhs):
+        c0 = jnp.cross(Mm[:, 1], Mm[:, 2])
+        det = jnp.dot(Mm[:, 0], c0)
+        det = jnp.where(det == 0, 1.0, det)
+        x0 = jnp.dot(rhs, c0)
+        x1 = jnp.dot(Mm[:, 0], jnp.cross(rhs, Mm[:, 2]))
+        x2 = jnp.dot(Mm[:, 0], jnp.cross(Mm[:, 1], rhs))
+        return jnp.stack([x0, x1, x2]) / det
+
+    def cond(s):
+        it, x, Ax, Bx, p, Ap, Bp, lam, resid, rh = s
+        return (it <= maxiter) & (resid >= tol)
+
+    def step(s):
+        it, x, Ax, Bx, p, Ap, Bp, lam, resid, rh = s
+        d = v.dot
+        lam = d(Ax, Bx) / d(Bx, Bx)
+        r = Bx - (1.0 / lam) * Ax
+        resid = v.nrm2(r)
+        rh = rh.at[it].set(jnp.real(resid))
+        w = M.psolve(r)
+        w = w / v.nrm2(w)
+        Aw = A.matvec(w)
+        Bw = B.matvec(w)
+        A3 = jnp.array([[d(w, Aw), d(x, Aw), d(p, Aw)],
+                        [d(x, Aw), d(x, Ax), d(p, Ax)],
+                        [d(p, Aw), d(p, Ax), d(p, Ap)]])
+        B3 = jnp.array([[d(w, Bw), d(x, Bw), d(p, Bw)],
+                        [d(x, Bw), d(x, Bx), d(p, Bx)],
+                        [d(p, Bw), d(p, Bx), d(p, Bp)]])
+
+        def inv_it(_, v3):
+            v3 = v3 / jnp.linalg.norm(v3)
+            z3 = solve3(A3, B3 @ v3)
+            return jnp.where(jnp.all(jnp.isfinite(z3)), z3, v3)
+        v3 = _jax.lax.fori_loop(0, 30, inv_it, jnp.ones(3, A3.dtype))
+
+        w2 = v3[0] * w + v3[2] * p
+        xn = w2 + v3[1] * x
+        pn = w2
+        Aw2 = v3[0] * Aw + v3[2] * Ap
+        Axn = Aw2 + v3[1] * Ax
+        Apn = Aw2
+        Bw2 = v3[0] * Bw + v3[2] * Bp
+        Bxn = Bw2 + v3[1] * Bx
+        Bpn = Bw2
+        nx = v.nrm2(xn)
+        xn, Axn, Bxn = xn / nx, Axn / nx, Bxn / nx
+        npn = v.nrm2(pn)
+        pn, Apn, Bpn = pn / npn, Apn / npn, Bpn / npn
+        keep = resid < tol
+        sel = lambda new, old: jnp.where(keep, old, new)
+        return (it + 1, sel(xn, x), sel(Axn, Ax), sel(Bxn, Bx),
+                sel(pn, p), sel(Apn, Ap), sel(Bpn, Bp), lam, resid, rh)
+
+    big = jnp.asarray(jnp.inf, dt)
+    st = (jnp.asarray(1), x, Ax, Bx, p, Ap, Bp, jnp.zeros((), x.dtype),
+          big, rh0)
+    it, x, Ax, Bx, p, Ap, Bp, lam, resid, rh = _jax.lax.while_loop(
+        cond, step, st)
+    return it - 1, x, lam, resid, rh

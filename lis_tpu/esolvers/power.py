@@ -64,7 +64,7 @@ def epi(A, B, x0, opts):
     remote-chip relay)."""
     if B is None:
         return _epi_jit(A, x0, opts)
-    if opts.inner.solver in ("cg", "bicgstab", "cgs", "bicg", "minres"):
+    if _jit_inner_ok(opts):
         return _egpi_jit(A, B, x0, opts)
     x = x0 / v.nrm2(x0)
     evalue, resid = 0.0, np.inf
@@ -159,6 +159,18 @@ def _gen_inner_key(opts):
     return (name, opts.inner.tol, opts.inner.maxiter)
 
 
+def _jit_inner_ok(opts):
+    """The compiled nested paths support unpreconditioned double inner
+    solves of the simple Krylov kinds; anything else (inner -p, -ef
+    quad/df, exotic inner solvers) keeps the host loop, which honors the
+    full inner option surface via the driver."""
+    return (opts.inner.precon == "none"
+            and getattr(opts, "precision", "double") == "double"
+            and opts.inner.precision == "double"
+            and opts.inner.solver in ("cg", "bicgstab", "cgs", "bicg",
+                                      "minres"))
+
+
 @_lru_cache(maxsize=32)
 def _egpi_runner(solver_name, inner_tol, inner_maxiter):
     from lis_tpu.solvers.base import SOLVER_FNS, SolverSpec
@@ -236,7 +248,7 @@ def eii(A, B, x0, opts):
     (the reference dispatches lis_solve_kernel per outer step,
     lis_esolver_ii.c:216)."""
     sigma = opts.rval
-    if B is None:
+    if B is None and _jit_inner_ok(opts):
         return _eii_jit(A, x0, opts)
     x = x0 / v.nrm2(x0)
     evalue, resid = 0.0, np.inf
@@ -407,11 +419,12 @@ def _erqi_jit(A, x0, opts):
                                         opts.tol)
     iters = int(iters)
     resid = float(resid)
-    if bool(dead):
-        status = (C.LIS_SUCCESS if resid <= opts.tol * 1e3
-                  else C.LIS_BREAKDOWN)
+    if resid <= opts.tol:
+        status = C.LIS_SUCCESS
+    elif bool(dead):
+        status = C.LIS_BREAKDOWN
     else:
-        status = C.LIS_SUCCESS if resid <= opts.tol else C.LIS_MAXITER
+        status = C.LIS_MAXITER
     return _result(float(ev), x, iters, resid, status,
                    np.asarray(rh)[1:iters + 1])
 
@@ -420,7 +433,7 @@ def _erqi_jit(A, x0, opts):
 def erqi(A, B, x0, opts):
     """Rayleigh-quotient iteration (lis_erqi): the shift follows the
     Rayleigh quotient, giving cubic local convergence."""
-    if B is None and opts.rval == 0.0:
+    if B is None and opts.rval == 0.0 and _jit_inner_ok(opts):
         return _erqi_jit(A, x0, opts)
     x = x0 / v.nrm2(x0)
     bx = x if B is None else B.matvec(x)

@@ -12,6 +12,9 @@ from __future__ import annotations
 from lis_tpu.matrix.base import SparseMatrix, get_format
 
 
+from lis_tpu.matrix import hybrid as _hybrid    # noqa: F401 (registers 'hdi')
+
+
 def convert_matrix(matrix: SparseMatrix, target: str, **kw) -> SparseMatrix:
     """Convert ``matrix`` to the ``target`` format name (csr, ell, dia, ...)."""
     target = target.lower()

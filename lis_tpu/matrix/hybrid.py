@@ -46,9 +46,25 @@ class HybridMatrix(SparseMatrix):
         return a.indptr, a.indices, a.data
 
     @classmethod
-    def from_csr_arrays(cls, ptr, index, value, shape,
-                        min_density: float = 0.5,
-                        max_remainder: float = 0.25):
+    def from_csr_arrays(cls, ptr, index, value, shape, **kw):
+        """convert_matrix hook: always succeeds — when no worthwhile
+        diagonal split exists, everything lands in the CSR remainder."""
+        h = cls.try_split(ptr, index, value, shape, **kw)
+        if h is not None:
+            return h
+        import jax.numpy as jnp
+        from lis_tpu.matrix.csr import CSRMatrix
+        from lis_tpu.matrix.dia import DIAMatrix
+        n, m = shape
+        rem = CSRMatrix.from_csr_arrays(ptr, index, value, shape)
+        dia = DIAMatrix(value=(jnp.zeros(n),), nrows=n, ncols=m, nnz=0,
+                        offsets=(0,))
+        return cls(dia=dia, rem=rem, nrows=n, ncols=m, nnz=len(value))
+
+    @classmethod
+    def try_split(cls, ptr, index, value, shape,
+                  min_density: float = 0.5,
+                  max_remainder: float = 0.25):
         """Split into dominant diagonals (per-offset density >=
         min_density) + CSR remainder; returns None if the remainder would
         exceed max_remainder of the nnz (not worth it)."""

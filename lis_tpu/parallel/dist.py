@@ -460,20 +460,27 @@ class DistDIAMatrix(SparseMatrix):
 
     def matvech(self, x_local):
         # Aᵀ[i, i-o] = A[i-o, i] = value[k][i-o]: exchanged value slabs
-        # realign the diagonal streams across the shard boundary
+        # realign the diagonal streams across the shard boundary.  All
+        # diagonals' edge slabs ride ONE batched ppermute pair (a
+        # per-diagonal exchange would issue 2·nnd collectives per apply).
         xe = self._exchange(x_local)
-        hw, nl = self.hw, self.nlocal
-        dt = jnp.result_type(self.value[0].dtype, x_local.dtype) \
-            if self.value else x_local.dtype
+        p, hw, nl = self.nprocs, self.hw, self.nlocal
+        vs_ = [jnp.conj(vk) if jnp.iscomplexobj(vk) else vk
+               for vk in self.value]
+        perm_up = [(i, (i + 1) % p) for i in range(p)]
+        perm_dn = [(i, (i - 1) % p) for i in range(p)]
+        left = jax.lax.ppermute(jnp.stack([vk[-hw:] for vk in vs_]),
+                                AXIS, perm_up)
+        right = jax.lax.ppermute(jnp.stack([vk[:hw] for vk in vs_]),
+                                 AXIS, perm_dn)
+        dt = jnp.result_type(vs_[0].dtype, x_local.dtype) if vs_ \
+            else x_local.dtype
         y = jnp.zeros(nl, dtype=dt)
         for k, off in enumerate(self.offsets):
-            vk = self.value[k]
-            if jnp.iscomplexobj(vk):
-                vk = jnp.conj(vk)
-            ve = self._exchange(vk)
-            vs = jax.lax.dynamic_slice(ve, (hw - off,), (nl,))
+            ve = jnp.concatenate([left[k], vs_[k], right[k]])
+            vv = jax.lax.dynamic_slice(ve, (hw - off,), (nl,))
             xs = jax.lax.dynamic_slice(xe, (hw - off,), (nl,))
-            y = y + vs * xs
+            y = y + vv * xs
         return y
 
     @property
@@ -538,7 +545,7 @@ def distribute_matrix(A, mesh: Mesh, halo: str = "auto"):
     # quasi-banded: dominant diagonals stream, small remainder gathers
     from lis_tpu.matrix.hybrid import HybridMatrix
     try:
-        H = HybridMatrix.from_csr_arrays(*A.to_csr_arrays(), A.shape)
+        H = HybridMatrix.try_split(*A.to_csr_arrays(), A.shape)
     except NotImplementedError:
         H = None
     if H is not None:
@@ -593,11 +600,22 @@ class DistDIADDOperator:
         from lis_tpu.core import ddreal as q
         xh = self._exchange(x.hi)
         xl = self._exchange(x.lo)
-        nl, hw = self.nlocal, self.hw
+        p, nl, hw = self.nprocs, self.nlocal, self.hw
+        perm_up = [(i, (i + 1) % p) for i in range(p)]
+        perm_dn = [(i, (i - 1) % p) for i in range(p)]
+        # one batched ppermute pair per limb for all diagonals' edge slabs
+        lh = jax.lax.ppermute(jnp.stack([v[-hw:] for v in self.value]),
+                              AXIS, perm_up)
+        rh = jax.lax.ppermute(jnp.stack([v[:hw] for v in self.value]),
+                              AXIS, perm_dn)
+        ll = jax.lax.ppermute(jnp.stack([v[-hw:] for v in self.value_lo]),
+                              AXIS, perm_up)
+        rl = jax.lax.ppermute(jnp.stack([v[:hw] for v in self.value_lo]),
+                              AXIS, perm_dn)
         acc = q.DD(jnp.zeros(nl, x.hi.dtype), jnp.zeros(nl, x.hi.dtype))
         for k, off in enumerate(self.offsets):
-            vhe = self._exchange(self.value[k])
-            vle = self._exchange(self.value_lo[k])
+            vhe = jnp.concatenate([lh[k], self.value[k], rh[k]])
+            vle = jnp.concatenate([ll[k], self.value_lo[k], rl[k]])
             vs = jax.lax.dynamic_slice(vhe, (hw - off,), (nl,))
             vls = jax.lax.dynamic_slice(vle, (hw - off,), (nl,))
             xs = jax.lax.dynamic_slice(xh, (hw - off,), (nl,))

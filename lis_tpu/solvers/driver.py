@@ -84,7 +84,7 @@ def auto_storage(A):
         # quasi-banded: dominant diagonals + small gather remainder
         from lis_tpu.matrix.hybrid import HybridMatrix
         try:
-            out = HybridMatrix.from_csr_arrays(*A.to_csr_arrays(), A.shape)
+            out = HybridMatrix.try_split(*A.to_csr_arrays(), A.shape)
         except NotImplementedError:
             out = None
         if out is None:
@@ -244,7 +244,7 @@ def solve(A: SparseMatrix, b, x0=None, options=None, M=None,
                 backend = jax.default_backend()
             except Exception:
                 backend = "cpu"
-            if backend != "cpu":
+            if backend not in ("cpu", "gpu", "cuda", "rocm"):
                 import warnings
                 warnings.warn(
                     "-f quad/switch uses f64-pair double-double, whose "

@@ -116,8 +116,12 @@ def poisson3d27_dia(l, m, n, dtype=np.float64):
                              0.0).astype(dtype)
                 offsets.append(int(off))
                 vals.append(v)
-    order = np.argsort(offsets)
-    nnz = sum(int(np.count_nonzero(vals[k])) for k in order)
-    return DIAMatrix(value=tuple(jnp.asarray(vals[k]) for k in order),
-                     nrows=N, ncols=N, nnz=nnz,
-                     offsets=tuple(offsets[k] for k in order))
+    # tiny grids (l<=2 or m<=2) make different stencil legs collide on the
+    # same flat offset — merge duplicates by summation
+    merged = {}
+    for off, val in zip(offsets, vals):
+        merged[off] = merged[off] + val if off in merged else val
+    offs = sorted(merged)
+    nnz = sum(int(np.count_nonzero(merged[o])) for o in offs)
+    return DIAMatrix(value=tuple(jnp.asarray(merged[o]) for o in offs),
+                     nrows=N, ncols=N, nnz=nnz, offsets=tuple(offs))
