@@ -100,6 +100,17 @@ class DIAMatrix(SparseMatrix):
         out_len = self.ncols
         pad = max(max(abs(o) for o in self.offsets), 1) if self.offsets else 1
         dt = jnp.result_type(v[0].dtype, x.dtype) if v else x.dtype
+        if out_len == n:
+            # (Aᴴx)[j] = Σ_k v[k][j-off_k]·x[j-off_k]: pure shifted streams
+            # (the serialized update-slice chain below is ~5x slower)
+            xp = jnp.pad(x, (pad, pad))
+            y = jnp.zeros(n, dtype=dt)
+            for k, off in enumerate(self.offsets):
+                vp = jnp.pad(v[k], (pad, pad))
+                vs = jax.lax.dynamic_slice(vp, (pad - off,), (n,))
+                xs = jax.lax.dynamic_slice(xp, (pad - off,), (n,))
+                y = y + vs * xs
+            return y
         y = jnp.zeros(out_len + 2 * pad, dtype=dt)
         for k, off in enumerate(self.offsets):
             t = v[k] * x
