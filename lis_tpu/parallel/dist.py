@@ -449,13 +449,31 @@ class DistDIAMatrix(SparseMatrix):
         return jnp.concatenate([from_left, x_local, from_right])
 
     def matvec(self, x_local):
-        xe = self._exchange(x_local)
+        # comm/compute overlap (the reference's USE_OVERLAP analogue): the
+        # BULK result needs only x_local (zero-padded), so XLA can overlap
+        # the two ring ppermutes with it; only the first/last hw outputs
+        # get slab corrections afterwards.
+        p, hw, nl = self.nprocs, self.hw, self.nlocal
+        perm_up = [(i, (i + 1) % p) for i in range(p)]
+        perm_dn = [(i, (i - 1) % p) for i in range(p)]
+        left = jax.lax.ppermute(x_local[-hw:], AXIS, perm_up)
+        right = jax.lax.ppermute(x_local[:hw], AXIS, perm_dn)
+
         dt = jnp.result_type(self.value[0].dtype, x_local.dtype) \
             if self.value else x_local.dtype
-        y = jnp.zeros(self.nlocal, dtype=dt)
+        xp = jnp.pad(x_local, (hw, hw))
+        y = jnp.zeros(nl, dtype=dt)
         for k, off in enumerate(self.offsets):
             y = y + self.value[k] * jax.lax.dynamic_slice(
-                xe, (self.hw + off,), (self.nlocal,))
+                xp, (hw + off,), (nl,))
+        # edge corrections from the exchanged slabs
+        for k, off in enumerate(self.offsets):
+            if off < 0:
+                m = -off            # output rows [0, m) read left slab
+                y = y.at[:m].add(self.value[k][:m] * left[hw + off:])
+            elif off > 0:
+                m = off             # output rows [nl-m, nl) read right slab
+                y = y.at[nl - m:].add(self.value[k][nl - m:] * right[:m])
         return y
 
     def matvech(self, x_local):
