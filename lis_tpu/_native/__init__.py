@@ -57,6 +57,11 @@ def _load():
         ctypes.c_int32, i32p, i32p, f64p, ctypes.c_double, ctypes.c_double,
         ctypes.POINTER(i32p), ctypes.POINTER(i32p), ctypes.POINTER(f64p),
         ctypes.POINTER(ctypes.c_int64)]
+    lib.iluc_factor.restype = ctypes.c_int
+    lib.iluc_factor.argtypes = [
+        ctypes.c_int32, i32p, i32p, f64p, ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(i32p), ctypes.POINTER(i32p), ctypes.POINTER(f64p),
+        ctypes.POINTER(ctypes.c_int64)]
     lib.level_schedule.restype = ctypes.c_int32
     lib.level_schedule.argtypes = [ctypes.c_int32, i32p, i32p,
                                    ctypes.c_int32, i32p]
@@ -124,6 +129,29 @@ def ilut_factor(ptr, index, value, drop: float, rate: float):
     optr, oidx, oval = i32p(), i32p(), f64p()
     nnz = ctypes.c_int64()
     rc = lib.ilut_factor(n, _as_i32p(ptr), _as_i32p(index), _as_f64p(value),
+                         float(drop), float(rate), ctypes.byref(optr),
+                         ctypes.byref(oidx), ctypes.byref(oval),
+                         ctypes.byref(nnz))
+    if rc != 0:
+        return None
+    return _take_csr(lib, n, optr, oidx, oval, nnz.value)
+
+
+def iluc_factor(ptr, index, value, drop: float, rate: float):
+    """True Crout ILU factorisation (reference lis_precon_iluc.c:67);
+    returns combined-LU CSR arrays or None if native code is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(ptr) - 1
+    ptr = np.ascontiguousarray(ptr, dtype=np.int32)
+    index = np.ascontiguousarray(index, dtype=np.int32)
+    value = np.ascontiguousarray(value, dtype=np.float64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    optr, oidx, oval = i32p(), i32p(), f64p()
+    nnz = ctypes.c_int64()
+    rc = lib.iluc_factor(n, _as_i32p(ptr), _as_i32p(index), _as_f64p(value),
                          float(drop), float(rate), ctypes.byref(optr),
                          ctypes.byref(oidx), ctypes.byref(oval),
                          ctypes.byref(nnz))

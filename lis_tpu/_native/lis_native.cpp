@@ -177,6 +177,211 @@ int ilut_factor(int32_t n, const int32_t* ptr, const int32_t* index,
 }
 
 // ---------------------------------------------------------------------------
+// Crout ILU (ILUC): at step k compute row k of U and column k of L
+// (Li/Saad/Chow scheme; reference lis_precon_iluc.c:67 with -iluc_drop
+// relative dropping and -iluc_rate fill growth bound).  U is kept by rows,
+// L by columns; the "which rows of U have an entry in column k" /
+// "which columns of L have an entry in row k" scans use the classic
+// linked-list pointer structure, so the factorisation is O(nnz_F · avg
+// row length), not O(n^2).  Output is combined-LU CSR like ilut_factor.
+// ---------------------------------------------------------------------------
+int iluc_factor(int32_t n, const int32_t* ptr, const int32_t* index,
+                const double* value, double drop, double rate,
+                int32_t** out_ptr, int32_t** out_index, double** out_value,
+                int64_t* out_nnz) {
+    // column access to A (strict lower part only) + row/col norms
+    std::vector<int32_t> cnt(n, 0);
+    for (int32_t i = 0; i < n; ++i)
+        for (int32_t p = ptr[i]; p < ptr[i + 1]; ++p)
+            if (index[p] < i) ++cnt[index[p]];
+    std::vector<int64_t> cptr(n + 1, 0);
+    for (int32_t c = 0; c < n; ++c) cptr[c + 1] = cptr[c] + cnt[c];
+    std::vector<int32_t> crow(cptr[n]);
+    std::vector<double> cval(cptr[n]);
+    std::vector<int64_t> fill_pos(cptr.begin(), cptr.end() - 1);
+    std::vector<double> rownrm(n, 0.0), colnrm(n, 0.0);
+    std::vector<int32_t> nnz_row(n, 0), nnz_col(n, 0);
+    for (int32_t i = 0; i < n; ++i) {
+        nnz_row[i] = ptr[i + 1] - ptr[i];
+        for (int32_t p = ptr[i]; p < ptr[i + 1]; ++p) {
+            double v = value[p];
+            int32_t c = index[p];
+            rownrm[i] += v * v;
+            colnrm[c] += v * v;
+            ++nnz_col[c];
+            if (c < i) {
+                crow[fill_pos[c]] = i;
+                cval[fill_pos[c]] = v;
+                ++fill_pos[c];
+            }
+        }
+    }
+    for (int32_t i = 0; i < n; ++i) {
+        rownrm[i] = std::sqrt(rownrm[i]);
+        if (rownrm[i] == 0.0) rownrm[i] = 1.0;
+        colnrm[i] = std::sqrt(colnrm[i]);
+        if (colnrm[i] == 0.0) colnrm[i] = 1.0;
+    }
+
+    // factors: U by rows (diag first), L by columns (strict, sorted by row)
+    struct Ent { int32_t idx; double v; };
+    std::vector<std::vector<Ent>> urows(n), lcols(n);
+    // linked lists: uhead[c] = first row whose next-unconsumed U entry is
+    // at column c; unext chains rows; upos[j] = that entry's position.
+    std::vector<int32_t> uhead(n, -1), unext(n, -1), upos(n, 0);
+    std::vector<int32_t> lhead(n, -1), lnext(n, -1), lpos(n, 0);
+
+    // sparse accumulators
+    std::vector<double> zv(n, 0.0), wv(n, 0.0);
+    std::vector<int32_t> zmark(n, -1), wmark(n, -1);
+    std::vector<int32_t> zidx, widx;
+    zidx.reserve(256); widx.reserve(256);
+    std::vector<std::pair<double, int32_t>> cand;
+
+    for (int32_t k = 0; k < n; ++k) {
+        // ---- z = A[k, k:n] ------------------------------------------------
+        zidx.clear();
+        for (int32_t p = ptr[k]; p < ptr[k + 1]; ++p) {
+            int32_t c = index[p];
+            if (c < k) continue;
+            if (zmark[c] != k) { zmark[c] = k; zv[c] = 0.0; zidx.push_back(c); }
+            zv[c] += value[p];
+        }
+        // z -= L[k][j] * U[j, k:n] for all j < k with L[k][j] != 0
+        for (int32_t j = lhead[k]; j != -1; j = lnext[j]) {
+            double lkj = lcols[j][lpos[j]].v;        // L entry at row k, col j
+            const auto& ur = urows[j];
+            for (size_t q = upos[j]; q < ur.size(); ++q) {
+                int32_t c = ur[q].idx;               // c >= k by invariant
+                if (zmark[c] != k) { zmark[c] = k; zv[c] = 0.0; zidx.push_back(c); }
+                zv[c] -= lkj * ur[q].v;
+            }
+        }
+        // ---- w = A[k+1:n, k] ---------------------------------------------
+        widx.clear();
+        for (int64_t p = cptr[k]; p < cptr[k + 1]; ++p) {
+            int32_t r = crow[p];                     // r > k by construction
+            if (wmark[r] != k) { wmark[r] = k; wv[r] = 0.0; widx.push_back(r); }
+            wv[r] += cval[p];
+        }
+        // w -= U[j][k] * L[k+1:n, j] for all j < k with U[j][k] != 0
+        for (int32_t j = uhead[k]; j != -1; j = unext[j]) {
+            double ujk = urows[j][upos[j]].v;        // U entry at row j, col k
+            const auto& lc = lcols[j];
+            for (size_t q = lpos[j]; q < lc.size(); ++q) {
+                int32_t r = lc[q].idx;
+                if (r <= k) continue;                // row k went into z
+                if (wmark[r] != k) { wmark[r] = k; wv[r] = 0.0; widx.push_back(r); }
+                wv[r] -= ujk * lc[q].v;
+            }
+        }
+        // ---- advance the chains past position k ---------------------------
+        for (int32_t j = uhead[k]; j != -1;) {
+            int32_t nj = unext[j];
+            if ((size_t)(++upos[j]) < urows[j].size()) {
+                int32_t c = urows[j][upos[j]].idx;
+                unext[j] = uhead[c]; uhead[c] = j;
+            }
+            j = nj;
+        }
+        uhead[k] = -1;
+        for (int32_t j = lhead[k]; j != -1;) {
+            int32_t nj = lnext[j];
+            if ((size_t)(++lpos[j]) < lcols[j].size()) {
+                int32_t r = lcols[j][lpos[j]].idx;
+                lnext[j] = lhead[r]; lhead[r] = j;
+            }
+            j = nj;
+        }
+        lhead[k] = -1;
+
+        // ---- drop + store row k of U -------------------------------------
+        double dv = (zmark[k] == k) ? zv[k] : 0.0;
+        double tol_r = drop * rownrm[k];
+        double tol_c = drop * colnrm[k];
+        int32_t pf_r = std::max((int32_t)(rate * nnz_row[k]), 2);
+        int32_t pf_c = std::max((int32_t)(rate * nnz_col[k]), 2);
+        cand.clear();
+        for (int32_t c : zidx)
+            if (c > k && std::fabs(zv[c]) >= tol_r)
+                cand.push_back({std::fabs(zv[c]), c});
+        if ((int32_t)cand.size() > pf_r) {
+            std::partial_sort(cand.begin(), cand.begin() + pf_r, cand.end(),
+                              std::greater<>());
+            cand.resize(pf_r);
+        }
+        std::sort(cand.begin(), cand.end(),
+                  [](const auto& a, const auto& b) { return a.second < b.second; });
+        if (dv == 0.0) dv = rownrm[k];
+        auto& uk = urows[k];
+        uk.reserve(cand.size() + 1);
+        uk.push_back({k, dv});
+        for (auto& pr : cand) uk.push_back({pr.second, zv[pr.second]});
+        if (uk.size() > 1) {                         // chain strict-upper part
+            upos[k] = 1;
+            int32_t c = uk[1].idx;
+            unext[k] = uhead[c]; uhead[c] = k;
+        } else {
+            upos[k] = 1;
+        }
+        // ---- drop + store column k of L (scaled by 1/dv) -----------------
+        cand.clear();
+        for (int32_t r : widx)
+            if (std::fabs(wv[r]) >= tol_c)
+                cand.push_back({std::fabs(wv[r]), r});
+        if ((int32_t)cand.size() > pf_c) {
+            std::partial_sort(cand.begin(), cand.begin() + pf_c, cand.end(),
+                              std::greater<>());
+            cand.resize(pf_c);
+        }
+        std::sort(cand.begin(), cand.end(),
+                  [](const auto& a, const auto& b) { return a.second < b.second; });
+        auto& lk = lcols[k];
+        lk.reserve(cand.size());
+        for (auto& pr : cand) lk.push_back({pr.second, wv[pr.second] / dv});
+        if (!lk.empty()) {
+            lpos[k] = 0;
+            int32_t r = lk[0].idx;
+            lnext[k] = lhead[r]; lhead[r] = k;
+        }
+    }
+
+    // ---- emit combined-LU CSR (L strict lower + U incl. diagonal) --------
+    std::vector<int32_t> lrow_cnt(n, 0);
+    for (int32_t j = 0; j < n; ++j)
+        for (auto& e : lcols[j]) ++lrow_cnt[e.idx];
+    int64_t nnz = 0;
+    for (int32_t i = 0; i < n; ++i)
+        nnz += lrow_cnt[i] + (int64_t)urows[i].size();
+    *out_ptr = (int32_t*)malloc((n + 1) * sizeof(int32_t));
+    *out_index = (int32_t*)malloc(nnz * sizeof(int32_t));
+    *out_value = (double*)malloc(nnz * sizeof(double));
+    (*out_ptr)[0] = 0;
+    for (int32_t i = 0; i < n; ++i)
+        (*out_ptr)[i + 1] = (*out_ptr)[i] + lrow_cnt[i]
+                            + (int32_t)urows[i].size();
+    std::vector<int32_t> wpos(n);
+    for (int32_t i = 0; i < n; ++i) wpos[i] = (*out_ptr)[i];
+    for (int32_t j = 0; j < n; ++j)                  // L entries column-major
+        for (auto& e : lcols[j]) {
+            (*out_index)[wpos[e.idx]] = j;
+            (*out_value)[wpos[e.idx]] = e.v;
+            ++wpos[e.idx];
+        }
+    for (int32_t i = 0; i < n; ++i) {
+        // L part is already in ascending column order (columns visited in
+        // order); U part follows, diag first then sorted strict-upper
+        for (auto& e : urows[i]) {
+            (*out_index)[wpos[i]] = e.idx;
+            (*out_value)[wpos[i]] = e.v;
+            ++wpos[i];
+        }
+    }
+    *out_nnz = nnz;
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
 // Level scheduling for triangular solves: lev[i] = 1 + max(lev[deps]).
 // direction: 1 = lower (ascending rows), 0 = upper (descending).
 // Returns the number of levels; fills lev[n].

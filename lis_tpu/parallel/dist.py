@@ -280,6 +280,7 @@ def dist_solve(A: DistCSRMatrix, b, mesh: Mesh, options=None, M=None,
     b = distribute_vector(b, mesh, A.gn_pad)
     x0 = jnp.zeros_like(b) if x0 is None else distribute_vector(
         x0, mesh, A.gn_pad)
+    A_orig, b_orig = A, b      # uncast originals for the true residual
 
     if M is None:
         if opts.precon == "none":
@@ -320,6 +321,17 @@ def dist_solve(A: DistCSRMatrix, b, mesh: Mesh, options=None, M=None,
                                                   _stack_plans)
         from lis_tpu.solvers.stationary import _lower_plan
         w = 1.0 if opts.solver == "gs" else opts.omega
+        if opts.solver == "sor" and w > 1.5 and A.nprocs > 1:
+            # Block-local sweeps have a tighter SOR stability bound than
+            # the exact sweep the single-chip default -omega 1.9 assumes;
+            # across shards omega > ~1.5 can diverge on the Poisson family.
+            import warnings
+            warnings.warn(
+                f"distributed SOR with -omega {w:g} over {A.nprocs} shards "
+                "uses block-local sweeps and can diverge; clamping to 1.5 "
+                "(pass -omega <= 1.5 explicitly to silence)",
+                RuntimeWarning, stacklevel=2)
+            w = 1.5
         aux = _stack_plans([_lower_plan(blk, w)
                             for blk in local_diag_blocks(A)], mesh)
         aux_spec = P(AXIS)
@@ -365,9 +377,10 @@ def dist_solve(A: DistCSRMatrix, b, mesh: Mesh, options=None, M=None,
         elapsed = C.wtime() - t0
         iters = int(out.iters) + extra_iters
         import numpy as _np
+        tr = float(_dist_true_resid(A_orig, b_orig, x, mesh))
         return SolveResult(x=x[: A_dd.gn] if A_dd.gn_pad != A_dd.gn else x,
                            status=int(out.status), iters=iters,
-                           resid=float(out.resid), true_resid=float("nan"),
+                           resid=float(out.resid), true_resid=tr,
                            rhistory=_np.asarray(out.rhistory)[: iters + 1],
                            time=elapsed, itime=elapsed, ptime=0.0,
                            options=opts)
@@ -383,12 +396,28 @@ def dist_solve(A: DistCSRMatrix, b, mesh: Mesh, options=None, M=None,
 
     iters = int(out.iters)
     import numpy as _np
+    tr = float(_dist_true_resid(A_orig, b_orig, x, mesh))
     return SolveResult(x=x[: A.gn] if A.gn_pad != A.gn else x,
                        status=int(out.status), iters=iters,
                        resid=float(out.resid),
-                       true_resid=float("nan"),
+                       true_resid=tr,
                        rhistory=_np.asarray(out.rhistory)[: iters + 1],
                        time=elapsed, itime=elapsed, ptime=0.0, options=opts)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _dist_true_resid(A, b, x, mesh):
+    """‖b−Ax‖₂/‖b‖₂ on the sharded system — one sharded matvec + psum,
+    the distributed analogue of the reference's true-residual check after
+    the solve (src/solver/lis_solver.c:910-924)."""
+    def body(A_loc, b_loc, x_loc):
+        r = b_loc - A_loc.matvec(x_loc.astype(b_loc.dtype))
+        nr = jax.lax.psum(jnp.sum(jnp.abs(r) ** 2), AXIS)
+        nb = jax.lax.psum(jnp.sum(jnp.abs(b_loc) ** 2), AXIS)
+        return jnp.sqrt(nr) / jnp.sqrt(jnp.where(nb == 0, 1.0, nb))
+
+    in_specs = (jax.tree.map(lambda _: P(AXIS), A), P(AXIS), P(AXIS))
+    return _shard_map(body, mesh, in_specs, P())(A, b, x)
 
 
 @partial(jax.jit, static_argnums=(5, 6, 7))

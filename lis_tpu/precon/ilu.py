@@ -126,12 +126,70 @@ def _factor_ilut(ptr, index, value, n, drop, rate):
 
 
 def _factor_iluc(ptr, index, value, n, drop, rate):
-    """Crout ILU (reference lis_precon_iluc.c): computes the k-th column of
-    L and k-th row of U at step k with relative dropping.  Implemented via
-    the equivalent delayed-update row form with the same drop rule."""
-    # Crout and row-IKJ produce the same factors for the same pattern rule;
-    # reuse the ILUT engine with the Crout drop parameterisation.
-    return _factor_ilut(ptr, index, value, n, drop, rate)
+    """Crout ILU (Li/Saad/Chow scheme; reference lis_precon_iluc.c:67): at
+    step k compute row k of U and column k of L, each with relative drop
+    tolerance (-iluc_drop) and a fill growth bound (-iluc_rate).  Unlike
+    row-IKJ ILUT, updates read already-DROPPED factor entries of both L and
+    U, so the computed factors differ from ILUT's whenever dropping is
+    active.  Pure-Python fallback for the native iluc_factor."""
+    Urows = [dict() for _ in range(n)]     # row k of U (incl. diagonal)
+    Lcols = [dict() for _ in range(n)]     # column k of L (strict)
+    Lrows = [dict() for _ in range(n)]     # mirror: row view of L
+    Ucols = [dict() for _ in range(n)]     # mirror: column view of strict U
+    Acols = [[] for _ in range(n)]         # strict-lower A by column
+    rownrm = np.zeros(n)
+    colnrm = np.zeros(n)
+    nnz_col = np.zeros(n, dtype=np.int64)
+    nnz_row = np.diff(ptr)
+    for i in range(n):
+        for p in range(ptr[i], ptr[i + 1]):
+            vp = value[p]
+            c = int(index[p])
+            rownrm[i] += vp * vp
+            colnrm[c] += vp * vp
+            nnz_col[c] += 1
+            if c < i:
+                Acols[c].append((i, vp))
+    rownrm = np.sqrt(rownrm)
+    colnrm = np.sqrt(colnrm)
+    rownrm[rownrm == 0] = 1.0
+    colnrm[colnrm == 0] = 1.0
+
+    for k in range(n):
+        z = {}
+        for p in range(ptr[k], ptr[k + 1]):
+            c = int(index[p])
+            if c >= k:
+                z[c] = z.get(c, 0.0) + value[p]
+        for j, lkj in Lrows[k].items():
+            for c, u in Urows[j].items():
+                if c >= k:
+                    z[c] = z.get(c, 0.0) - lkj * u
+        w = {}
+        for r, vp in Acols[k]:
+            w[r] = w.get(r, 0.0) + vp
+        for j, ujk in Ucols[k].items():
+            for r, l in Lcols[j].items():
+                if r > k:
+                    w[r] = w.get(r, 0.0) - ujk * l
+        dv = z.pop(k, 0.0)
+        if dv == 0.0:
+            dv = rownrm[k]
+        tol_r = drop * rownrm[k]
+        tol_c = drop * colnrm[k]
+        keep_u = sorted(((c, v) for c, v in z.items() if abs(v) >= tol_r),
+                        key=lambda t: -abs(t[1]))[:max(int(rate * nnz_row[k]), 2)]
+        Urows[k] = {k: dv, **dict(keep_u)}
+        for c, v in keep_u:
+            Ucols[c][k] = v
+        keep_l = sorted(((r, v) for r, v in w.items() if abs(v) >= tol_c),
+                        key=lambda t: -abs(t[1]))[:max(int(rate * nnz_col[k]), 2)]
+        Lcols[k] = {r: v / dv for r, v in keep_l}
+        for r, v in keep_l:
+            Lrows[r][k] = v / dv
+
+    # merge into per-row dicts for _plans_from_rows
+    return [{**Lrows[i], **Urows[i]} for i in range(n)]
 
 
 def _plans_from_rows(rows_val, n, shape):
@@ -375,12 +433,14 @@ def create_ilut(A, opts):
 
 @register_precon("iluc")
 def create_iluc(A, opts):
+    """Crout ILU (reference lis_precon_iluc.c:67): row-of-U/column-of-L
+    factorisation with -iluc_drop / -iluc_rate, distinct from ILUT."""
     ptr, index, value = A.to_csr_arrays()
     drop = getattr(opts, "iluc_drop", 0.05)
     rate = getattr(opts, "iluc_rate", 5.0)
     if not np.iscomplexobj(value):
         from lis_tpu import _native
-        out = _native.ilut_factor(ptr, index, value, drop, rate)
+        out = _native.iluc_factor(ptr, index, value, drop, rate)
         if out is not None:
             if getattr(A, "format_name", None) == "dia":
                 fast = _maybe_dia_apply(np.asarray(out[0]),

@@ -66,6 +66,12 @@ def test_dist_solver_matches_single_device_iters(mesh, prob, solver):
     assert _tr(ad, b, dist.x) < 1e-8
     assert abs(dist.iters - single.iters) <= 2, (solver, dist.iters,
                                                  single.iters)
+    # true residual computed on-mesh (lis_solver.c:910-924 analogue):
+    # finite, matches the host-side recomputation, within 10x single-chip
+    assert np.isfinite(dist.true_resid)
+    np.testing.assert_allclose(dist.true_resid, _tr(ad, b, dist.x),
+                               rtol=1e-6, atol=1e-14)
+    assert dist.true_resid <= max(10 * single.true_resid, 1e-9)
 
 
 def test_dist_halo_modes_agree(mesh, prob):
@@ -175,6 +181,7 @@ def test_dist_precision_modes(mesh, prec, bound):
     r = dist_solve(Ad, b, mesh, options=f"-i cg -p jacobi -tol 1e-10 -f {prec}")
     assert r.status == lis_tpu.LIS_SUCCESS
     assert np.abs(np.asarray(r.x) - xs).max() < bound
+    assert np.isfinite(r.true_resid) and r.true_resid < 10 * bound
 
 
 @pytest.mark.parametrize("sopt", ["-i gs", "-i sor -omega 1.5"])

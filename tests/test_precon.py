@@ -63,6 +63,59 @@ def test_ilu_fill_levels():
     assert iters[2] <= iters[0]    # more fill, better preconditioner
 
 
+def test_iluc_is_crout_not_ilut():
+    """-p iluc runs a true Crout factorisation (lis_precon_iluc.c:67):
+    distinct factors from ILUT on an asymmetric matrix once dropping is
+    active, native and Python engines agree, and with dropping disabled the
+    factors reproduce the complete LU (Crout = Doolittle without drops)."""
+    import scipy.sparse as sp
+    from lis_tpu import _native
+    from lis_tpu.precon.ilu import _factor_iluc, _factor_ilut
+    rng = np.random.default_rng(5)
+    n = 80
+    a = sp.random(n, n, density=0.07, random_state=11,
+                  data_rvs=lambda k: rng.standard_normal(k))
+    a = (a + sp.diags(np.abs(a).sum(axis=1).A1 + 1.0)).tocsr()
+    a.sort_indices()
+    ptr, idx, val = a.indptr, a.indices, a.data
+
+    rows_c = _factor_iluc(ptr, idx, val, n, 0.05, 5.0)
+    rows_t = _factor_ilut(ptr, idx, val, n, 0.05, 5.0)
+    assert any(rows_c[i].keys() != rows_t[i].keys()
+               or any(abs(rows_c[i][j] - rows_t[i][j]) > 1e-12
+                      for j in rows_c[i]) for i in range(n))
+
+    out = _native.iluc_factor(ptr, idx, val, 0.05, 5.0)
+    if out is not None:
+        fp, fi, fv = out
+        pi, pv, pp = [], [], [0]
+        for i in range(n):
+            for j in sorted(rows_c[i]):
+                pi.append(j)
+                pv.append(rows_c[i][j])
+            pp.append(len(pi))
+        assert np.array_equal(fp, np.asarray(pp))
+        assert np.array_equal(fi, np.asarray(pi))
+        np.testing.assert_allclose(fv, np.asarray(pv), rtol=1e-12)
+
+    # no dropping => complete LU: (unit L)(U) == A
+    rows_f = _factor_iluc(ptr, idx, val, n, 0.0, float(n))
+    L = np.eye(n)
+    U = np.zeros((n, n))
+    for i in range(n):
+        for j, v in rows_f[i].items():
+            (L if j < i else U)[i, j] = v
+    np.testing.assert_allclose(L @ U, a.toarray(), atol=1e-8)
+
+
+def test_iluc_converges():
+    a = random_sparse(90, density=0.07, seed=3)
+    b = np.ones(90)
+    res = solve(a, b, options="-i bicgstab -p iluc -tol 1e-10 -maxiter 2000")
+    assert res.status == lis_tpu.LIS_SUCCESS
+    assert _resid(a, b, res.x) < 1e-8
+
+
 def test_saamg_coarsens():
     from lis_tpu.precon.saamg import build_hierarchy
     import scipy.sparse as sp
