@@ -62,6 +62,13 @@ def _load():
         ctypes.c_int32, i32p, i32p, f64p, ctypes.c_double, ctypes.c_double,
         ctypes.POINTER(i32p), ctypes.POINTER(i32p), ctypes.POINTER(f64p),
         ctypes.POINTER(ctypes.c_int64)]
+    lib.sainv_factor.restype = ctypes.c_int
+    lib.sainv_factor.argtypes = [
+        ctypes.c_int32, i32p, i32p, f64p, ctypes.c_double,
+        ctypes.POINTER(i32p), ctypes.POINTER(i32p), ctypes.POINTER(f64p),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(i32p), ctypes.POINTER(i32p), ctypes.POINTER(f64p),
+        ctypes.POINTER(ctypes.c_int64), f64p]
     lib.level_schedule.restype = ctypes.c_int32
     lib.level_schedule.argtypes = [ctypes.c_int32, i32p, i32p,
                                    ctypes.c_int32, i32p]
@@ -158,6 +165,37 @@ def iluc_factor(ptr, index, value, drop: float, rate: float):
     if rc != 0:
         return None
     return _take_csr(lib, n, optr, oidx, oval, nnz.value)
+
+
+def sainv_factor(ptr, index, value, tol: float):
+    """Sparse stabilised A-biconjugation (reference
+    lis_precon_create_sainv_csr, lis_precon_sainv.c:59).  Returns
+    ((zptr,zidx,zval), (wptr,widx,wval), dinv) with Z/W as row-wise CSR,
+    or None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(ptr) - 1
+    ptr = np.ascontiguousarray(ptr, dtype=np.int32)
+    index = np.ascontiguousarray(index, dtype=np.int32)
+    value = np.ascontiguousarray(value, dtype=np.float64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    zp, zi, zv = i32p(), i32p(), f64p()
+    wp, wi, wv = i32p(), i32p(), f64p()
+    znnz, wnnz = ctypes.c_int64(), ctypes.c_int64()
+    dinv = np.zeros(n, dtype=np.float64)
+    rc = lib.sainv_factor(n, _as_i32p(ptr), _as_i32p(index), _as_f64p(value),
+                          float(tol),
+                          ctypes.byref(zp), ctypes.byref(zi), ctypes.byref(zv),
+                          ctypes.byref(znnz),
+                          ctypes.byref(wp), ctypes.byref(wi), ctypes.byref(wv),
+                          ctypes.byref(wnnz), _as_f64p(dinv))
+    if rc != 0:
+        return None
+    Z = _take_csr(lib, n, zp, zi, zv, znnz.value)
+    W = _take_csr(lib, n, wp, wi, wv, wnnz.value)
+    return Z, W, dinv
 
 
 def level_schedule(ptr, index, lower: bool):

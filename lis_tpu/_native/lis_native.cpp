@@ -382,6 +382,143 @@ int iluc_factor(int32_t n, const int32_t* ptr, const int32_t* index,
 }
 
 // ---------------------------------------------------------------------------
+// SAINV: stabilised A-biconjugation  Wᵀ A Z = D  with sparse columns and
+// update-term dropping (reference lis_precon_create_sainv_csr,
+// src/precon/lis_precon_sainv.c:59: right-looking; at step i only the
+// columns j>i where (A·Z_i)_j or (W_iᵀ·A)_j is nonzero are updated, and
+// the update term drop((coef)·col_i, tol) is dropped entrywise).
+// O(nnz-of-factors · avg column length) work, O(nnz) memory — no dense
+// n×n anywhere.  Outputs Z and W as row-wise CSR (n×n, unit diagonal
+// included) plus dinv[n].
+// ---------------------------------------------------------------------------
+int sainv_factor(int32_t n, const int32_t* ptr, const int32_t* index,
+                 const double* value, double tol,
+                 int32_t** zptr, int32_t** zidx, double** zval, int64_t* znnz,
+                 int32_t** wptr, int32_t** widx, double** wval, int64_t* wnnz,
+                 double* dinv) {
+    // CSC of A for the l = A·Z_i product
+    std::vector<int64_t> cptr(n + 1, 0);
+    for (int32_t i = 0; i < n; ++i)
+        for (int32_t p = ptr[i]; p < ptr[i + 1]; ++p) ++cptr[index[p] + 1];
+    for (int32_t c = 0; c < n; ++c) cptr[c + 1] += cptr[c];
+    std::vector<int32_t> crow(cptr[n]);
+    std::vector<double> cval(cptr[n]);
+    {
+        std::vector<int64_t> fp(cptr.begin(), cptr.end() - 1);
+        for (int32_t i = 0; i < n; ++i)
+            for (int32_t p = ptr[i]; p < ptr[i + 1]; ++p) {
+                int32_t c = index[p];
+                crow[fp[c]] = i;
+                cval[fp[c]] = value[p];
+                ++fp[c];
+            }
+    }
+
+    struct Ent { int32_t idx; double v; };
+    std::vector<std::vector<Ent>> Zc(n), Wc(n);
+    for (int32_t i = 0; i < n; ++i) {
+        Zc[i].push_back({i, 1.0});
+        Wc[i].push_back({i, 1.0});
+    }
+
+    std::vector<double> lv(n, 0.0), uv(n, 0.0), colv(n, 0.0);
+    std::vector<int32_t> lmark(n, -1), umark(n, -1), colmark(n, -1);
+    std::vector<int32_t> lidx, uidx, colidx;
+    std::vector<Ent> merged;
+
+    // sparse column update: col_j -= coef * col_i, dropping update-term
+    // entries |coef*v| < tol (the diagonal of col_j is never dropped).
+    // stamp is a fresh marker per call (j alone would collide between the
+    // W and Z updates of the same step)
+    int32_t stamp = 0;
+    auto update_col = [&](std::vector<std::vector<Ent>>& C, int32_t j,
+                          int32_t i, double coef) {
+        ++stamp;
+        colidx.clear();
+        for (auto& e : C[j]) {
+            colmark[e.idx] = stamp;
+            colv[e.idx] = e.v;
+            colidx.push_back(e.idx);
+        }
+        for (auto& e : C[i]) {
+            double t = coef * e.v;
+            if (std::fabs(t) < tol) continue;       // update-term drop
+            if (colmark[e.idx] != stamp) {
+                colmark[e.idx] = stamp;
+                colv[e.idx] = 0.0;
+                colidx.push_back(e.idx);
+            }
+            colv[e.idx] -= t;
+        }
+        merged.clear();
+        merged.reserve(colidx.size());
+        std::sort(colidx.begin(), colidx.end());
+        for (int32_t r : colidx) {
+            if (r != j && colv[r] == 0.0) continue;
+            merged.push_back({r, colv[r]});
+        }
+        C[j].assign(merged.begin(), merged.end());
+    };
+
+    for (int32_t i = 0; i < n; ++i) {
+        // l = A · Z_i (sparse, via CSC columns of A)
+        lidx.clear();
+        for (auto& e : Zc[i])
+            for (int64_t p = cptr[e.idx]; p < cptr[e.idx + 1]; ++p) {
+                int32_t r = crow[p];
+                if (lmark[r] != i) { lmark[r] = i; lv[r] = 0.0; lidx.push_back(r); }
+                lv[r] += cval[p] * e.v;
+            }
+        // u = W_iᵀ · A (sparse, via CSR rows of A)
+        uidx.clear();
+        for (auto& e : Wc[i])
+            for (int32_t p = ptr[e.idx]; p < ptr[e.idx + 1]; ++p) {
+                int32_t c = index[p];
+                if (umark[c] != i) { umark[c] = i; uv[c] = 0.0; uidx.push_back(c); }
+                uv[c] += e.v * value[p];
+            }
+        // D_ii = u · Z_i
+        double dd = 0.0;
+        for (auto& e : Zc[i])
+            if (umark[e.idx] == i) dd += uv[e.idx] * e.v;
+        if (dd == 0.0) { dinv[i] = 1.0; continue; }
+        dinv[i] = 1.0 / dd;
+
+        for (int32_t j : lidx)
+            if (j > i && lv[j] != 0.0) update_col(Wc, j, i, lv[j] / dd);
+        for (int32_t j : uidx)
+            if (j > i && uv[j] != 0.0) update_col(Zc, j, i, uv[j] / dd);
+    }
+
+    // emit both factors as row-wise CSR (transpose of the column store)
+    auto emit = [&](std::vector<std::vector<Ent>>& C, int32_t** optr,
+                    int32_t** oidx, double** oval, int64_t* onnz) {
+        std::vector<int32_t> rcnt(n, 0);
+        int64_t nnz = 0;
+        for (int32_t j = 0; j < n; ++j) {
+            nnz += (int64_t)C[j].size();
+            for (auto& e : C[j]) ++rcnt[e.idx];
+        }
+        *optr = (int32_t*)malloc((n + 1) * sizeof(int32_t));
+        *oidx = (int32_t*)malloc(nnz * sizeof(int32_t));
+        *oval = (double*)malloc(nnz * sizeof(double));
+        (*optr)[0] = 0;
+        for (int32_t r = 0; r < n; ++r) (*optr)[r + 1] = (*optr)[r] + rcnt[r];
+        std::vector<int32_t> wp(*optr, *optr + n);
+        for (int32_t j = 0; j < n; ++j)
+            for (auto& e : C[j]) {
+                (*oidx)[wp[e.idx]] = j;
+                (*oval)[wp[e.idx]] = e.v;
+                ++wp[e.idx];
+            }
+        *onnz = nnz;
+    };
+    emit(Zc, zptr, zidx, zval, znnz);
+    emit(Wc, wptr, widx, wval, wnnz);
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
 // Level scheduling for triangular solves: lev[i] = 1 + max(lev[deps]).
 // direction: 1 = lower (ascending rows), 0 = upper (descending).
 // Returns the number of levels; fills lev[n].

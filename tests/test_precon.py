@@ -63,6 +63,48 @@ def test_ilu_fill_levels():
     assert iters[2] <= iters[0]    # more fill, better preconditioner
 
 
+def test_sainv_sparse_and_scales():
+    """SAINV is sparse biconjugation (lis_precon_sainv.c:59): O(nnz)
+    factors, native/Python engines agree, and creation at n>=10^5 runs in
+    seconds (the round-1 dense version needed O(n^2) memory)."""
+    import time
+    from lis_tpu import _native
+    from lis_tpu.precon.sainv import _factor_sainv_py
+    a = poisson2d(12, 12)
+    ptr, idx, val = [np.asarray(x) for x in a.to_csr_arrays()]
+    n = a.nrows
+    outp = _factor_sainv_py(ptr, idx, val, n, 0.05)
+    assert len(outp[0][1]) < 0.1 * n * n          # sparse, not dense
+    outn = _native.sainv_factor(ptr, idx, val, 0.05)
+    if outn is not None:
+        for an, bn in zip(outn[:2], outp[:2]):
+            assert np.array_equal(an[0], bn[0])
+            assert np.array_equal(an[1], bn[1])
+            np.testing.assert_allclose(an[2], bn[2], rtol=1e-12)
+        np.testing.assert_allclose(outn[2], outp[2], rtol=1e-12)
+
+    if _native.sainv_factor(np.array([0, 0], np.int32),
+                            np.array([], np.int32), np.array([]),
+                            0.1) is not None:
+        from lis_tpu.utils.testmat import poisson3d27
+        A = poisson3d27(48, 48, 48)               # 110,592 rows
+        ptr, idx, val = [np.asarray(x) for x in A.to_csr_arrays()]
+        t0 = time.time()
+        out = _native.sainv_factor(ptr, idx, val, 0.02)
+        dt = time.time() - t0
+        assert out is not None and dt < 60, dt
+        assert len(out[0][1]) < 30 * A.nrows      # bounded fill
+
+
+def test_sainv_accelerates_cg():
+    a = poisson2d(40, 40)
+    b = np.ones(1600)
+    base = solve(a, b, options="-i cg -tol 1e-10")
+    pre = solve(a, b, options="-i cg -p sainv -sainv_drop 0.02 -tol 1e-10")
+    assert pre.status == lis_tpu.LIS_SUCCESS
+    assert pre.iters < base.iters
+
+
 def test_iluc_is_crout_not_ilut():
     """-p iluc runs a true Crout factorisation (lis_precon_iluc.c:67):
     distinct factors from ILUT on an asymmetric matrix once dropping is
