@@ -45,10 +45,11 @@ from lis_tpu.ops.spmv import matvec, matvech
 from lis_tpu.solvers.driver import solve, SolveResult, SOLVER_REGISTRY
 from lis_tpu.esolvers.driver import esolve, gesolve, EsolveResult
 from lis_tpu.io.mm import read_matrix_market, write_matrix_market, read_vector_mm
-from lis_tpu.io.hb import read_harwell_boeing
+from lis_tpu.io.hb import read_harwell_boeing, write_harwell_boeing
 from lis_tpu.io.lisio import read_lis_file, write_lis_file
 from lis_tpu.io import (lis_input, lis_input_vector, lis_output,
                         lis_output_vector)
+from lis_tpu.utils.trace import set_debug_trace, debug_trace_enabled
 
 __version__ = "0.1.0"
 
@@ -68,5 +69,7 @@ __all__ = [
     "solve", "SolveResult", "SOLVER_REGISTRY",
     "esolve", "gesolve", "EsolveResult",
     "read_matrix_market", "write_matrix_market", "read_vector_mm",
-    "read_harwell_boeing", "read_lis_file", "write_lis_file",
+    "read_harwell_boeing", "write_harwell_boeing",
+    "read_lis_file", "write_lis_file",
+    "set_debug_trace", "debug_trace_enabled",
 ]

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from lis_tpu.utils.trace import traced
 from lis_tpu import config as C
 from lis_tpu.runtime.options import EsolverOptions
 from lis_tpu.esolvers.base import ESOLVER_FNS
@@ -54,6 +55,7 @@ class EsolveResult:
         return self.iters_all
 
 
+@traced
 def gesolve(A, B, options=None, x0=None, **overrides) -> EsolveResult:
     """Solve the generalized eigenproblem Ax = λBx (lis_gesolve)."""
     if isinstance(options, EsolverOptions):
@@ -110,6 +112,7 @@ def gesolve(A, B, options=None, x0=None, **overrides) -> EsolveResult:
     return res
 
 
+@traced
 def esolve(A, options=None, x0=None, **overrides) -> EsolveResult:
     """Standard eigenproblem Ax = λx (lis_esolve = lis_gesolve(A, NULL))."""
     return gesolve(A, None, options, x0, **overrides)

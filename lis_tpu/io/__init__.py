@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from lis_tpu.io.mm import (read_matrix_market, read_vector_mm,
                            write_matrix_market, write_vector_mm)
-from lis_tpu.io.hb import read_harwell_boeing
+from lis_tpu.io.hb import read_harwell_boeing, write_harwell_boeing
 from lis_tpu.io.lisio import read_lis_file, write_lis_file
 from lis_tpu.io.plain import read_vector_plain, write_vector_plain
 
@@ -34,7 +34,8 @@ def lis_input(path: str, matrix_type: str = "csr", **kw):
     """
     fmt = _sniff(path)
     if fmt == "mm":
-        return read_matrix_market(path, matrix_type, **kw), None, None
+        return read_matrix_market(path, matrix_type, return_vectors=True,
+                                  **kw)
     if fmt == "lis":
         return read_lis_file(path, matrix_type, **kw)
     # Harwell-Boeing has no magic banner; it is the remaining matrix format
@@ -53,11 +54,20 @@ def lis_input_vector(path: str):
 
 
 def lis_output(path: str, matrix, b=None, x=None, fmt: str = "mm"):
-    """Write a matrix in the requested format (lis_output, lis_output.c:63)."""
+    """Write a matrix in the requested format (lis_output, lis_output.c:63).
+
+    Formats: "mm" (ASCII MatrixMarket + Lis b/x extension), "mmb" (binary
+    MatrixMarket, LIS_FMT_MMB — packed records, endianness recorded on the
+    size line), "lis" (Lis ASCII), "hb" (Harwell-Boeing RUA).
+    """
     if fmt == "mm":
-        write_matrix_market(path, matrix)
+        write_matrix_market(path, matrix, b=b, x=x)
+    elif fmt == "mmb":
+        write_matrix_market(path, matrix, binary=True, b=b, x=x)
     elif fmt == "lis":
         write_lis_file(path, matrix, b, x)
+    elif fmt == "hb":
+        write_harwell_boeing(path, matrix)
     else:
         raise ValueError(f"unsupported output format {fmt!r}")
 

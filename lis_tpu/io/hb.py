@@ -73,3 +73,42 @@ def read_harwell_boeing(path: str, matrix_type: str = "csr", **kw):
         csc = CSCMatrix.from_csc_arrays(full.indptr, full.indices, full.data,
                                         (nrow, ncol))
     return convert_matrix(csc, matrix_type, **kw)
+
+
+def write_harwell_boeing(path: str, matrix, title: str = "lis_tpu matrix",
+                         key: str = "LISTPU"):
+    """Write RUA (real unsymmetric assembled) Harwell-Boeing — the write
+    half the reference lacks an analogue for on the HB side (it reads HB
+    via lis_input_hb.c:59 and writes MM/Lis); provided here to complete
+    the I/O matrix.  Fixed formats: (10I8) pointers/indices, (3E25.16)
+    values."""
+    import scipy.sparse as sp
+    rp, ri, rv = matrix.to_csr_arrays()
+    a = sp.csr_matrix((np.asarray(rv), np.asarray(ri), np.asarray(rp)),
+                      shape=matrix.shape).tocsc()
+    a.sort_indices()
+    ptr = a.indptr.astype(np.int64) + 1            # 1-based
+    index = a.indices.astype(np.int64) + 1
+    value = np.asarray(a.data, dtype=np.float64)
+    nrow, ncol = matrix.shape
+    nnz = len(value)
+
+    def lines_of(vals, per_line, fmt):
+        out = []
+        for k in range(0, len(vals), per_line):
+            out.append("".join(fmt % v for v in vals[k:k + per_line]))
+        return out
+
+    plines = lines_of(ptr, 10, "%8d")
+    ilines = lines_of(index, 10, "%8d")
+    vlines = lines_of(value, 3, "%25.16E")
+    with open(path, "w") as f:
+        f.write(f"{title:<72.72}{key:<8.8}\n")
+        tot = len(plines) + len(ilines) + len(vlines)
+        f.write(f"{tot:14d}{len(plines):14d}{len(ilines):14d}"
+                f"{len(vlines):14d}{0:14d}\n")
+        f.write(f"{'RUA':<14.14}{nrow:14d}{ncol:14d}{nnz:14d}{0:14d}\n")
+        f.write(f"{'(10I8)':<16.16}{'(10I8)':<16.16}{'(3E25.16)':<20.20}"
+                f"{'':<20.20}\n")
+        for ln in plines + ilines + vlines:
+            f.write(ln + "\n")

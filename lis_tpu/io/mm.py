@@ -27,41 +27,88 @@ def _parse_header(line: str):
     return obj, fmt, field, symm
 
 
-def read_matrix_market(path: str, matrix_type: str = "csr", **kw):
-    """Read a MatrixMarket matrix file into the requested format."""
-    with open(path) as f:
-        header = f.readline()
+# binary record layouts (reference LIS_MM_MATFMT / LIS_MM_VECFMT,
+# include/lis_io.h:104-115: packed {int32 i, int32 j, float64 v} /
+# {int32 i, <pad>, float64 v}); isbin on the size line is endianness+1
+# (2 = little, 1 = big — lis_output_mm.c:387, lis_input_mm.c:~169)
+_MATFMT = {"<": np.dtype([("i", "<i4"), ("j", "<i4"), ("v", "<f8")]),
+           ">": np.dtype([("i", ">i4"), ("j", ">i4"), ("v", ">f8")])}
+_VECFMT = {"<": np.dtype({"names": ["i", "v"], "formats": ["<i4", "<f8"],
+                          "offsets": [0, 8], "itemsize": 16}),
+           ">": np.dtype({"names": ["i", "v"], "formats": [">i4", ">f8"],
+                          "offsets": [0, 8], "itemsize": 16})}
+
+
+def read_matrix_market(path: str, matrix_type: str = "csr",
+                       return_vectors: bool = False, **kw):
+    """Read a MatrixMarket matrix file into the requested format.
+
+    Handles the Lis extensions (lis_input_mm.c): an extended size line
+    ``nr nc nnz isb isx [isbin]`` with appended b/x vectors, in ASCII or
+    binary (packed structs, byte-swapped when the file's endianness
+    differs from the host's).  With ``return_vectors`` the result is
+    ``(matrix, b_or_None, x_or_None)``.
+    """
+    with open(path, "rb") as f:
+        header = f.readline().decode("ascii", "replace")
         obj, fmt, field, symm = _parse_header(header)
         if obj != "matrix":
             raise ValueError(f"expected matrix object, got {obj}")
         skip = 1
-        line = f.readline()
+        line = f.readline().decode("ascii", "replace")
         while line.startswith("%"):
-            line = f.readline()
+            line = f.readline().decode("ascii", "replace")
             skip += 1
         skip += 1                      # the size line itself
         sizes = line.split()
+        b = x = None
         if fmt == "coordinate":
             nrows, ncols, nnz = int(sizes[0]), int(sizes[1]), int(sizes[2])
-            native = None
-            if field in ("real", "integer", "pattern"):
-                from lis_tpu import _native
-                native = _native.mm_parse_coords(path, skip, nnz,
-                                                 field == "pattern")
-            if native is not None:
-                rows, cols, vals = native
-                rows = rows.astype(np.int64)
-                cols = cols.astype(np.int64)
+            isb = int(sizes[3]) if len(sizes) > 3 else 0
+            isx = int(sizes[4]) if len(sizes) > 4 else 0
+            isbin = int(sizes[5]) if len(sizes) > 5 else 0
+            if isbin:
+                bo = "<" if isbin == 2 else ">"
+                rec = np.frombuffer(f.read(16 * nnz), dtype=_MATFMT[bo])
+                rows = rec["i"].astype(np.int64) - 1
+                cols = rec["j"].astype(np.int64) - 1
+                vals = rec["v"].astype(np.float64)
+                if isb or isx:
+                    vrec = np.frombuffer(f.read(16 * nrows * (isb + isx)),
+                                         dtype=_VECFMT[bo])
+                    if isb:
+                        b = vrec["v"][:nrows].astype(np.float64)
+                    if isx:
+                        x = vrec["v"][nrows * isb:].astype(np.float64)
             else:
-                data = np.loadtxt(f, max_rows=nnz, ndmin=2)
-                rows = data[:, 0].astype(np.int64) - 1
-                cols = data[:, 1].astype(np.int64) - 1
-                if field == "pattern":
-                    vals = np.ones(nnz)
-                elif field == "complex":
-                    vals = data[:, 2] + 1j * data[:, 3]
+                native = None
+                if field in ("real", "integer", "pattern") \
+                        and not (isb or isx or return_vectors):
+                    from lis_tpu import _native
+                    native = _native.mm_parse_coords(path, skip, nnz,
+                                                     field == "pattern")
+                if native is not None:
+                    rows, cols, vals = native
+                    rows = rows.astype(np.int64)
+                    cols = cols.astype(np.int64)
                 else:
-                    vals = data[:, 2]
+                    data = np.loadtxt(f, max_rows=nnz, ndmin=2)
+                    rows = data[:, 0].astype(np.int64) - 1
+                    cols = data[:, 1].astype(np.int64) - 1
+                    if field == "pattern":
+                        vals = np.ones(nnz)
+                    elif field == "complex":
+                        vals = data[:, 2] + 1j * data[:, 3]
+                    else:
+                        vals = data[:, 2]
+                    if isb:
+                        bd = np.loadtxt(f, max_rows=nrows, ndmin=2)
+                        b = np.zeros(nrows)
+                        b[bd[:, 0].astype(np.int64) - 1] = bd[:, -1]
+                    if isx:
+                        xd = np.loadtxt(f, max_rows=nrows, ndmin=2)
+                        x = np.zeros(nrows)
+                        x[xd[:, 0].astype(np.int64) - 1] = xd[:, -1]
         elif fmt == "array":
             nrows, ncols = int(sizes[0]), int(sizes[1])
             flat = np.loadtxt(f, max_rows=nrows * ncols)
@@ -81,7 +128,12 @@ def read_matrix_market(path: str, matrix_type: str = "csr", **kw):
 
     coo = COOMatrix.from_arrays(rows.astype(np.int32), cols.astype(np.int32),
                                 vals, (nrows, ncols))
-    return convert_matrix(coo, matrix_type, **kw)
+    A = convert_matrix(coo, matrix_type, **kw)
+    if return_vectors:
+        import jax.numpy as jnp
+        return (A, None if b is None else jnp.asarray(b),
+                None if x is None else jnp.asarray(x))
+    return A
 
 
 def read_vector_mm(path: str):
@@ -104,21 +156,60 @@ def read_vector_mm(path: str):
     return jnp.asarray(vals)
 
 
-def write_matrix_market(path: str, matrix: SparseMatrix, field: str | None = None):
-    """Write in coordinate/general form (like lis_output_mm)."""
+def write_matrix_market(path: str, matrix: SparseMatrix,
+                        field: str | None = None, binary: bool = False,
+                        b=None, x=None):
+    """Write in coordinate/general form (like lis_output_mm).
+
+    ``binary`` writes the Lis binary flavor (LIS_FMT_MMB,
+    lis_output_mm.c:387: extended size line with isbin = host endianness
+    + 1, then packed 16-byte records); b/x append Lis-extension vectors.
+    """
     ptr, index, value = matrix.to_csr_arrays()
+    ptr = np.asarray(ptr)
+    index = np.asarray(index)
+    value = np.asarray(value)
     n, m = matrix.shape
     rows = np.repeat(np.arange(n), np.diff(ptr))
     cplx = np.iscomplexobj(value)
     field = field or ("complex" if cplx else "real")
+    isb, isx = int(b is not None), int(x is not None)
+    if binary:
+        if cplx:
+            raise ValueError("binary MM output supports real values only")
+        bo = "<" if np.little_endian else ">"
+        with open(path, "wb") as f:
+            f.write(b"%%MatrixMarket matrix coordinate real general\n")
+            f.write(f"{n} {m} {len(value)} {isb} {isx} "
+                    f"{2 if np.little_endian else 1}\n".encode())
+            rec = np.empty(len(value), dtype=_MATFMT[bo])
+            rec["i"] = rows + 1
+            rec["j"] = np.asarray(index) + 1
+            rec["v"] = value
+            f.write(rec.tobytes())
+            for vec in (b, x):
+                if vec is not None:
+                    v = np.asarray(vec)
+                    vrec = np.zeros(len(v), dtype=_VECFMT[bo])
+                    vrec["i"] = np.arange(1, len(v) + 1)
+                    vrec["v"] = v
+                    f.write(vrec.tobytes())
+        return
     with open(path, "w") as f:
         f.write(f"%%MatrixMarket matrix coordinate {field} general\n")
-        f.write(f"{n} {m} {len(value)}\n")
+        if isb or isx:
+            f.write(f"{n} {m} {len(value)} {isb} {isx}\n")
+        else:
+            f.write(f"{n} {m} {len(value)}\n")
         for r, c, v in zip(rows, index, value):
             if cplx:
                 f.write(f"{r+1} {c+1} {v.real:.16e} {v.imag:.16e}\n")
             else:
                 f.write(f"{r+1} {c+1} {v:.16e}\n")
+        for vec in (b, x):
+            if vec is not None:
+                for i, v in enumerate(np.asarray(vec)):
+                    f.write(f"{i+1} {v:.16e}\n")
 
 
 def write_vector_mm(path: str, vec):

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from lis_tpu.utils.trace import traced
 from lis_tpu.parallel.mesh import AXIS
 from lis_tpu.matrix.base import SparseMatrix, host
 
@@ -260,6 +261,7 @@ def distribute_vector(v, mesh: Mesh, gn_pad: int):
     return jax.device_put(v, NamedSharding(mesh, P(AXIS)))
 
 
+@traced
 def dist_solve(A: DistCSRMatrix, b, mesh: Mesh, options=None, M=None,
                x0=None, **overrides):
     """Distributed lis_solve: runs the standard solver registry inside

@@ -15,6 +15,8 @@ from typing import Callable
 
 import jax
 
+from lis_tpu.utils.trace import traced
+
 PRECON_REGISTRY: dict[str, Callable] = {}
 
 
@@ -47,6 +49,7 @@ def precon_pytree(cls):
     return cls
 
 
+@traced
 def create_precon(name: str, A, opts) -> "object":
     return PRECON_REGISTRY[name](A, opts)
 

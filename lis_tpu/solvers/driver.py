@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from lis_tpu.utils.trace import traced
 from lis_tpu import config as C
 from lis_tpu.core import vector as v
 from lis_tpu.matrix.base import SparseMatrix
@@ -135,6 +136,7 @@ def _make_spec(opts: SolverOptions, axis_name=None) -> SolverSpec:
                       axis_name=axis_name)
 
 
+@traced
 def solve(A: SparseMatrix, b, x0=None, options=None, M=None,
           **overrides) -> SolveResult:
     """Solve Ax = b (the lis_solve equivalent).

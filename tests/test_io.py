@@ -127,3 +127,90 @@ def test_plain_vector_roundtrip(tmp_path):
     write_vector_plain(str(tmp_path / "v.txt"), v)
     np.testing.assert_allclose(np.asarray(read_vector_plain(str(tmp_path / "v.txt"))), v)
     np.testing.assert_allclose(np.asarray(lis_input_vector(str(tmp_path / "v.txt"))), v)
+
+
+def test_mm_binary_roundtrip(tmp_path):
+    """Binary MatrixMarket (LIS_FMT_MMB, lis_output_mm.c:387): packed
+    16-byte records, endianness on the size line, b/x appended as packed
+    vector records — bit-exact value roundtrip."""
+    from lis_tpu.io import lis_output, lis_input
+    from tests.problems import poisson2d
+    a = poisson2d(7, 6)
+    b = np.linspace(0.5, 2.0, 42)
+    x = np.linspace(-1.0, 1.0, 42)
+    p = tmp_path / "m.mmb"
+    lis_output(str(p), a, b=b, x=x, fmt="mmb")
+    a2, b2, x2 = lis_input(str(p))
+    np.testing.assert_array_equal(np.asarray(a.to_dense()),
+                                  np.asarray(a2.to_dense()))
+    np.testing.assert_array_equal(np.asarray(b2), b)
+    np.testing.assert_array_equal(np.asarray(x2), x)
+
+
+def test_mm_binary_byteswap(tmp_path):
+    """A binary MM file written with FOREIGN endianness (isbin flag for the
+    other byte order) reads back correctly — the lis_bswap_* analogue
+    (src/system/lis_sort.c:278-352)."""
+    from lis_tpu.io import lis_input
+    from lis_tpu.io.mm import _MATFMT, _VECFMT
+    from tests.problems import tridiag
+    a = tridiag(9)
+    ptr, idx, val = [np.asarray(v) for v in a.to_csr_arrays()]
+    rows = np.repeat(np.arange(9), np.diff(ptr))
+    bo = ">" if np.little_endian else "<"          # deliberately foreign
+    isbin = 1 if np.little_endian else 2
+    p = tmp_path / "swapped.mmb"
+    with open(p, "wb") as f:
+        f.write(b"%%MatrixMarket matrix coordinate real general\n")
+        f.write(f"9 9 {len(val)} 1 0 {isbin}\n".encode())
+        rec = np.empty(len(val), dtype=_MATFMT[bo])
+        rec["i"] = rows + 1
+        rec["j"] = idx + 1
+        rec["v"] = val
+        f.write(rec.tobytes())
+        vrec = np.zeros(9, dtype=_VECFMT[bo])
+        vrec["i"] = np.arange(1, 10)
+        vrec["v"] = np.arange(9.0)
+        f.write(vrec.tobytes())
+    a2, b2, _ = lis_input(str(p))
+    np.testing.assert_array_equal(np.asarray(a.to_dense()),
+                                  np.asarray(a2.to_dense()))
+    np.testing.assert_array_equal(np.asarray(b2), np.arange(9.0))
+
+
+def test_mm_ascii_vectors_roundtrip(tmp_path):
+    """ASCII MM with the Lis isb/isx extension on the size line."""
+    from lis_tpu.io import lis_output, lis_input
+    from tests.problems import tridiag
+    a = tridiag(11)
+    b = np.arange(1.0, 12.0)
+    p = tmp_path / "m.mtx"
+    lis_output(str(p), a, b=b, fmt="mm")
+    a2, b2, x2 = lis_input(str(p))
+    assert x2 is None
+    np.testing.assert_allclose(np.asarray(b2), b)
+    np.testing.assert_allclose(np.asarray(a.to_dense()),
+                               np.asarray(a2.to_dense()))
+
+
+def test_hb_write_roundtrip(tmp_path):
+    """HB write → HB read → same matrix; cross-format: mm → hb → mmb → mm
+    preserves values end-to-end."""
+    from lis_tpu.io import lis_output, lis_input
+    from lis_tpu.io.hb import write_harwell_boeing, read_harwell_boeing
+    from tests.problems import poisson2d
+    a = poisson2d(6, 5)
+    p = tmp_path / "m.rua"
+    write_harwell_boeing(str(p), a)
+    a2 = read_harwell_boeing(str(p))
+    np.testing.assert_allclose(np.asarray(a.to_dense()),
+                               np.asarray(a2.to_dense()), rtol=1e-14)
+    # chain through every writer
+    p2 = tmp_path / "m2.mmb"
+    lis_output(str(p2), a2, fmt="mmb")
+    a3, _, _ = lis_input(str(p2))
+    p3 = tmp_path / "m3.mtx"
+    lis_output(str(p3), a3, fmt="mm")
+    a4, _, _ = lis_input(str(p3))
+    np.testing.assert_allclose(np.asarray(a.to_dense()),
+                               np.asarray(a4.to_dense()), rtol=1e-14)

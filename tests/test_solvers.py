@@ -140,3 +140,24 @@ def test_print_mem_records_history():
     assert len(r.rhistory) == r.iters + 1
     assert r.rhistory[0] == 1.0
     assert r.rhistory[-1] < 1e-9
+
+
+def test_debug_trace_stream():
+    """Per-function trace (LIS_DEBUG_FUNC_IN/OUT analogue, lis_error.c:67):
+    nested IN/OUT lines appear only while enabled."""
+    import io
+    import numpy as np
+    import lis_tpu
+    from tests.problems import tridiag
+    buf = io.StringIO()
+    lis_tpu.set_debug_trace(True, stream=buf)
+    try:
+        lis_tpu.solve(tridiag(10), np.ones(10), options="-i cg -tol 1e-10")
+    finally:
+        lis_tpu.set_debug_trace(False)
+    out = buf.getvalue()
+    assert "IN : driver.solve" in out and "OUT: driver.solve" in out
+    buf2 = io.StringIO()
+    lis_tpu.set_debug_trace(False, stream=buf2)
+    lis_tpu.solve(tridiag(10), np.ones(10), options="-i cg -tol 1e-10")
+    assert buf2.getvalue() == ""
