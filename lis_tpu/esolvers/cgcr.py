@@ -70,10 +70,11 @@ import jax as _jax
 from functools import partial as _partial
 
 
-@_partial(_jax.jit, static_argnums=(6, 7))
-def _ecg_run(A, M, x, Ax, p, Ap, maxiter, tol):
+@_partial(_jax.jit, static_argnums=(6, 7, 8))
+def _ecg_run(A, M, x, Ax, p, Ap, maxiter, tol, axis_name=None):
     dt = jnp.real(x).dtype
     rh0 = jnp.full(maxiter + 1, jnp.nan, dtype=dt)
+    nrm2 = _partial(v.nrm2, axis_name=axis_name)
 
     def cond(s):
         it, x, Ax, p, Ap, lam, resid, rh = s
@@ -81,14 +82,14 @@ def _ecg_run(A, M, x, Ax, p, Ap, maxiter, tol):
 
     def step(s):
         it, x, Ax, p, Ap, lam, resid, rh = s
-        lam = v.dot(x, Ax)
+        lam = v.dot(x, Ax, axis_name=axis_name)
         r = x - (1.0 / lam) * Ax
-        resid = v.nrm2(r)
+        resid = nrm2(r)
         rh = rh.at[it].set(resid)
         w = M.psolve(r)
-        w = w / v.nrm2(w)
+        w = w / nrm2(w)
         Aw = A.matvec(w)
-        d = lambda a, b: v.dot(a, b)
+        d = lambda a, b: v.dot(a, b, axis_name=axis_name)
         A3 = jnp.array([[d(w, Aw), d(x, Aw), d(p, Aw)],
                         [d(x, Aw), d(x, Ax), d(p, Ax)],
                         [d(p, Aw), d(p, Ax), d(p, Ap)]])
@@ -118,9 +119,9 @@ def _ecg_run(A, M, x, Ax, p, Ap, maxiter, tol):
         Aw2 = v3[0] * Aw + v3[2] * Ap
         Axn = Aw2 + v3[1] * Ax
         Apn = Aw2
-        nx = v.nrm2(xn)
+        nx = nrm2(xn)
         xn, Axn = xn / nx, Axn / nx
-        npn = v.nrm2(pn)
+        npn = nrm2(pn)
         pn, Apn = pn / npn, Apn / npn
         # on convergence this step's updates are masked out by the cond
         # check at the NEXT evaluation; keep = converged-this-step
@@ -156,12 +157,13 @@ def ecr(A, B, x0, opts):
                    np.asarray(rh)[1:iters + 1])
 
 
-@_partial(_jax.jit, static_argnums=(3, 4))
-def _ecr_run(A, M, x, maxiter, tol):
+@_partial(_jax.jit, static_argnums=(3, 4, 5))
+def _ecr_run(A, M, x, maxiter, tol, axis_name=None):
     """The ecr iteration as one compiled while_loop (standard problem)."""
     dt = jnp.real(x).dtype
+    nrm2 = _partial(v.nrm2, axis_name=axis_name)
     Ax = A.matvec(x)
-    lam = v.dot(x, Ax)
+    lam = v.dot(x, Ax, axis_name=axis_name)
     r = -(Ax - lam * x)
     p = r
     Ap = A.matvec(p)
@@ -173,7 +175,7 @@ def _ecr_run(A, M, x, maxiter, tol):
 
     def step(s):
         it, x, lam, r, p, Ap, resid, rh = s
-        d = v.dot
+        d = lambda a, b: v.dot(a, b, axis_name=axis_name)
         rAp, rp = d(r, Ap), d(r, p)
         ApAp, pAp, pp = d(Ap, Ap), d(p, Ap), d(p, p)
         den = ApAp - 2.0 * lam * pAp + lam * lam * pp
@@ -181,7 +183,7 @@ def _ecr_run(A, M, x, maxiter, tol):
         alpha = (rAp - lam * rp) / den
         x = x + alpha * p
         Ax = A.matvec(x)
-        lam = d(x, Ax) / (v.nrm2(x) ** 2)
+        lam = d(x, Ax) / (nrm2(x) ** 2)
         r = -(Ax - lam * x)
         w = M.psolve(r)
         Aw = A.matvec(w)
@@ -189,14 +191,14 @@ def _ecr_run(A, M, x, maxiter, tol):
                  + lam * lam * d(w, p)) / den
         p = w + beta * p
         Ap = Aw + beta * Ap
-        resid = v.nrm2(r) / jnp.abs(jnp.where(lam == 0, 1.0, lam))
+        resid = nrm2(r) / jnp.abs(jnp.where(lam == 0, 1.0, lam))
         rh = rh.at[it].set(jnp.real(resid))
         return (it + 1, x, lam, r, p, Ap, resid, rh)
 
     big = jnp.asarray(jnp.inf, dt)
     it, x, lam, r, p, Ap, resid, rh = _jax.lax.while_loop(
         cond, step, (jnp.asarray(1), x, lam, r, p, Ap, big, rh0))
-    return it - 1, x / v.nrm2(x), lam, resid, rh
+    return it - 1, x / nrm2(x), lam, resid, rh
 
 
 @_partial(_jax.jit, static_argnums=(5, 6))

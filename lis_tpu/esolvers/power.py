@@ -89,9 +89,11 @@ def epi(A, B, x0, opts):
     return _result(evalue, x, iters, resid, status, rh)
 
 
-@_partial(_jax.jit, static_argnums=(2, 3))
-def _epi_run(A, x0, maxiter, tol):
-    x = x0 / v.nrm2(x0)
+@_partial(_jax.jit, static_argnums=(2, 3, 4))
+def _epi_run(A, x0, maxiter, tol, axis_name=None):
+    dot = _partial(v.dot, axis_name=axis_name)
+    nrm2 = _partial(v.nrm2, axis_name=axis_name)
+    x = x0 / nrm2(x0)
     z = A.matvec(x)
     rh0 = jnp.full(maxiter + 1, jnp.nan, dtype=jnp.real(x0).dtype)
 
@@ -101,11 +103,11 @@ def _epi_run(A, x0, maxiter, tol):
 
     def step(s):
         it, x, z, lam, resid, rh = s
-        lam = v.dot(x, z)
-        xn = z / v.nrm2(z)
+        lam = dot(x, z)
+        xn = z / nrm2(z)
         azn = A.matvec(xn)
         den = jnp.where(lam == 0, 1.0, jnp.abs(lam))
-        resid = v.nrm2(azn - lam * xn) / den
+        resid = nrm2(azn - lam * xn) / den
         rh = rh.at[it].set(jnp.real(resid))
         return (it + 1, xn, azn, lam, resid, rh)
 
@@ -172,18 +174,21 @@ def _jit_inner_ok(opts):
 
 
 @_lru_cache(maxsize=32)
-def _egpi_runner(solver_name, inner_tol, inner_maxiter):
+def _egpi_runner(solver_name, inner_tol, inner_maxiter, axis_name=None):
     from lis_tpu.solvers.base import SOLVER_FNS, SolverSpec
     from lis_tpu.precon.base import NonePrecon
     inner = SolverSpec(solver=solver_name, tol=inner_tol,
-                       maxiter=inner_maxiter, conv_cond=0)
+                       maxiter=inner_maxiter, conv_cond=0,
+                       axis_name=axis_name)
     solver_fn = SOLVER_FNS[solver_name]
     M = NonePrecon()
+    dot = _partial(v.dot, axis_name=axis_name)
+    nrm2 = _partial(v.nrm2, axis_name=axis_name)
 
     @_partial(_jax.jit, static_argnums=(3, 4))
     def run(A, B, x0, maxiter, tol):
         dt = jnp.real(x0).dtype
-        x = x0 / v.nrm2(x0)
+        x = x0 / nrm2(x0)
         rh0 = jnp.full(maxiter + 1, jnp.nan, dtype=dt)
 
         def bsolve(rhs):
@@ -196,11 +201,11 @@ def _egpi_runner(solver_name, inner_tol, inner_maxiter):
         def step(s):
             it, x, ev, resid, rh = s
             z = bsolve(A.matvec(x))
-            evn = v.dot(x, z)
-            xn = z / v.nrm2(z)
+            evn = dot(x, z)
+            xn = z / nrm2(z)
             az = bsolve(A.matvec(xn))
             den = jnp.where(evn == 0, 1.0, jnp.abs(evn))
-            residn = v.nrm2(az - evn * xn) / den
+            residn = nrm2(az - evn * xn) / den
             rh = rh.at[it].set(jnp.real(residn))
             return (it + 1, xn, evn, residn, rh)
 
@@ -274,18 +279,21 @@ def eii(A, B, x0, opts):
 
 
 @_lru_cache(maxsize=32)
-def _eii_runner(solver_name, inner_tol, inner_maxiter):
+def _eii_runner(solver_name, inner_tol, inner_maxiter, axis_name=None):
     from lis_tpu.solvers.base import SOLVER_FNS, SolverSpec
     from lis_tpu.precon.base import NonePrecon
     inner = SolverSpec(solver=solver_name, tol=inner_tol,
-                       maxiter=inner_maxiter, conv_cond=0)
+                       maxiter=inner_maxiter, conv_cond=0,
+                       axis_name=axis_name)
     solver_fn = SOLVER_FNS[solver_name]
     M = NonePrecon()
+    dot = _partial(v.dot, axis_name=axis_name)
+    nrm2 = _partial(v.nrm2, axis_name=axis_name)
 
     @_partial(_jax.jit, static_argnums=(4, 5))
     def run(As, A, x0, sigma, maxiter, tol):
         dt = jnp.real(x0).dtype
-        x = x0 / v.nrm2(x0)
+        x = x0 / nrm2(x0)
         rh0 = jnp.full(maxiter + 1, jnp.nan, dtype=dt)
 
         def cond(s):
@@ -296,12 +304,12 @@ def _eii_runner(solver_name, inner_tol, inner_maxiter):
             it, x, ev, resid, rh = s
             y = solver_fn(As, x, jnp.zeros_like(x), M, inner).x
             y = jnp.where(jnp.isfinite(y), y, 0.0)
-            theta = v.dot(x, y)
-            xn = y / v.nrm2(y)
+            theta = dot(x, y)
+            xn = y / nrm2(y)
             evn = sigma + 1.0 / theta
             az = A.matvec(xn)
             den = jnp.where(evn == 0, 1.0, jnp.abs(evn))
-            residn = v.nrm2(az - evn * xn) / den
+            residn = nrm2(az - evn * xn) / den
             rh = rh.at[it].set(jnp.real(residn))
             return (it + 1, xn, evn, residn, rh)
 
@@ -353,19 +361,22 @@ _jax.tree_util.register_pytree_node(
 
 
 @_lru_cache(maxsize=32)
-def _erqi_runner(solver_name, inner_tol, inner_maxiter):
+def _erqi_runner(solver_name, inner_tol, inner_maxiter, axis_name=None):
     from lis_tpu.solvers.base import SOLVER_FNS, SolverSpec
     from lis_tpu.precon.base import NonePrecon
     inner = SolverSpec(solver=solver_name, tol=inner_tol,
-                       maxiter=inner_maxiter, conv_cond=0)
+                       maxiter=inner_maxiter, conv_cond=0,
+                       axis_name=axis_name)
     solver_fn = SOLVER_FNS[solver_name]
     M = NonePrecon()
+    dot = _partial(v.dot, axis_name=axis_name)
+    nrm2 = _partial(v.nrm2, axis_name=axis_name)
 
     @_partial(_jax.jit, static_argnums=(2, 3))
     def run(A, x0, maxiter, tol):
         dt = jnp.real(x0).dtype
-        x = x0 / v.nrm2(x0)
-        sigma0 = v.dot(x, A.matvec(x)) / v.dot(x, x)
+        x = x0 / nrm2(x0)
+        sigma0 = dot(x, A.matvec(x)) / dot(x, x)
         rh0 = jnp.full(maxiter + 1, jnp.nan, dtype=dt)
 
         def cond(s):
@@ -381,12 +392,12 @@ def _erqi_runner(solver_name, inner_tol, inner_maxiter):
             # part (the host path gets the same effect from the driver's
             # breakdown handling)
             y = jnp.where(jnp.isfinite(y), y, 0.0)
-            ynrm = v.nrm2(y)
+            ynrm = nrm2(y)
             bad = ~jnp.isfinite(ynrm) | (ynrm == 0.0)
             xn = jnp.where(bad, x, y / jnp.where(ynrm == 0, 1.0, ynrm))
-            evn = v.dot(xn, A.matvec(xn)) / v.dot(xn, xn)
+            evn = dot(xn, A.matvec(xn)) / dot(xn, xn)
             den = jnp.where(evn == 0, 1.0, jnp.abs(evn))
-            residn = v.nrm2(A.matvec(xn) - evn * xn) / den
+            residn = nrm2(A.matvec(xn) - evn * xn) / den
             # guarded shift update (see the host-path comment)
             move = (residn < 0.5 * resid) | ~jnp.isfinite(resid)
             sigman = jnp.where(move, evn, sigma)

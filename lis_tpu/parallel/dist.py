@@ -289,16 +289,33 @@ def dist_solve(A: DistCSRMatrix, b, mesh: Mesh, options=None, M=None,
             M = NonePrecon()
         elif opts.precon == "jacobi":
             M = make_dist_jacobi(A, mesh)
-        elif opts.precon in ("ilu", "ilut", "iluc", "ssor"):
-            # block-Jacobi application of the plan-based preconditioners —
-            # the reference's own MPI semantics (local-rows ILU/SSOR)
+        elif opts.precon in ("ilu", "ilut", "iluc", "ssor", "sainv", "is",
+                             "bjacobi"):
+            # block-Jacobi application of the local preconditioners —
+            # the reference's own MPI semantics (local-rows ILU/SSOR/...)
             from lis_tpu.parallel.dist_precon import make_dist_block_precon
-            M = make_dist_block_precon(A, mesh, opts)
+            M = make_dist_block_precon(
+                A, mesh, opts,
+                name="jacobi" if opts.precon == "bjacobi" else None)
+        elif opts.precon == "hybrid":
+            from lis_tpu.parallel.dist_precon import make_dist_hybrid
+            M = make_dist_hybrid(A, mesh, opts)
+        elif opts.precon == "saamg":
+            from lis_tpu.parallel.dist_precon import make_dist_saamg
+            M = make_dist_saamg(A, mesh, opts)
         else:
             raise NotImplementedError(
                 f"distributed preconditioner {opts.precon!r} "
-                "(supported: none, jacobi, ilu, ilut, iluc, ssor, or pass "
-                "a precon pytree whose leaves are sharded local views)")
+                "(supported: none, jacobi, bjacobi, ilu, ilut, iluc, ssor, "
+                "sainv, is, hybrid, saamg, or pass a precon pytree whose "
+                "leaves are sharded local views)")
+        if opts.adds:
+            # additive-Schwarz refinement with the DISTRIBUTED residual
+            # matvec (the reference's lis_psolve_adds uses the global
+            # lis_matvec under MPI, lis_precon_ads.c:116)
+            from lis_tpu.precon.ads import AdditiveSchwarzPrecon
+            M = AdditiveSchwarzPrecon(A=A, inner=M,
+                                      iters=getattr(opts, "adds_iter", 1))
 
     # host-side prepare (solver aux): shadow space for IDR(s), sharded over
     # the vector axis; trisolve-plan solvers (gs/sor) need block-local
@@ -422,6 +439,19 @@ def _dist_true_resid(A, b, x, mesh):
     return _shard_map(body, mesh, in_specs, P())(A, b, x)
 
 
+def _precon_specs(M):
+    """in_specs for a preconditioner pytree: P(AXIS) everywhere, except
+    that any sub-object defining ``partition_specs()`` (e.g. the dist
+    SA-AMG with its replicated coarse hierarchy) chooses its own."""
+    if hasattr(M, "partition_specs"):
+        return M.partition_specs()
+    return jax.tree.map(
+        lambda sub: (sub.partition_specs()
+                     if hasattr(sub, "partition_specs") else
+                     jax.tree.map(lambda _: P(AXIS), sub)),
+        M, is_leaf=lambda x: hasattr(x, "partition_specs"))
+
+
 @partial(jax.jit, static_argnums=(5, 6, 7))
 def _dist_execute(A, b, x0, M, aux, aux_spec, mesh, spec):
     from lis_tpu.solvers.base import SOLVER_FNS, SolverOutput
@@ -433,7 +463,7 @@ def _dist_execute(A, b, x0, M, aux, aux_spec, mesh, spec):
     in_specs = (jax.tree.map(lambda _: P(AXIS), A),
                 jax.tree.map(lambda _: P(AXIS), b),
                 jax.tree.map(lambda _: P(AXIS), x0),
-                jax.tree.map(lambda _: P(AXIS), M),
+                _precon_specs(M),
                 jax.tree.map(lambda _: aux_spec, aux))
     out_specs = SolverOutput(x=P(AXIS), status=P(), iters=P(),
                              resid=P(), rhistory=P())

@@ -1,0 +1,205 @@
+"""Distributed eigensolver execution (dist_esolve).
+
+Reference: every eigensolver runs under MPI through the same encapsulated
+L2/L3 (src/esolver/lis_esolver.c:263-285; inner Krylov solves per outer
+iteration lis_esolver_ii.c:216) — SPMD-ness lives entirely in matvec and
+the dot/norm allreduces.  Here the SAME compiled eigensolver loops used
+single-chip (esolvers/power.py, esolvers/cgcr.py) run inside shard_map
+over the mesh, with ``axis_name`` threaded into every reduction (psum) and
+into the inner solver spec, so the inner Krylov solves are the standard
+registry functions operating on sharded local views — the exact pattern
+dist_solve uses for the linear solvers.
+
+Supported: pi, ii, rqi, cg, cr (and gpi/gii/grqi/gcg/gcr names resolve to
+the same standard runs when B is None).  Subspace SI/LI/AI iterate many
+host-side eigenpairs and stay single-device for now.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lis_tpu import config as C
+from lis_tpu.utils.trace import traced
+from lis_tpu.parallel.mesh import AXIS
+from lis_tpu.parallel.dist import _shard_map, distribute_vector
+from lis_tpu.runtime.options import EsolverOptions
+
+_SUPPORTED = ("pi", "ii", "rqi", "cg", "cr")
+
+
+def _leaf_specs(tree):
+    """P(AXIS) for array leaves, P() for scalars (e.g. a traced shift)."""
+    return jax.tree.map(
+        lambda a: P(AXIS) if getattr(a, "ndim", 1) >= 1 else P(), tree)
+
+
+def _inner_name(opts):
+    return (opts.inner.solver
+            if opts.inner.solver in ("cg", "bicgstab", "cgs", "bicg",
+                                     "minres") else "bicgstab")
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _dist_epi(A, x0, mesh, maxiter, tol, _n1, _n2):
+    from lis_tpu.esolvers.power import _epi_run
+
+    def body(A_loc, x_loc):
+        return _epi_run(A_loc, x_loc, maxiter, tol, axis_name=AXIS)
+
+    return _shard_map(body, mesh, (_leaf_specs(A), P(AXIS)),
+                      (P(), P(AXIS), P(), P(), P()))(A, x0)
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _dist_eii(A, x0, sigma, mesh, maxiter, tol, inner_name, inner_key):
+    from lis_tpu.esolvers.power import _eii_runner, _Shifted
+    run = _eii_runner(inner_name, *inner_key, axis_name=AXIS)
+    As = _Shifted(A, sigma)
+
+    def body(As_loc, A_loc, x_loc, sig_loc):
+        return run(As_loc, A_loc, x_loc, sig_loc, maxiter, tol)
+
+    return _shard_map(
+        body, mesh,
+        (_leaf_specs(As), _leaf_specs(A), P(AXIS), P()),
+        (P(), P(AXIS), P(), P(), P()))(As, A, x0, sigma)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _dist_erqi(A, x0, mesh, maxiter, tol, inner_name, inner_key):
+    from lis_tpu.esolvers.power import _erqi_runner
+    run = _erqi_runner(inner_name, *inner_key, axis_name=AXIS)
+
+    def body(A_loc, x_loc):
+        return run(A_loc, x_loc, maxiter, tol)
+
+    return _shard_map(body, mesh, (_leaf_specs(A), P(AXIS)),
+                      (P(), P(AXIS), P(), P(), P(), P()))(A, x0)
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _dist_ecg(A, x0, sigma, mesh, maxiter, tol, inner_name, inner_key):
+    from lis_tpu.esolvers.cgcr import _ecg_run
+    from lis_tpu.esolvers.power import _Shifted
+    from lis_tpu.solvers.base import SOLVER_FNS, SolverSpec
+    from lis_tpu.precon.base import NonePrecon
+    it, imi = inner_key
+    inner = SolverSpec(solver="cg", tol=1e-10, maxiter=imi, conv_cond=0,
+                       axis_name=AXIS)
+    As = _Shifted(A, sigma)
+
+    def body(As_loc, x_loc):
+        from lis_tpu.core import vector as v
+        x = x_loc / v.nrm2(x_loc, axis_name=AXIS)
+        Ax = As_loc.matvec(x)
+        # p = A^-1 x (setup solve, lis_esolver_cg.c:213) on the mesh
+        p = SOLVER_FNS["cg"](As_loc, x, jnp.zeros_like(x), NonePrecon(),
+                             inner).x
+        p = jnp.where(jnp.isfinite(p), p, 0.0)
+        return _ecg_run(As_loc, NonePrecon(), x, Ax, p, x, maxiter, tol,
+                        axis_name=AXIS)
+
+    return _shard_map(body, mesh, (_leaf_specs(As), P(AXIS)),
+                      (P(), P(AXIS), P(), P(), P()))(As, x0)
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _dist_ecr(A, x0, sigma, mesh, maxiter, tol, _n1, _n2):
+    from lis_tpu.esolvers.cgcr import _ecr_run
+    from lis_tpu.esolvers.power import _Shifted
+    from lis_tpu.precon.base import NonePrecon
+    As = _Shifted(A, sigma)
+
+    def body(As_loc, x_loc):
+        from lis_tpu.core import vector as v
+        x = x_loc / v.nrm2(x_loc, axis_name=AXIS)
+        return _ecr_run(As_loc, NonePrecon(), x, maxiter, tol,
+                        axis_name=AXIS)
+
+    return _shard_map(body, mesh, (_leaf_specs(As), P(AXIS)),
+                      (P(), P(AXIS), P(), P(), P()))(As, x0)
+
+
+@traced
+def dist_esolve(A, mesh: Mesh, options=None, x0=None, **overrides):
+    """Distributed lis_esolve: standard problem Ax = λx on a sharded
+    operator (from distribute_matrix/distribute_csr/distribute_dia).
+
+    Returns an EsolveResult whose evector is the sharded padded vector
+    truncated to the global size — same contract as dist_solve.
+    """
+    from lis_tpu.esolvers.driver import EsolveResult
+
+    if isinstance(options, EsolverOptions):
+        opts = options
+        for k, val in overrides.items():
+            setattr(opts, k, val)
+    else:
+        opts = EsolverOptions.from_string(options, **overrides)
+
+    name = opts.esolver
+    base = name[1:] if name.startswith("g") and name != "gcg" else name
+    if base == "gcg":
+        base = "cg"
+    if base not in _SUPPORTED:
+        raise NotImplementedError(
+            f"distributed eigensolver {base!r} (supported: "
+            f"{', '.join(_SUPPORTED)}; subspace si/li/ai run single-device)")
+
+    dtype = jnp.result_type(*[
+        l.dtype for l in jax.tree.leaves(A) if hasattr(l, "dtype")])
+    if x0 is None or opts.initx_ones:
+        x0 = np.ones(A.gn)
+    x0 = np.asarray(x0)
+    x0d = distribute_vector(
+        np.pad(x0.astype(np.float64), (0, A.gn_pad - len(x0))), mesh,
+        A.gn_pad).astype(dtype)
+
+    inner_key = (opts.inner.tol, opts.inner.maxiter)
+    iname = _inner_name(opts)
+
+    t0 = C.wtime()
+    dead = False
+    if base == "pi":
+        it, x, lam, resid, rh = _dist_epi(A, x0d, mesh, opts.maxiter,
+                                          opts.tol, None, None)
+    elif base == "ii":
+        sigma = jnp.asarray(float(opts.rval))
+        it, x, lam, resid, rh = _dist_eii(A, x0d, sigma, mesh, opts.maxiter,
+                                          opts.tol, iname, inner_key)
+    elif base == "rqi":
+        it, x, lam, resid, rh, dead = _dist_erqi(A, x0d, mesh, opts.maxiter,
+                                                 opts.tol, iname, inner_key)
+        dead = bool(dead)
+    elif base == "cg":
+        it, x, lam, resid, rh = _dist_ecg(A, x0d, jnp.asarray(opts.rval),
+                                          mesh, opts.maxiter, opts.tol,
+                                          iname, inner_key)
+    else:                                           # cr
+        it, x, lam, resid, rh = _dist_ecr(A, x0d, jnp.asarray(opts.rval),
+                                          mesh, opts.maxiter, opts.tol,
+                                          None, None)
+
+    x = x.block_until_ready()
+    iters = int(it)
+    resid = float(resid)
+    if resid <= opts.tol:
+        status = C.LIS_SUCCESS
+    elif dead:
+        status = C.LIS_BREAKDOWN
+    else:
+        status = C.LIS_MAXITER
+    lam = float(jnp.real(lam)) + (opts.rval if base in ("cg", "cr") else 0.0)
+    xg = x[: A.gn] if A.gn_pad != A.gn else x
+    rh = np.asarray(rh)[1:iters + 1]
+    return EsolveResult(evalue=lam, evector=xg, iters=iters, resid=resid,
+                        status=status, evalues=np.asarray([lam]),
+                        evectors=np.asarray(xg)[None, :],
+                        iters_all=np.asarray([iters]),
+                        resids_all=np.asarray([resid]), rhistory=rh)

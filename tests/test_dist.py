@@ -213,3 +213,102 @@ def test_dist_hybrid(mesh):
     r = dist_solve(Ad, b, mesh, options="-i bicgstab -p ilu -tol 1e-10")
     assert r.status == lis_tpu.LIS_SUCCESS
     assert np.abs(np.asarray(r.x) - 1).max() < 1e-7
+
+
+@pytest.mark.parametrize("es", ["pi", "ii", "cg", "cr"])
+def test_dist_esolve_matches_single_device(mesh, prob, es):
+    """Distributed eigensolvers (lis_esolver.c:263 under MPI): same
+    iteration counts and eigenvalues as single-device — the same compiled
+    loops run inside shard_map with psum reductions."""
+    from lis_tpu import esolve
+    from lis_tpu.parallel import distribute_matrix, dist_esolve
+    a, b, ad = prob
+    Ad = distribute_matrix(a, mesh)
+    s = esolve(a, options=f"-e {es} -etol 1e-8 -emaxiter 2000")
+    d = dist_esolve(Ad, mesh, options=f"-e {es} -etol 1e-8 -emaxiter 2000")
+    assert d.status == lis_tpu.LIS_SUCCESS
+    assert abs(d.evalue - s.evalue) < 1e-6 * max(abs(s.evalue), 1)
+    assert abs(d.iters - s.iters) <= 2, (es, d.iters, s.iters)
+    # eigenpair residual against the dense operator
+    x = np.asarray(d.evector)
+    x = x / np.linalg.norm(x)
+    assert np.linalg.norm(ad @ x - d.evalue * x) < 1e-6
+
+
+def test_dist_esolve_rqi_converges(mesh, prob):
+    """RQI's moving near-singular shift amplifies reduction-order rounding,
+    so iteration counts may differ across meshes (the reference accepts the
+    same across serial/OMP/MPI); the eigenpair itself must still be tight."""
+    from lis_tpu.parallel import distribute_matrix, dist_esolve
+    a, b, ad = prob
+    Ad = distribute_matrix(a, mesh)
+    d = dist_esolve(Ad, mesh, options="-e rqi -etol 1e-8 -emaxiter 200")
+    assert d.status == lis_tpu.LIS_SUCCESS
+    x = np.asarray(d.evector)
+    x = x / np.linalg.norm(x)
+    assert np.linalg.norm(ad @ x - d.evalue * x) < 1e-6
+
+
+def test_dist_esolve_shift_and_dia(mesh):
+    """-shift on the sharded DIA fast path: II targets the eigenvalue
+    nearest sigma."""
+    from lis_tpu.parallel import distribute_matrix, dist_esolve, \
+        DistDIAMatrix
+    a = poisson2d(16, 16)
+    ad = np.asarray(a.to_dense())
+    evs = np.linalg.eigvalsh(ad)
+    target = float(evs[0])                 # well-separated extreme pair
+    Ad = distribute_matrix(a, mesh)
+    assert isinstance(Ad, DistDIAMatrix)
+    d = dist_esolve(Ad, mesh,
+                    options=f"-e ii -shift {target - 0.01} -etol 1e-8")
+    assert d.status == lis_tpu.LIS_SUCCESS
+    assert abs(d.evalue - target) < 1e-6
+
+
+def test_dist_saamg_matches_single(mesh):
+    """Distributed SA-AMG (vs lis_m_solver_AMGCG.F90's MPI hierarchy):
+    sharded level 0 with block-local SGS + replicated coarse levels.
+    VERDICT bar: within 2x single-chip iterations; it matches exactly on
+    the Poisson family."""
+    a = poisson2d(24, 24)
+    b = np.ones(576)
+    from lis_tpu.parallel.dist import distribute_matrix
+    s = solve(a, b, options="-i cg -p saamg -tol 1e-10")
+    Ad = distribute_matrix(a, mesh)
+    d = dist_solve(Ad, b, mesh, options="-i cg -p saamg -tol 1e-10")
+    assert d.status == lis_tpu.LIS_SUCCESS
+    assert d.iters <= 2 * s.iters, (d.iters, s.iters)
+    assert _tr(a.to_dense(), b, d.x) < 1e-8
+    assert np.isfinite(d.true_resid) and d.true_resid < 1e-8
+
+
+@pytest.mark.parametrize("opt,maxfac", [
+    ("-i bicgstab -p hybrid -hybrid_maxiter 10", 3),
+    ("-i cg -p sainv -sainv_drop 0.02", 3),
+    ("-i cg -p bjacobi", 2),
+    ("-i cg -p ssor -adds true -adds_iter 1", 2),
+])
+def test_dist_precon_families(mesh, prob, opt, maxfac):
+    """hybrid (global inner solve over the mesh), block-Jacobi SAINV,
+    bjacobi, and additive Schwarz with the distributed residual matvec."""
+    a, b, ad = prob
+    from lis_tpu.parallel.dist import distribute_matrix
+    s = solve(a, b, options=f"{opt} -tol 1e-10")
+    Ad = distribute_matrix(a, mesh)
+    d = dist_solve(Ad, b, mesh, options=f"{opt} -tol 1e-10")
+    assert d.status == lis_tpu.LIS_SUCCESS, (opt, d)
+    assert _tr(ad, b, d.x) < 1e-8
+    assert d.iters <= maxfac * max(s.iters, 1), (opt, d.iters, s.iters)
+
+
+def test_dist_is_precon(mesh):
+    """Block-Jacobi I+S on a diagonally dominant operator (its intended
+    regime): bit-exact block apply, converging solve."""
+    a = tridiag(120, diag=4.0)
+    b = np.arange(1.0, 121.0)
+    from lis_tpu.parallel.dist import distribute_matrix
+    Ad = distribute_matrix(a, mesh)
+    d = dist_solve(Ad, b, mesh, options="-i bicgstab -p is -tol 1e-10")
+    assert d.status == lis_tpu.LIS_SUCCESS
+    assert _tr(a.to_dense(), b, d.x) < 1e-8
