@@ -97,22 +97,27 @@ class SparseMatrix:
     # -- common derived ops ----------------------------------------------
     def to_dense(self) -> np.ndarray:
         ptr, index, value = self.to_csr_arrays()
+        ptr = np.asarray(ptr)
+        index = np.asarray(index)
+        value = np.asarray(value)
         n, m = self.shape
-        dense = np.zeros((n, m), dtype=np.asarray(value).dtype)
-        for i in range(n):
-            dense[i, index[ptr[i]:ptr[i + 1]]] += value[ptr[i]:ptr[i + 1]]
+        dense = np.zeros((n, m), dtype=value.dtype)
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(ptr))
+        np.add.at(dense, (rows, index.astype(np.int64)), value)
         return dense
 
     def get_diagonal(self):
         """Diagonal as a jnp vector (lis_matrix_get_diagonal,
         src/matrix/lis_matrix_ops.c:728)."""
         ptr, index, value = self.to_csr_arrays()
+        ptr = np.asarray(ptr)
+        index = np.asarray(index)
+        value = np.asarray(value)
         n = self.nrows
-        d = np.zeros(n, dtype=np.asarray(value).dtype)
-        for i in range(n):
-            sel = index[ptr[i]:ptr[i + 1]] == i
-            if sel.any():
-                d[i] = value[ptr[i]:ptr[i + 1]][sel].sum()
+        d = np.zeros(n, dtype=value.dtype)
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(ptr))
+        isd = index.astype(np.int64) == rows
+        np.add.at(d, rows[isd], value[isd])
         return jnp.asarray(d)
 
     def scale_rows(self, d):

@@ -64,11 +64,9 @@ class ELLMatrix(SparseMatrix):
 
 
 def _sort_rows(ptr, index, value):
-    """Sort column indices within each CSR row (host)."""
+    """Sort column indices within each CSR row (host, vectorised: one
+    global lexsort by (row, col) replaces the per-row argsort loop)."""
     n = len(ptr) - 1
-    for i in range(n):
-        s, e = ptr[i], ptr[i + 1]
-        o = np.argsort(index[s:e], kind="stable")
-        index[s:e] = index[s:e][o]
-        value[s:e] = value[s:e][o]
-    return ptr, index, value
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(ptr))
+    o = np.lexsort((index, rows))
+    return ptr, index[o], value[o]

@@ -42,12 +42,18 @@ def create_is(A, opts):
     alpha = getattr(opts, "is_alpha", 1.0)
     s = split_matrix(A)
     up, ui, uv = s.U.to_csr_arrays()
+    up = np.asarray(up).astype(np.int64)
+    ui = np.asarray(ui)
+    uv = np.asarray(uv)
     n = A.nrows
+    # vectorised truncation: keep the first min(m, rownnz) entries per row
     idx = np.zeros((n, m), dtype=np.int32)
-    val = np.zeros((n, m), dtype=np.asarray(uv).dtype)
-    for i in range(n):
-        cnt = min(m, up[i + 1] - up[i])
-        idx[i, :cnt] = ui[up[i]:up[i] + cnt]
-        val[i, :cnt] = uv[up[i]:up[i] + cnt]
+    val = np.zeros((n, m), dtype=uv.dtype)
+    if len(uv):
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(up))
+        slot = np.arange(len(uv), dtype=np.int64) - up[rows]
+        keep = slot < m
+        idx[rows[keep], slot[keep]] = ui[keep]
+        val[rows[keep], slot[keep]] = uv[keep]
     return ISPrecon(index=jnp.asarray(idx), value=jnp.asarray(val),
                     alpha=alpha)
