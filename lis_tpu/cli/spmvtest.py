@@ -20,7 +20,10 @@ import time
 import numpy as np
 
 FORMATS = ["csr", "csc", "msr", "dia", "ell", "jad", "bsr", "bsc", "vbr",
-           "coo", "dns"]
+           "coo", "dns",
+           # TPU-native extensions: hybrid DIA+remainder and dense
+           # sliding slabs for general sparsity
+           "hdi", "bes"]
 
 
 def _sync(x):

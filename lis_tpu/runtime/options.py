@@ -43,7 +43,9 @@ ESOLVER_IDS = {name: i + 1 for i, name in enumerate(ESOLVER_NAMES)}
 
 STORAGE_NAMES = {name: i + 1 for i, name in enumerate(
     ["csr", "csc", "msr", "dia", "ell", "jad", "bsr", "bsc", "vbr", "coo",
-     "dns"])}
+     "dns",
+     # TPU-native extensions beyond the reference's 11 formats
+     "hdi", "bes"])}
 
 PRINT_NAMES = {"none": 0, "mem": 1, "out": 2, "all": 3}
 SCALE_NAMES = {"none": 0, "jacobi": 1, "symm_diag": 2}
@@ -98,6 +100,7 @@ class SolverOptions:
     use_at: bool = False            # -use_at (explicit Aᵀ for BiCG family)
     storage: int = 0                # -storage (0 = auto: DIA for banded)
     auto_storage: bool = True       # -auto_storage (TPU-first DIA routing)
+    reorder: str = "none"           # -reorder {none|rcm}: solve P A Pt
     storage_block: int = 2          # -storage_block
     irestart: int = 2               # -irestart (IDR(s) shadow dim)
     ric2s_tau: float = 0.05         # -ric2s_tau
@@ -251,6 +254,7 @@ _SOLVER_ACTIONS = {
     "-iluc_gamma": _set_float("iluc_gamma"),
     "-iluc_rate": _set_float("iluc_rate"),
     "-storage": _set_storage,
+    "-reorder": lambda o, v: setattr(o, "reorder", v.lower()),
     "-auto_storage": lambda o, v: setattr(o, "auto_storage",
                                           bool(TRUEFALSE[v.lower()])),
     "-storage_block": _set_int("storage_block"),

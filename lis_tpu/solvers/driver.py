@@ -89,6 +89,21 @@ def auto_storage(A):
         except NotImplementedError:
             out = None
         if out is None:
+            # general sparsity: dense sliding slabs (matrix/bes.py) beat
+            # the gather path whenever the fill blowup stays below ~1000x
+            # (slabs stream at ~750 GB/s vs 0.5 GB/s for gathers); accept
+            # when the displacement profile keeps the slab affordable
+            from lis_tpu.matrix.bes import BESMatrix
+            try:
+                bes = BESMatrix.from_csr_arrays(*A.to_csr_arrays(), A.shape,
+                                                max_bytes=4 << 30)
+                rem_frac = (bes.rem.nnz / max(bes.nnz, 1)
+                            if bes.rem is not None else 0.0)
+                if bes.fill_blowup <= 256 and rem_frac <= 0.1:
+                    out = bes
+            except Exception:
+                pass
+        if out is None:
             out = False
     try:
         # cache on the (frozen) format object so repeated solves with the
@@ -157,6 +172,20 @@ def solve(A: SparseMatrix, b, x0=None, options=None, M=None,
 
     t_total = C.wtime()
     b = jnp.asarray(b)
+
+    # ---- bandwidth-reducing reordering (-reorder rcm) ----------------------
+    # TPU-first extension: solve (P A Pt)(P x) = P b so the gather-free
+    # formats (DIA/HDI/BES) see the locality RCM exposes; b permutes once
+    # here, x unpermutes once at exit (matrix/reorder.py).
+    perm = None
+    if getattr(opts, "reorder", "none") == "rcm":
+        from lis_tpu.matrix.reorder import rcm_permutation, permute_symmetric
+        perm = rcm_permutation(A)
+        A = permute_symmetric(A, perm)
+        b = jnp.asarray(np.asarray(b)[perm])
+        if x0 is not None and not opts.initx_zeros:
+            x0 = jnp.asarray(np.asarray(x0)[perm])
+
     b0 = b
     A0 = A
     n = A.nrows
@@ -296,6 +325,10 @@ def solve(A: SparseMatrix, b, x0=None, options=None, M=None,
     rtrue = b0 - A0.matvec(x)
     bn = v.nrm2(b0)
     true_resid = float(v.nrm2(rtrue) / jnp.where(bn == 0, 1.0, bn))
+    if perm is not None:
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm))
+        x = jnp.asarray(np.asarray(x)[inv])
 
     iters = int(out.iters) + extra_iters
     rh = np.asarray(out.rhistory)[: iters + 1]

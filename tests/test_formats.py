@@ -14,7 +14,7 @@ from lis_tpu.matrix.base import _MATRIX_REGISTRY
 from tests.problems import poisson2d, random_sparse, tridiag
 
 FORMATS = ["csr", "csc", "msr", "dia", "ell", "jad", "bsr", "bsc", "vbr",
-           "coo", "dns"]
+           "coo", "dns", "bes"]
 
 
 @pytest.fixture(scope="module")
@@ -125,13 +125,21 @@ def test_hybrid_hdi_format():
     a2 = sp.csr_matrix((np.asarray(v2), np.asarray(i2), np.asarray(p2)),
                        shape=a.shape)
     assert abs(a2 - a).max() < 1e-14
-    # dense (fully random) matrices must NOT route to hdi
+    # dense (fully random) SMALL matrices route to bes (windows cover
+    # the whole matrix cheaply); LARGE scatter-dominated ones, where the
+    # slab blowup guard rejects, stay on the csr gather path
     import lis_tpu
     from lis_tpu.matrix.csr import CSRMatrix
     r = sp.random(100, 100, density=0.2, random_state=1).tocsr()
     r.sort_indices()
     R = CSRMatrix.from_csr_arrays(r.indptr, r.indices, r.data, r.shape)
-    assert auto_storage(R).format_name == "csr"
+    assert auto_storage(R).format_name == "bes"
+    big = sp.random(3000, 3000, density=0.001, random_state=2).tocsr()
+    big = big + sp.eye(3000, format="csr")
+    big = big.tocsr(); big.sort_indices()
+    Rb = CSRMatrix.from_csr_arrays(big.indptr, big.indices, big.data,
+                                   big.shape)
+    assert auto_storage(Rb).format_name == "csr"
 
 
 def test_poisson3d27_dia_generator():
@@ -141,3 +149,69 @@ def test_poisson3d27_dia_generator():
     D = poisson3d27_dia(5, 4, 3)
     np.testing.assert_allclose(np.asarray(D.to_dense()),
                                np.asarray(A.to_dense()))
+
+
+def test_bes_general_sparsity_and_rcm():
+    """BES dense sliding slabs (the general-sparsity fast path): exact
+    matvec/matvech on a scrambled (unstructured) operator, RCM recovers
+    the bandwidth, and the -reorder rcm solve matches the plain solve."""
+    import scipy.sparse as sp
+    import lis_tpu
+    from lis_tpu import solve
+    from lis_tpu.matrix.csr import CSRMatrix
+    from lis_tpu.matrix.reorder import (rcm_permutation, permute_symmetric,
+                                        bandwidth)
+    a = poisson2d(20, 20)
+    n = 400
+    ad = np.asarray(a.to_dense())
+    rng = np.random.default_rng(5)
+    perm = rng.permutation(n)
+    ap = sp.csr_matrix(ad)[perm][:, perm].tocsr()
+    Ap = CSRMatrix.from_csr_arrays(ap.indptr, ap.indices, ap.data, (n, n))
+
+    pr = rcm_permutation(Ap)
+    Ar = permute_symmetric(Ap, pr)
+    assert bandwidth(Ar) < bandwidth(Ap) / 3
+
+    B = convert_matrix(Ar, "bes")
+    x = rng.standard_normal(n)
+    adr = np.asarray(Ar.to_dense())
+    np.testing.assert_allclose(np.asarray(B.matvec(jnp.asarray(x))),
+                               adr @ x, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(B.matvech(jnp.asarray(x))),
+                               adr.T @ x, atol=1e-12)
+
+    b = ap @ np.ones(n)
+    r0 = solve(Ap, b, options="-i bicgstab -tol 1e-10")
+    r1 = solve(Ap, b, options="-i bicgstab -tol 1e-10 -reorder rcm")
+    assert r1.status == lis_tpu.LIS_SUCCESS
+    assert np.abs(np.asarray(r1.x) - 1.0).max() < 1e-7
+    # solution comes back in the ORIGINAL ordering
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r0.x), atol=1e-6)
+
+
+def test_bes_auto_storage_routing():
+    """auto_storage falls through DIA/HDI to BES for general matrices with
+    a usable displacement profile."""
+    import scipy.sparse as sp
+    from lis_tpu.solvers.driver import auto_storage
+    from lis_tpu.matrix.csr import CSRMatrix
+    from lis_tpu.matrix.bes import BESMatrix
+    rng = np.random.default_rng(9)
+    n = 600
+    # banded-ish random structure with many distinct offsets (not DIA-able)
+    rows, cols = [], []
+    for i in range(n):
+        cs = np.unique(np.clip(i + rng.integers(-40, 41, size=12), 0, n - 1))
+        rows.extend([i] * len(cs))
+        cols.extend(cs)
+    vals = rng.standard_normal(len(rows))
+    m = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    m = m + sp.diags(np.abs(m).sum(axis=1).A1 + 1)
+    m = m.tocsr(); m.sort_indices()
+    A = CSRMatrix.from_csr_arrays(m.indptr, m.indices, m.data, (n, n))
+    routed = auto_storage(A)
+    assert isinstance(routed, BESMatrix), type(routed)
+    x = rng.standard_normal(n)
+    np.testing.assert_allclose(np.asarray(routed.matvec(jnp.asarray(x))),
+                               m @ x, atol=1e-10)
