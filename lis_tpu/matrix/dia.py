@@ -6,7 +6,7 @@ matrix is a handful of dense diagonals; SpMV needs NO gather at all: each
 diagonal contributes ``value[k] * shift(x, off_k)``, a pure VPU multiply-add
 over contiguous memory.  The diagonal offsets are static aux data, so the
 shifts are compile-time slices — this is the flagship Pallas-kernel format
-(see lis_tpu.ops.spmv_pallas).
+(XLA-fused; measured at the HBM roofline, see BENCH.md).
 
 Out-of-range positions hold zeros in ``value`` so no runtime masks needed.
 """
