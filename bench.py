@@ -84,6 +84,32 @@ def main():
         r = lis_tpu.solve(A2, b2, options=opts)
         solve_ms[f] = round(r.itime / max(r.iters, 1) * 1e3, 3)
 
+    # general-sparsity path: BES dense sliding slabs on an unstructured
+    # band matrix (spmvtest5-class input; csr-equivalent GB/s)
+    import scipy.sparse as sp
+    from lis_tpu.matrix.csr import CSRMatrix
+    rng = np.random.default_rng(0)
+    nb = 1 << 19
+    rows_ = np.repeat(np.arange(nb), 20)
+    cols_ = np.clip(rows_ + rng.integers(-160, 161, size=nb * 20), 0, nb - 1)
+    mb = sp.coo_matrix((rng.standard_normal(nb * 20).astype(np.float32),
+                        (rows_, cols_)), shape=(nb, nb)).tocsr()
+    mb.sort_indices()
+    Ab = convert_matrix(CSRMatrix.from_csr_arrays(
+        mb.indptr, mb.indices, mb.data, mb.shape), "bes")
+    xb = jnp.ones(nb, dtype=dtype)
+
+    def make_bes(iters):
+        @jax.jit
+        def run(v):
+            def body(i, vv):
+                return Ab.matvec(vv) * jnp.float32(1.0 / 32.0)
+            return jnp.sum(jax.lax.fori_loop(0, iters, body, v))
+        return run
+
+    t_bes = _timed(make_bes, xb, 5, 55)
+    bes_gbs = Ab.nnz * 8 / t_bes / 1e9
+
     esize = np.dtype(np.float32).itemsize
     bytes_moved = (nnd * n + 2 * n) * esize      # diagonals + x read + y write
     gbs = bytes_moved / t / 1e9
@@ -109,6 +135,7 @@ def main():
             "rows": n, "nnz": nnz, "format": "dia", "dtype": "float32",
             "spmv_convention": "2*nnz*iter/comptime (test/spmvtest3b.c:247)",
             "cg_jacobi_64cubed_ms_per_iter": solve_ms,
+            "bes_general_sparsity_csr_equiv_gbs": round(bes_gbs, 1),
         },
     }))
 
