@@ -31,6 +31,67 @@ from lis_tpu.parallel.dist import _shard_map, distribute_vector
 from lis_tpu.runtime.options import EsolverOptions
 
 _SUPPORTED = ("pi", "ii", "rqi", "cg", "cr")
+_SUBSPACE = ("si", "li", "ai")
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _gv_matvec(A, x, mesh):
+    f = _shard_map(lambda A_, x_: A_.matvec(x_), mesh,
+                   (jax.tree.map(lambda _: P(AXIS), A), P(AXIS)), P(AXIS))
+    return f(A, x)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _gv_matvech(A, x, mesh):
+    f = _shard_map(lambda A_, x_: A_.matvech(x_), mesh,
+                   (jax.tree.map(lambda _: P(AXIS), A), P(AXIS)), P(AXIS))
+    return f(A, x)
+
+
+@jax.tree_util.register_pytree_node_class
+class _GlobalView:
+    """Global-vector adapter over a block-row sharded matrix: matvec runs
+    the shard_map kernel (ring halos etc.); every other operation the
+    host-orchestrated eigensolvers perform (dots, norms, AXPYs, QR) runs
+    as plain jnp on the GSPMD-sharded global arrays, where XLA inserts
+    the collectives automatically.  This lets the subspace eigensolvers
+    (SI/LI/AI — Python loops with host dense eigensolves, matching the
+    reference's lis_esolver_{si,li,ai}.c structure) execute distributed
+    UNCHANGED."""
+
+    def __init__(self, A, mesh):
+        self.A = A
+        self.mesh = mesh
+
+    def tree_flatten(self):
+        return ((self.A,), (self.mesh,))
+
+    @classmethod
+    def tree_unflatten(cls, aux, c):
+        return cls(c[0], aux[0])
+
+    @property
+    def nrows(self):
+        return self.A.gn_pad
+
+    @property
+    def ncols(self):
+        return self.A.gn_pad
+
+    def matvec(self, x):
+        return _gv_matvec(self.A, x, self.mesh)
+
+    def matvech(self, x):
+        return _gv_matvech(self.A, x, self.mesh)
+
+    def get_diagonal(self):
+        f = _shard_map(lambda A_: A_.get_diagonal(), self.mesh,
+                       (jax.tree.map(lambda _: P(AXIS), self.A),), P(AXIS))
+        return jax.jit(f)(self.A)
+
+    def shift_diagonal(self, sigma):
+        from lis_tpu.esolvers.power import _Shifted
+        return _Shifted(self, jnp.asarray(sigma))
 
 
 def _leaf_specs(tree):
@@ -126,6 +187,30 @@ def _dist_ecr(A, x0, sigma, mesh, maxiter, tol, _n1, _n2):
                       (P(), P(AXIS), P(), P(), P()))(As, x0)
 
 
+def _dist_subspace(A, mesh, base, opts, x0):
+    """SI/LI/AI on the mesh via _GlobalView: the standard host-loop
+    implementations run unchanged on GSPMD-sharded global vectors, with
+    the matvec going through the shard_map kernel."""
+    import dataclasses as _dc
+    from lis_tpu.esolvers.base import ESOLVER_FNS
+
+    gv = _GlobalView(A, mesh)
+    dtype = jnp.result_type(*[
+        l.dtype for l in jax.tree.leaves(A) if hasattr(l, "dtype")])
+    if x0 is None or opts.initx_ones:
+        x0 = np.ones(A.gn)
+    x0d = distribute_vector(
+        np.pad(np.asarray(x0, dtype=np.float64),
+               (0, A.gn_pad - len(np.asarray(x0)))), mesh,
+        A.gn_pad).astype(dtype)
+    res = ESOLVER_FNS[base](gv, None, x0d, opts)
+    if A.gn_pad != A.gn:
+        res = _dc.replace(
+            res, evector=jnp.asarray(np.asarray(res.evector)[: A.gn]),
+            evectors=np.asarray(res.evectors)[:, : A.gn])
+    return res
+
+
 @traced
 def dist_esolve(A, mesh: Mesh, options=None, x0=None, **overrides):
     """Distributed lis_esolve: standard problem Ax = λx on a sharded
@@ -147,10 +232,12 @@ def dist_esolve(A, mesh: Mesh, options=None, x0=None, **overrides):
     base = name[1:] if name.startswith("g") and name != "gcg" else name
     if base == "gcg":
         base = "cg"
+    if base in _SUBSPACE:
+        return _dist_subspace(A, mesh, base, opts, x0)
     if base not in _SUPPORTED:
         raise NotImplementedError(
             f"distributed eigensolver {base!r} (supported: "
-            f"{', '.join(_SUPPORTED)}; subspace si/li/ai run single-device)")
+            f"{', '.join(_SUPPORTED + _SUBSPACE)})")
 
     dtype = jnp.result_type(*[
         l.dtype for l in jax.tree.leaves(A) if hasattr(l, "dtype")])

@@ -312,3 +312,20 @@ def test_dist_is_precon(mesh):
     d = dist_solve(Ad, b, mesh, options="-i bicgstab -p is -tol 1e-10")
     assert d.status == lis_tpu.LIS_SUCCESS
     assert _tr(a.to_dense(), b, d.x) < 1e-8
+
+
+@pytest.mark.parametrize("es", ["li", "ai", "si"])
+def test_dist_esolve_subspace(mesh, prob, es):
+    """Distributed subspace eigensolvers (SI/LI/AI): the host-loop
+    implementations run unchanged over GSPMD-sharded global vectors with
+    the shard_map matvec — eigenvalues match single-device exactly."""
+    from lis_tpu import esolve
+    from lis_tpu.parallel import distribute_matrix, dist_esolve
+    a, b, ad = prob
+    Ad = distribute_matrix(a, mesh)
+    s = esolve(a, options=f"-e {es} -ss 3 -etol 1e-8 -emaxiter 60")
+    d = dist_esolve(Ad, mesh, options=f"-e {es} -ss 3 -etol 1e-8 -emaxiter 60")
+    np.testing.assert_allclose(np.asarray(d.evalues), np.asarray(s.evalues),
+                               rtol=1e-8)
+    assert d.evectors.shape == (3, 400)
+    assert d.status == s.status
