@@ -222,6 +222,26 @@ def undistribute_csr(A):
         m.sort_indices()
         return CSRMatrix.from_csr_arrays(m.indptr, m.indices, m.data,
                                          (A.gn, A.gn))
+    if isinstance(A, DistBESMatrix):
+        from lis_tpu.matrix.bes import BESMatrix
+        from lis_tpu.matrix.csr import CSRMatrix as _CSR
+        s = host(A.slab)
+        T, W, R = s.shape
+        t, w, r = np.nonzero(s)
+        grow = t * R + r
+        gcol = t * R + A.c0 + w
+        keep = (grow < A.gn) & (gcol >= 0) & (gcol < A.gn)
+        m = sp.coo_matrix((s[t, w, r][keep], (grow[keep], gcol[keep])),
+                          shape=(A.gn, A.gn)).tocsr()
+        if A.rem is not None:
+            r2 = undistribute_csr(A.rem)
+            rp, ri, rv = r2.to_csr_arrays()
+            m = (m + sp.csr_matrix((np.asarray(rv), np.asarray(ri),
+                                    np.asarray(rp)),
+                                   shape=(A.gn, A.gn))).tocsr()
+        m.sort_indices()
+        return _CSR.from_csr_arrays(m.indptr, m.indices, m.data,
+                                    (A.gn, A.gn))
     if isinstance(A, DistDIAMatrix):
         from lis_tpu.matrix.dia import DIAMatrix
         from lis_tpu.matrix.convert import convert_matrix
@@ -633,6 +653,18 @@ def distribute_matrix(A, mesh: Mesh, halo: str = "auto"):
             return DistHybridMatrix(
                 dia=distribute_dia(H.dia, mesh),
                 rem=distribute_csr(H.rem, mesh, halo="gather"))
+    # general sparsity: dense sliding slabs on the mesh (ring window
+    # halos) when the profile fits — same guards as auto_storage
+    from lis_tpu.matrix.bes import BESMatrix
+    try:
+        bes = BESMatrix.from_csr_arrays(*A.to_csr_arrays(), A.shape,
+                                        max_bytes=4 << 30)
+        rem_frac = (bes.rem.nnz / max(bes.nnz, 1)
+                    if bes.rem is not None else 0.0)
+        if bes.fill_blowup <= 256 and rem_frac <= 0.1:
+            return distribute_bes(bes, mesh)
+    except Exception:
+        pass
     return distribute_csr(A, mesh, halo=halo)
 
 
@@ -777,3 +809,139 @@ jax.tree_util.register_pytree_node(
     DistHybridMatrix,
     lambda m: ((m.dia, m.rem), ()),
     lambda aux, c: DistHybridMatrix(*c))
+
+
+@dataclasses.dataclass(frozen=True)
+class DistBESMatrix(SparseMatrix):
+    """Block-row sharded BES (dense sliding slabs — matrix/bes.py): each
+    shard owns tlocal row-blocks of the (T, W, R) slab; the windows
+    overhang the shard boundary by at most (W - R), exchanged as ring
+    slabs exactly like DistDIAMatrix's halos.  The remainder (out-of-
+    window entries) rides a gather-mode DistCSRMatrix."""
+    slab: jax.Array           # (p·tlocal, W, R) sharded on axis 0
+    rem: object               # DistCSRMatrix or None
+    nlocal: int               # rows per shard = tlocal·R
+    gn: int
+    gn_pad: int
+    nprocs: int
+    R: int
+    W: int
+    c0: int
+
+    @property
+    def _hl(self):
+        return max(-self.c0, 0)
+
+    @property
+    def _hr(self):
+        return max(self.c0 + self.W - self.R, 0)
+
+    def _extended_x(self, x_local):
+        p, hl, hr = self.nprocs, self._hl, self._hr
+        parts = [x_local]
+        if hl:
+            perm_up = [(i, (i + 1) % p) for i in range(p)]
+            parts.insert(0, jax.lax.ppermute(x_local[-hl:], AXIS, perm_up))
+        if hr:
+            perm_dn = [(i, (i - 1) % p) for i in range(p)]
+            parts.append(jax.lax.ppermute(x_local[:hr], AXIS, perm_dn))
+        return jnp.concatenate(parts) if len(parts) > 1 else x_local
+
+    def matvec(self, x_local):
+        R, W = self.R, self.W
+        tl = self.nlocal // R
+        xe = self._extended_x(x_local)
+        base = self._hl + self.c0              # >= 0
+        xw = jnp.concatenate(
+            [jax.lax.dynamic_slice(xe, (base + c * R,), (tl * R,))
+             .reshape(tl, R) for c in range(W // R)], axis=1)
+        y = jnp.sum(self.slab * xw[:, :, None], axis=1).reshape(-1)
+        if self.rem is not None:
+            y = y + self.rem.matvec(x_local)
+        return y
+
+    def matvech(self, x_local):
+        s = jnp.conj(self.slab) if jnp.iscomplexobj(self.slab) else self.slab
+        R, W = self.R, self.W
+        tl = self.nlocal // R
+        p, hl, hr = self.nprocs, self._hl, self._hr
+        xr = x_local.reshape(tl, R)
+        win = jnp.sum(s * xr[:, None, :], axis=2)          # (tl, W)
+        base = hl + self.c0
+        ye = jnp.zeros(hl + self.nlocal + hr, dtype=win.dtype)
+        for c in range(W // R):
+            seg = win[:, c * R:(c + 1) * R].reshape(-1)
+            cur = jax.lax.dynamic_slice(ye, (base + c * R,), (tl * R,))
+            ye = jax.lax.dynamic_update_slice(ye, cur + seg,
+                                              (base + c * R,))
+        y = ye[hl: hl + self.nlocal]
+        # return boundary partial sums to their owners (lis_reduce analogue)
+        if hl:
+            perm_dn = [(i, (i - 1) % p) for i in range(p)]
+            from_right = jax.lax.ppermute(ye[:hl], AXIS, perm_dn)
+            y = y.at[-hl:].add(from_right)
+        if hr:
+            perm_up = [(i, (i + 1) % p) for i in range(p)]
+            from_left = jax.lax.ppermute(ye[-hr:], AXIS, perm_up)
+            y = y.at[:hr].add(from_left)
+        if self.rem is not None:
+            y = y + self.rem.matvech(x_local)
+        return y
+
+    def get_diagonal(self):
+        R, W = self.R, self.W
+        r = jnp.arange(R)
+        w = r - self.c0
+        ok = (w >= 0) & (w < W)
+        d = jnp.where(ok, self.slab[:, jnp.clip(w, 0, W - 1), r],
+                      0.0).reshape(-1)
+        if self.rem is not None:
+            d = d + self.rem.get_diagonal()
+        return d
+
+    @property
+    def nrows(self):
+        return self.gn
+
+    @property
+    def ncols(self):
+        return self.gn
+
+
+jax.tree_util.register_pytree_node(
+    DistBESMatrix,
+    lambda m: ((m.slab, m.rem),
+               (m.nlocal, m.gn, m.gn_pad, m.nprocs, m.R, m.W, m.c0)),
+    lambda aux, c: DistBESMatrix(c[0], c[1], *aux))
+
+
+def distribute_bes(A, mesh: Mesh):
+    """Shard a BESMatrix (or build one from A) block-row over the mesh.
+    Requires the window overhang (hl/hr) to fit within one shard."""
+    from lis_tpu.matrix.bes import BESMatrix
+    from lis_tpu.matrix.convert import convert_matrix
+    B = A if getattr(A, "format_name", None) == "bes" \
+        else convert_matrix(A, "bes")
+    p = mesh.shape[AXIS]
+    T, W, R = B.slab.shape
+    tlocal = -(-T // p)
+    nlocal = tlocal * R
+    gn_pad = p * nlocal
+    hl = max(-B.c0, 0)
+    hr = max(B.c0 + W - R, 0)
+    if hl > nlocal or hr > nlocal:
+        raise ValueError(f"bes window overhang ({hl},{hr}) exceeds shard "
+                         f"rows {nlocal}; use distribute_csr")
+    slab = np.zeros((p * tlocal, W, R), dtype=host(B.slab).dtype)
+    slab[:T] = host(B.slab)
+    rem = None
+    if B.rem is not None:
+        rem = distribute_csr(B.rem, mesh, halo="gather")
+        # keep the shard geometry identical
+        if rem.nlocal != nlocal:
+            raise ValueError("bes remainder shard geometry mismatch")
+    shslab = NamedSharding(mesh, P(AXIS, None, None))
+    return DistBESMatrix(
+        slab=jax.device_put(jnp.asarray(slab), shslab), rem=rem,
+        nlocal=nlocal, gn=B.nrows, gn_pad=gn_pad, nprocs=p, R=R, W=W,
+        c0=B.c0)

@@ -329,3 +329,41 @@ def test_dist_esolve_subspace(mesh, prob, es):
                                rtol=1e-8)
     assert d.evectors.shape == (3, 400)
     assert d.status == s.status
+
+
+def test_dist_bes_general_sparsity(mesh):
+    """General (non-banded) matrices distribute as sharded BES slabs with
+    ring window halos: exact matvec/matvech, block-precon solves, and the
+    lis_reduce-style boundary return in matvech."""
+    import scipy.sparse as sp
+    from jax.sharding import PartitionSpec as P
+    from lis_tpu.parallel.mesh import AXIS
+    from lis_tpu.parallel.dist import (distribute_matrix, DistBESMatrix,
+                                       _shard_map)
+    from lis_tpu.matrix.csr import CSRMatrix
+    rng = np.random.default_rng(3)
+    n, K, bw = 1024, 10, 40
+    rows = np.repeat(np.arange(n), K)
+    cols = np.clip(rows + rng.integers(-bw, bw + 1, size=n * K), 0, n - 1)
+    m = sp.coo_matrix((rng.standard_normal(n * K), (rows, cols)),
+                      shape=(n, n)).tocsr()
+    m = (m + sp.diags(np.abs(m).sum(axis=1).A1 + 1)).tocsr()
+    m.sort_indices()
+    A = CSRMatrix.from_csr_arrays(m.indptr, m.indices, m.data, m.shape)
+    Ad = distribute_matrix(A, mesh)
+    assert isinstance(Ad, DistBESMatrix)
+    x = rng.standard_normal(n)
+    xd = distribute_vector(x, mesh, Ad.gn_pad)
+    f = _shard_map(lambda M, xv: M.matvec(xv), mesh,
+                   (jax.tree.map(lambda _: P(AXIS), Ad), P(AXIS)), P(AXIS))
+    np.testing.assert_allclose(np.asarray(jax.jit(f)(Ad, xd))[:n], m @ x,
+                               atol=1e-10)
+    fh = _shard_map(lambda M, xv: M.matvech(xv), mesh,
+                    (jax.tree.map(lambda _: P(AXIS), Ad), P(AXIS)), P(AXIS))
+    np.testing.assert_allclose(np.asarray(jax.jit(fh)(Ad, xd))[:n], m.T @ x,
+                               atol=1e-10)
+    b = m @ np.ones(n)
+    for opt in ("-i bicgstab -p jacobi", "-i bicgstab -p ilu"):
+        r = dist_solve(Ad, b, mesh, options=f"{opt} -tol 1e-10")
+        assert r.status == lis_tpu.LIS_SUCCESS, opt
+        assert np.abs(np.asarray(r.x) - 1).max() < 1e-7
