@@ -421,13 +421,84 @@ jax.tree_util.register_pytree_node(
     lambda aux, c: DDDiaOperator(aux[0], c[0], aux[1], aux[2], c[1]))
 
 
+
+
+class DDBesOperator:
+    """BES (dense sliding slab) operator for DD matvec.  The slab product
+    accumulates in f64 — XLA's f64 EMULATION is elementwise-correct on
+    TPU (only the f64-pair EFT trick collapses, BENCH.md), and one f64
+    accumulation at 2^-53 is tighter than the f32-pair DD unit roundoff
+    of ~2^-48 — then splits the result back into the f32 limb pair the DD
+    solvers carry.  Keeps general-sparsity matrices on the gather-free
+    slab path under -f df / -f switch_df."""
+
+    def __init__(self, bes, slab64):
+        self.bes = bes              # BESMatrix (f32 slab, window plumbing)
+        self.slab64 = slab64        # (T, W, R) float64
+
+    def _mv(self, x: DD, transpose: bool) -> DD:
+        import jax
+        b = self.bes
+        xs = x.hi.astype(jnp.float64) + x.lo.astype(jnp.float64)
+        if not transpose:
+            xw = b._windows(xs)
+            y = jnp.sum(self.slab64 * xw[:, :, None], axis=1)
+            y = y.reshape(-1)[: b.nrows]
+        else:
+            T, W, R = self.slab64.shape
+            xr = jnp.pad(xs, (0, T * R - b.nrows)).reshape(T, R)
+            win = jnp.sum(self.slab64 * xr[:, None, :], axis=2)
+            lo = max(-b.c0, 0)
+            hi = max((T - 1) * R + b.c0 + W - b.ncols, 0) + R
+            base = b.c0 + lo
+            y = jnp.zeros(lo + b.ncols + hi, dtype=jnp.float64)
+            for c in range(W // R):
+                seg = win[:, c * R:(c + 1) * R].reshape(-1)
+                cur = jax.lax.dynamic_slice(y, (base + c * R,), (T * R,))
+                y = jax.lax.dynamic_update_slice(y, cur + seg,
+                                                 (base + c * R,))
+            y = y[lo: lo + b.ncols]
+        if b.rem is not None:
+            rp = b.rem.matvech(xs) if transpose else b.rem.matvec(xs)
+            y = y + rp.astype(jnp.float64)
+        h = y.astype(x.hi.dtype)
+        return DD(h, (y - h.astype(jnp.float64)).astype(x.hi.dtype))
+
+    def matvec(self, x: DD) -> DD:
+        return self._mv(x, False)
+
+    def matvech(self, x: DD) -> DD:
+        return self._mv(x, True)
+
+    @property
+    def nrows(self):
+        return self.bes.nrows
+
+    @property
+    def ncols(self):
+        return self.bes.ncols
+
+    @classmethod
+    def from_matrix(cls, A, limb=None) -> "DDBesOperator":
+        slab64 = A.slab.astype(jnp.float64)
+        return cls(A, slab64)
+
+
+jax.tree_util.register_pytree_node(
+    DDBesOperator,
+    lambda o: ((o.bes, o.slab64), None),
+    lambda aux, c: DDBesOperator(*c))
+
 def make_dd_operator(A, limb=None):
     """Wrap a format object for DD iterations: DIA stays DIA (stream
-    kernel), everything else goes through the ELL gather pair.  With
-    limb=float32 the operator carries its values as f32 pairs
-    ("double-float") so no precision is lost casting the system."""
+    kernel), BES stays on its slab path (f64-emulated accumulation), and
+    everything else goes through the ELL gather pair.  With limb=float32
+    the operator carries its values as f32 pairs ("double-float") so no
+    precision is lost casting the system."""
     if getattr(A, "format_name", None) == "dia":
         return DDDiaOperator.from_matrix(A, limb)
+    if getattr(A, "format_name", None) == "bes":
+        return DDBesOperator.from_matrix(A, limb)
     return DDOperator.from_matrix(A, limb)
 
 
