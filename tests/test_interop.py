@@ -70,3 +70,40 @@ def test_user_supplied_precon_object(spd):
     res = solve(m, b, options="-i cg -tol 1e-10", M=M)
     assert res.status == 0
     assert res.true_resid < 1e-9
+
+
+def test_fortran_abi_binding():
+    """The Fortran/C binding shim (_native/lisf_tpu.c — the analogue of
+    the reference's src/fortran/lisf_*.c layer): build the shared library
+    (embedding CPython), compile the demo driver that calls it through
+    the exact gfortran ABI (trailing underscores, by-reference args,
+    hidden string length), and run the reference's test4f flow."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+    if shutil.which("gcc") is None or shutil.which("python3-config") is None:
+        pytest.skip("no C toolchain")
+    here = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "lis_tpu", "_native")
+    lib = os.path.join(here, "liblisf_tpu.so")
+    inc = subprocess.run(["python3-config", "--includes"],
+                        capture_output=True, text=True).stdout.split()
+    ld = subprocess.run(["python3-config", "--ldflags", "--embed"],
+                        capture_output=True, text=True).stdout.split()
+    r = subprocess.run(["gcc", "-shared", "-fPIC",
+                        os.path.join(here, "lisf_tpu.c")] + inc + ld
+                       + ["-o", lib], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    exe = os.path.join(here, "lisf_demo_test")
+    r = subprocess.run(["gcc", os.path.join(here, "lisf_demo.c"),
+                        "-L" + here, "-llisf_tpu", "-Wl,-rpath," + here,
+                        "-o", exe], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(here)))
+    r = subprocess.run([exe], capture_output=True, text=True, env=env,
+                       timeout=240)
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    assert "F77-ABI binding OK" in r.stdout
+    os.unlink(exe)
