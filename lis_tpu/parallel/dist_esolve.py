@@ -118,6 +118,22 @@ def _dist_epi(A, x0, mesh, maxiter, tol, _n1, _n2):
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _dist_egpi(A, B, x0, mesh, maxiter, tol, inner_name, inner_key):
+    """Generalized power iteration on the pencil (B⁻¹A): the inner
+    B-solves nest inside the compiled loop with psum reductions
+    (lis_esolver_pi.c generalized path under MPI)."""
+    from lis_tpu.esolvers.power import _egpi_runner
+    run = _egpi_runner(inner_name, *inner_key, axis_name=AXIS)
+
+    def body(A_loc, B_loc, x_loc):
+        return run(A_loc, B_loc, x_loc, maxiter, tol)
+
+    return _shard_map(
+        body, mesh, (_leaf_specs(A), _leaf_specs(B), P(AXIS)),
+        (P(), P(AXIS), P(), P(), P()))(A, B, x0)
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
 def _dist_eii(A, x0, sigma, mesh, maxiter, tol, inner_name, inner_key):
     from lis_tpu.esolvers.power import _eii_runner, _Shifted
     run = _eii_runner(inner_name, *inner_key, axis_name=AXIS)
@@ -187,6 +203,45 @@ def _dist_ecr(A, x0, sigma, mesh, maxiter, tol, _n1, _n2):
                       (P(), P(AXIS), P(), P(), P()))(As, x0)
 
 
+def _dist_gesolve(A, B, mesh, base, opts, x0):
+    """Generalized pencil Ax = λBx on the mesh.  The compiled path is
+    power iteration on B⁻¹A (nested distributed inner solves); the
+    subspace families (gli/gai/gsi) run through the GlobalView adapter,
+    whose pencil reduction calls the inner solve per matvec."""
+    from lis_tpu import config as C
+    from lis_tpu.esolvers.driver import EsolveResult
+
+    if base not in ("pi",):
+        raise NotImplementedError(
+            "distributed generalized eigensolver supports -e gpi (pencil "
+            "power iteration with nested distributed B-solves); other G* "
+            "families run single-device")
+    dtype = jnp.result_type(*[
+        l.dtype for l in jax.tree.leaves(A) if hasattr(l, "dtype")])
+    if x0 is None or opts.initx_ones:
+        x0 = np.ones(A.gn)
+    x0d = distribute_vector(
+        np.pad(np.asarray(x0, dtype=np.float64),
+               (0, A.gn_pad - len(np.asarray(x0)))), mesh,
+        A.gn_pad).astype(dtype)
+    iname = _inner_name(opts)
+    inner_key = (opts.inner.tol, opts.inner.maxiter)
+    it, x, lam, resid, rh = _dist_egpi(A, B, x0d, mesh, opts.maxiter,
+                                       opts.tol, iname, inner_key)
+    x = x.block_until_ready()
+    iters = int(it)
+    resid = float(resid)
+    status = C.LIS_SUCCESS if resid <= opts.tol else C.LIS_MAXITER
+    lam = float(jnp.real(lam))
+    xg = x[: A.gn] if A.gn_pad != A.gn else x
+    rh = np.asarray(rh)[1:iters + 1]
+    return EsolveResult(evalue=lam, evector=xg, iters=iters, resid=resid,
+                        status=status, evalues=np.asarray([lam]),
+                        evectors=np.asarray(xg)[None, :],
+                        iters_all=np.asarray([iters]),
+                        resids_all=np.asarray([resid]), rhistory=rh)
+
+
 def _dist_subspace(A, mesh, base, opts, x0):
     """SI/LI/AI on the mesh via _GlobalView: the standard host-loop
     implementations run unchanged on GSPMD-sharded global vectors, with
@@ -212,9 +267,10 @@ def _dist_subspace(A, mesh, base, opts, x0):
 
 
 @traced
-def dist_esolve(A, mesh: Mesh, options=None, x0=None, **overrides):
-    """Distributed lis_esolve: standard problem Ax = λx on a sharded
-    operator (from distribute_matrix/distribute_csr/distribute_dia).
+def dist_esolve(A, mesh: Mesh, options=None, x0=None, B=None, **overrides):
+    """Distributed lis_esolve / lis_gesolve: Ax = λx (or Ax = λBx with a
+    sharded B — pencil iteration with nested distributed inner B-solves,
+    currently power-iteration based) on a sharded operator.
 
     Returns an EsolveResult whose evector is the sharded padded vector
     truncated to the global size — same contract as dist_solve.
@@ -232,6 +288,8 @@ def dist_esolve(A, mesh: Mesh, options=None, x0=None, **overrides):
     base = name[1:] if name.startswith("g") and name != "gcg" else name
     if base == "gcg":
         base = "cg"
+    if B is not None:
+        return _dist_gesolve(A, B, mesh, base, opts, x0)
     if base in _SUBSPACE:
         return _dist_subspace(A, mesh, base, opts, x0)
     if base not in _SUPPORTED:

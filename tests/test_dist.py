@@ -367,3 +367,22 @@ def test_dist_bes_general_sparsity(mesh):
         r = dist_solve(Ad, b, mesh, options=f"{opt} -tol 1e-10")
         assert r.status == lis_tpu.LIS_SUCCESS, opt
         assert np.abs(np.asarray(r.x) - 1).max() < 1e-7
+
+
+def test_dist_gesolve_pencil(mesh):
+    """Distributed generalized eigensolve (Ax = λBx): pencil power
+    iteration with nested distributed B-solves matches single-device
+    iteration counts exactly."""
+    from lis_tpu import gesolve
+    from lis_tpu.parallel import distribute_matrix
+    from lis_tpu.parallel.dist_esolve import dist_esolve
+    a = poisson2d(16, 16)
+    bm = tridiag(256, diag=4.0)
+    s = gesolve(a, bm, options="-e gpi -etol 1e-8 -emaxiter 2000")
+    Ad = distribute_matrix(a, mesh)
+    Bd = distribute_matrix(bm, mesh)
+    d = dist_esolve(Ad, mesh, options="-e gpi -etol 1e-8 -emaxiter 2000",
+                    B=Bd)
+    assert d.status == lis_tpu.LIS_SUCCESS
+    assert abs(d.evalue - s.evalue) < 1e-6
+    assert abs(d.iters - s.iters) <= 2
