@@ -99,15 +99,19 @@ def main():
         mb.indptr, mb.indices, mb.data, mb.shape), "bes")
     xb = jnp.ones(nb, dtype=dtype)
 
+    # NOTE: the slab is passed as an ARGUMENT (closing over it would embed
+    # ~0.5 GB as an HLO constant — oversized compile payloads through the
+    # remote relay)
     def make_bes(iters):
         @jax.jit
-        def run(v):
+        def run(arg):
+            M, v = arg
             def body(i, vv):
-                return Ab.matvec(vv) * jnp.float32(1.0 / 32.0)
+                return M.matvec(vv) * jnp.float32(1.0 / 32.0)
             return jnp.sum(jax.lax.fori_loop(0, iters, body, v))
         return run
 
-    t_bes = _timed(make_bes, xb, 5, 55)
+    t_bes = _timed(make_bes, (Ab, xb), 5, 55)
     bes_gbs = Ab.nnz * 8 / t_bes / 1e9
 
     esize = np.dtype(np.float32).itemsize
