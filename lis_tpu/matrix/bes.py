@@ -203,3 +203,30 @@ class BESMatrix(SparseMatrix):
         if self.rem is not None:
             d = d + self.rem.get_diagonal()
         return d
+
+    def scale_rows(self, d):
+        """Row scaling on device: slab[t, :, r] *= d[t*R + r] (no host
+        CSR round trip)."""
+        import dataclasses
+        T, W, R = self.slab.shape
+        d = jnp.asarray(d)
+        dr = jnp.pad(d, (0, T * R - self.nrows)).reshape(T, 1, R)
+        out = dataclasses.replace(self, slab=self.slab
+                                  * dr.astype(self.slab.dtype))
+        if self.rem is not None:
+            out = dataclasses.replace(out, rem=self.rem.scale_rows(d))
+        return out
+
+    def scale_symm(self, dsqrt_inv):
+        """D^-1/2 A D^-1/2 on device: row factor d[t*R+r], column factor
+        d[t*R+c0+w] (the sliding windows of d)."""
+        import dataclasses
+        T, W, R = self.slab.shape
+        d = jnp.asarray(dsqrt_inv)
+        dr = jnp.pad(d, (0, T * R - self.nrows)).reshape(T, 1, R)
+        dw = self._windows(d)[:, :, None]           # (T, W, 1)
+        slab = self.slab * (dr * dw).astype(self.slab.dtype)
+        out = dataclasses.replace(self, slab=slab)
+        if self.rem is not None:
+            out = dataclasses.replace(out, rem=self.rem.scale_symm(d))
+        return out

@@ -13,6 +13,8 @@ Out-of-range positions hold zeros in ``value`` so no runtime masks needed.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -82,6 +84,28 @@ class DIAMatrix(SparseMatrix):
     def _padded(self, x):
         pad = max(max(abs(o) for o in self.offsets), 1) if self.offsets else 1
         return jnp.pad(x, (pad, pad)), pad
+
+    def scale_rows(self, d):
+        """Row scaling ON DEVICE: A[i, i+off] *= d[i] is elementwise on
+        each diagonal stream (the base-class CSR round trip moves the
+        whole matrix through the host — prohibitive at production sizes)."""
+        d = jnp.asarray(d)
+        vals = tuple(vk * d.astype(vk.dtype) for vk in self.value)
+        return dataclasses.replace(self, value=vals)
+
+    def scale_symm(self, dsqrt_inv):
+        """D^-1/2 A D^-1/2 on device: value[k][i] *= d[i]·d[i+off]
+        (the column factor is the d stream shifted by the offset)."""
+        d = jnp.asarray(dsqrt_inv)
+        pad = max(max(abs(o) for o in self.offsets), 1) if self.offsets else 1
+        dp = jnp.pad(d, (pad, pad))
+        n = self.nrows
+        vals = []
+        for k, off in enumerate(self.offsets):
+            dshift = jax.lax.dynamic_slice(dp, (pad + off,), (n,))
+            vals.append(self.value[k] * (d * dshift).astype(
+                self.value[k].dtype))
+        return dataclasses.replace(self, value=tuple(vals))
 
     def matvec(self, x):
         xp, pad = self._padded(x)
