@@ -472,22 +472,39 @@ def _precon_specs(M):
         M, is_leaf=lambda x: hasattr(x, "partition_specs"))
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7))
-def _dist_execute(A, b, x0, M, aux, aux_spec, mesh, spec):
+@partial(jax.jit, static_argnums=(6, 7, 8))
+def _dist_execute_dyn(A, b, x0, M, aux, dyn, aux_spec, mesh, spec_key):
     from lis_tpu.solvers.base import SOLVER_FNS, SolverOutput
 
-    def body(A_loc, b_loc, x0_loc, M_loc, aux_loc):
-        return SOLVER_FNS[spec.solver](A_loc, b_loc, x0_loc, M_loc, spec,
-                                       aux=aux_loc)
+    def body(A_loc, b_loc, x0_loc, M_loc, aux_loc, dyn_loc):
+        spec = spec_key._replace(tol=dyn_loc["tol"], tol_w=dyn_loc["tol_w"],
+                                 maxiter=dyn_loc["maxiter"])
+        return SOLVER_FNS[spec_key.solver](A_loc, b_loc, x0_loc, M_loc,
+                                           spec, aux=aux_loc)
 
     in_specs = (jax.tree.map(lambda _: P(AXIS), A),
                 jax.tree.map(lambda _: P(AXIS), b),
                 jax.tree.map(lambda _: P(AXIS), x0),
                 _precon_specs(M),
-                jax.tree.map(lambda _: aux_spec, aux))
+                jax.tree.map(lambda _: aux_spec, aux),
+                jax.tree.map(lambda _: P(), dyn))
     out_specs = SolverOutput(x=P(AXIS), status=P(), iters=P(),
                              resid=P(), rhistory=P())
-    return _shard_map(body, mesh, in_specs, out_specs)(A, b, x0, M, aux)
+    return _shard_map(body, mesh, in_specs, out_specs)(A, b, x0, M, aux,
+                                                       dyn)
+
+
+def _dist_execute(A, b, x0, M, aux, aux_spec, mesh, spec):
+    """Distributed solver run with tol/tol_w/maxiter dynamic (shared
+    compile cache across tolerance/budget changes — see driver._execute)."""
+    from lis_tpu.solvers.driver import _bucket
+    spec_key = spec._replace(tol=0.0, tol_w=0.0, maxiter=0,
+                             rh_cap=_bucket(spec.maxiter))
+    dyn = {"tol": jnp.asarray(spec.tol),
+           "tol_w": jnp.asarray(spec.tol_w),
+           "maxiter": jnp.asarray(spec.maxiter, jnp.int32)}
+    return _dist_execute_dyn(A, b, x0, M, aux, dyn, aux_spec, mesh,
+                             spec_key)
 
 
 def make_dist_jacobi(A, mesh: Mesh):

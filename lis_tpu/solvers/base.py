@@ -40,6 +40,9 @@ class SolverSpec(NamedTuple):
     irestart: int = 2
     record: bool = True
     axis_name: Any = None     # mesh axis for distributed reductions
+    # static history capacity when tol/maxiter are passed as DYNAMIC
+    # operands (driver compile-cache path): 0 = use maxiter (static)
+    rh_cap: int = 0
 
 
 class SolverOutput(NamedTuple):
@@ -112,7 +115,8 @@ def init_residual(A, b, x0, spec: SolverSpec):
 
 
 def new_rhistory(spec: SolverSpec, nrm0, dtype):
-    rh = jnp.full(spec.maxiter + 2, jnp.nan, dtype=dtype)
+    cap = spec.rh_cap if spec.rh_cap else spec.maxiter
+    rh = jnp.full(cap + 2, jnp.nan, dtype=dtype)
     return rh.at[0].set(nrm0)
 
 

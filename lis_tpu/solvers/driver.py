@@ -138,9 +138,30 @@ class SolveResult:
                 f"resid={self.resid:.6e})")
 
 
+def _bucket(mi: int) -> int:
+    """Round maxiter up to a power-of-two history capacity so solves
+    differing only in maxiter/tol share ONE compiled program (compiles
+    take minutes at 10M-row shapes through a remote relay)."""
+    return max(64, 1 << (max(mi, 1) - 1).bit_length())
+
+
 @partial(jax.jit, static_argnums=(5,))
+def _execute_dyn(A, b, x0, M, aux, spec_key: SolverSpec, dyn):
+    spec = spec_key._replace(tol=dyn["tol"], tol_w=dyn["tol_w"],
+                             maxiter=dyn["maxiter"])
+    return SOLVER_FNS[spec_key.solver](A, b, x0, M, spec, aux=aux)
+
+
 def _execute(A, b, x0, M, aux, spec: SolverSpec):
-    return SOLVER_FNS[spec.solver](A, b, x0, M, spec, aux=aux)
+    """Run a solver with tol/tol_w/maxiter as DYNAMIC operands: the jit
+    cache key is the spec with those zeroed + a bucketed rhistory
+    capacity, so tolerance/iteration-budget changes never recompile."""
+    spec_key = spec._replace(tol=0.0, tol_w=0.0, maxiter=0,
+                             rh_cap=_bucket(spec.maxiter))
+    dyn = {"tol": jnp.asarray(spec.tol),
+           "tol_w": jnp.asarray(spec.tol_w),
+           "maxiter": jnp.asarray(spec.maxiter, jnp.int32)}
+    return _execute_dyn(A, b, x0, M, aux, spec_key, dyn)
 
 
 def _make_spec(opts: SolverOptions, axis_name=None) -> SolverSpec:

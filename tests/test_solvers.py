@@ -161,3 +161,23 @@ def test_debug_trace_stream():
     lis_tpu.set_debug_trace(False, stream=buf2)
     lis_tpu.solve(tridiag(10), np.ones(10), options="-i cg -tol 1e-10")
     assert buf2.getvalue() == ""
+
+
+def test_tol_maxiter_change_does_not_recompile():
+    """tol/tol_w/maxiter are dynamic operands of the compiled solver: a
+    tolerance or budget change within the same power-of-two history
+    bucket reuses the compiled program (compiles take minutes at 10M-row
+    shapes through a remote relay)."""
+    import numpy as np
+    import lis_tpu
+    from lis_tpu.solvers.driver import _execute_dyn
+    from tests.problems import poisson2d
+    a = poisson2d(10, 10)
+    b = np.ones(100)
+    lis_tpu.solve(a, b, options="-i bicgstab -tol 1e-8 -maxiter 600")
+    n0 = _execute_dyn._cache_size()
+    for opt in ("-tol 1e-10 -maxiter 900", "-tol 1e-6 -maxiter 1000",
+                "-tol 1e-12 -maxiter 513"):
+        r = lis_tpu.solve(a, b, options=f"-i bicgstab {opt}")
+        assert r.status == lis_tpu.LIS_SUCCESS
+    assert _execute_dyn._cache_size() == n0
