@@ -69,6 +69,8 @@ def _load():
         ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(i32p), ctypes.POINTER(i32p), ctypes.POINTER(f64p),
         ctypes.POINTER(ctypes.c_int64), f64p]
+    lib.amg_aggregate.restype = ctypes.c_int32
+    lib.amg_aggregate.argtypes = [ctypes.c_int32, i32p, i32p, i32p]
     lib.level_schedule.restype = ctypes.c_int32
     lib.level_schedule.argtypes = [ctypes.c_int32, i32p, i32p,
                                    ctypes.c_int32, i32p]
@@ -196,6 +198,22 @@ def sainv_factor(ptr, index, value, tol: float):
     Z = _take_csr(lib, n, zp, zi, zv, znnz.value)
     W = _take_csr(lib, n, wp, wi, wv, wnnz.value)
     return Z, W, dinv
+
+
+def amg_aggregate(ptr, index):
+    """Greedy independent-set aggregation of a strength graph (SA-AMG
+    setup; reference lis_m_aggregate_mod.F90:45).  Returns (nagg, agg)
+    or None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(ptr) - 1
+    ptr = np.ascontiguousarray(ptr, dtype=np.int32)
+    index = np.ascontiguousarray(index, dtype=np.int32)
+    agg = np.empty(n, dtype=np.int32)
+    nagg = lib.amg_aggregate(n, _as_i32p(ptr), _as_i32p(index),
+                             _as_i32p(agg))
+    return int(nagg), agg
 
 
 def level_schedule(ptr, index, lower: bool):

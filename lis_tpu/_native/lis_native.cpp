@@ -519,6 +519,39 @@ int sainv_factor(int32_t n, const int32_t* ptr, const int32_t* index,
 }
 
 // ---------------------------------------------------------------------------
+// SA-AMG greedy independent-set aggregation (reference aggregate_mod,
+// src/fortran/amg/lis_m_aggregate_mod.F90:45).  Input: the strength graph
+// as CSR (pattern only).  Phase 1: unaggregated nodes whose strong
+// neighborhood is unaggregated become roots and absorb it; phase 2:
+// stragglers attach to an adjacent aggregate (or become singletons).
+// Returns the number of aggregates; fills agg[n].
+// ---------------------------------------------------------------------------
+int32_t amg_aggregate(int32_t n, const int32_t* ptr, const int32_t* index,
+                      int32_t* agg) {
+    for (int32_t i = 0; i < n; ++i) agg[i] = -1;
+    int32_t nagg = 0;
+    for (int32_t i = 0; i < n; ++i) {
+        if (agg[i] != -1) continue;
+        int all_free = 1;
+        for (int32_t p = ptr[i]; p < ptr[i + 1]; ++p)
+            if (agg[index[p]] != -1) { all_free = 0; break; }
+        if (!all_free) continue;
+        agg[i] = nagg;
+        for (int32_t p = ptr[i]; p < ptr[i + 1]; ++p)
+            agg[index[p]] = nagg;
+        ++nagg;
+    }
+    for (int32_t i = 0; i < n; ++i) {
+        if (agg[i] != -1) continue;
+        int32_t hit = -1;
+        for (int32_t p = ptr[i]; p < ptr[i + 1]; ++p)
+            if (agg[index[p]] != -1) { hit = agg[index[p]]; break; }
+        agg[i] = (hit != -1) ? hit : nagg++;
+    }
+    return nagg;
+}
+
+// ---------------------------------------------------------------------------
 // Level scheduling for triangular solves: lev[i] = 1 + max(lev[deps]).
 // direction: 1 = lower (ascending rows), 0 = upper (descending).
 // Returns the number of levels; fills lev[n].

@@ -83,7 +83,12 @@ jax.tree_util.register_pytree_node(
 def _aggregate(S: sp.csr_matrix) -> np.ndarray:
     """Greedy independent-set aggregation (the reference's aggregate_mod
     scheme): pick unaggregated root nodes, absorb their strong neighbors,
-    then attach leftovers to a neighboring aggregate."""
+    then attach leftovers to a neighboring aggregate.  Native C++ engine
+    (O(nnz), production sizes) with this Python loop as the fallback."""
+    from lis_tpu import _native
+    out = _native.amg_aggregate(S.indptr, S.indices)
+    if out is not None:
+        return out[1].astype(np.int64)
     n = S.shape[0]
     agg = np.full(n, -1, dtype=np.int64)
     nagg = 0
@@ -126,10 +131,19 @@ def build_hierarchy(A_csr: sp.csr_matrix, theta: float = 0.05,
     levels = []
     A = A_csr.tocsr()
     while A.shape[0] > coarse_size and len(levels) < max_levels - 1:
-        S = _strength(A, theta)
-        agg = _aggregate(S)
-        nc = int(agg.max()) + 1
-        if nc >= A.shape[0]:      # aggregation stalled
+        # adaptive strength threshold: a theta above the operator's
+        # off-diagonal strength ratio (e.g. the 27-pt HPCG stencil at
+        # 1/26 ~ 0.038 vs the 0.05 default) leaves every node isolated
+        # and aggregation stalls — relax theta until coarsening happens
+        th = theta
+        while True:
+            S = _strength(A, th)
+            agg = _aggregate(S)
+            nc = int(agg.max()) + 1
+            if nc < A.shape[0] or th < 1e-4:
+                break
+            th = th / 4.0
+        if nc >= A.shape[0]:      # aggregation stalled even at theta~0
             break
         # tentative piecewise-constant prolongator, column-normalised
         counts = np.bincount(agg, minlength=nc).astype(float)
@@ -185,5 +199,10 @@ def create_saamg(A, opts):
             P=CSRMatrix.from_csr_arrays(Pl.indptr, Pl.indices, Pl.data,
                                         Pl.shape),
             fwd=fwd, bwd=bwd))
+    if A_coarse.shape[0] > 4096:
+        raise ValueError(
+            f"saamg: hierarchy failed to coarsen (coarsest level "
+            f"{A_coarse.shape[0]} rows); the operator has no usable "
+            "strength structure — use -p ssor/ilu instead")
     coarse_inv = jnp.asarray(np.linalg.inv(A_coarse.toarray()))
     return SAAMGPrecon(levels=tuple(levels), coarse_inv=coarse_inv)

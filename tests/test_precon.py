@@ -183,3 +183,36 @@ def test_hybrid_inner_options():
     res = solve(a, b, options="-i gmres -p hybrid -hybrid_i gmres "
                               "-hybrid_maxiter 10 -tol 1e-10")
     assert res.status == lis_tpu.LIS_SUCCESS
+
+
+def test_saamg_hpcg_operator_coarsens():
+    """The 27-pt HPCG stencil's off-diagonal strength (1/26 ~ 0.038) sits
+    below the default -saamg_theta 0.05: the builder must relax theta
+    until aggregation coarsens instead of degenerating to a dense coarse
+    inverse of the whole matrix.  Native aggregation matches the Python
+    fallback."""
+    import scipy.sparse as sp
+    from lis_tpu.precon.saamg import build_hierarchy, _strength, _aggregate
+    from lis_tpu.utils.testmat import poisson3d27
+    from lis_tpu import _native
+    A = poisson3d27(16, 16, 16)
+    pp, ii, vv = [np.asarray(x) for x in A.to_csr_arrays()]
+    levels, coarse = build_hierarchy(sp.csr_matrix((vv, ii, pp)))
+    assert len(levels) >= 2
+    assert coarse.shape[0] < 4096 / 4
+    b = np.asarray(A.matvec(np.ones(A.nrows)))
+    r = solve(A, b, options="-i cg -p saamg -tol 1e-10")
+    assert r.status == lis_tpu.LIS_SUCCESS
+    assert r.iters < 20
+    # native vs python aggregation parity
+    S = _strength(sp.csr_matrix((vv, ii, pp)), 0.0125)
+    out = _native.amg_aggregate(S.indptr, S.indices)
+    if out is not None:
+        import lis_tpu._native as nat
+        orig = nat.amg_aggregate
+        nat.amg_aggregate = lambda *a: None
+        try:
+            agg_py = _aggregate(S)
+        finally:
+            nat.amg_aggregate = orig
+        assert np.array_equal(out[1], agg_py)
