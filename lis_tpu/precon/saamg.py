@@ -36,10 +36,11 @@ class AMGLevel:
     P: CSRMatrix              # prolongator level l+1 -> l
     fwd: TriSolvePlan         # (D+L) plan for SGS pre/post smoothing
     bwd: TriSolvePlan         # (D+U) plan
+    dinv: object = None       # 1/diag for the weighted-Jacobi smoother
 
 jax.tree_util.register_pytree_node(
     AMGLevel,
-    lambda l: ((l.A, l.P, l.fwd, l.bwd), None),
+    lambda l: ((l.A, l.P, l.fwd, l.bwd, l.dinv), None),
     lambda aux, c: AMGLevel(*c))
 
 
@@ -47,23 +48,37 @@ jax.tree_util.register_pytree_node(
 class SAAMGPrecon:
     levels: tuple             # tuple[AMGLevel]
     coarse_inv: jax.Array     # dense inverse of the coarsest operator
+    smoother: str = "sgs"     # "sgs" (reference parity) | "jacobi"
+                              # (pure streams — TPU-fast at scale, where
+                              # level-scheduled trisolves gather)
+
+    def _presmooth(self, level, b):
+        if self.smoother == "jacobi":
+            w = 2.0 / 3.0
+            x = w * level.dinv * b
+            return x + w * level.dinv * (b - level.A.matvec(x))
+        x = trisolve(level.fwd, b)
+        return x + trisolve(level.bwd, b - level.A.matvec(x))
+
+    def _postsmooth(self, level, x, b):
+        if self.smoother == "jacobi":
+            w = 2.0 / 3.0
+            x = x + w * level.dinv * (b - level.A.matvec(x))
+            return x + w * level.dinv * (b - level.A.matvec(x))
+        x = x + trisolve(level.fwd, b - level.A.matvec(x))
+        return x + trisolve(level.bwd, b - level.A.matvec(x))
 
     def _cycle(self, lev: int, b):
         if lev == len(self.levels):
             return self.coarse_inv @ b
         level = self.levels[lev]
-        # pre-smooth: one SGS sweep from x=0
-        x = trisolve(level.fwd, b)
-        x = x + trisolve(level.bwd, b - level.A.matvec(x))
+        x = self._presmooth(level, b)
         # coarse-grid correction
         r = b - level.A.matvec(x)
         rc = level.P.matvech(r)
         ec = self._cycle(lev + 1, rc)
         x = x + level.P.matvec(ec)
-        # post-smooth: one SGS sweep
-        x = x + trisolve(level.fwd, b - level.A.matvec(x))
-        x = x + trisolve(level.bwd, b - level.A.matvec(x))
-        return x
+        return self._postsmooth(level, x, b)
 
     def psolve(self, r):
         return self._cycle(0, r)
@@ -76,8 +91,8 @@ class SAAMGPrecon:
 
 jax.tree_util.register_pytree_node(
     SAAMGPrecon,
-    lambda p: ((p.levels, p.coarse_inv), None),
-    lambda aux, c: SAAMGPrecon(*c))
+    lambda p: ((p.levels, p.coarse_inv), (p.smoother,)),
+    lambda aux, c: SAAMGPrecon(c[0], c[1], aux[0]))
 
 
 def _aggregate(S: sp.csr_matrix) -> np.ndarray:
@@ -188,21 +203,26 @@ def create_saamg(A, opts):
     theta = getattr(opts, "saamg_theta", 0.05)
     raw_levels, A_coarse = build_hierarchy(A_sp, theta=theta)
 
+    smoother = getattr(opts, "saamg_smoother", "sgs")
     levels = []
     for (Al, Pl) in raw_levels:
         fwd, bwd = _sgs_plans(Al)
         Al.sort_indices()
         Pl.sort_indices()
+        d = Al.diagonal()
+        with np.errstate(divide="ignore"):
+            dinv = np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 1.0)
         levels.append(AMGLevel(
             A=CSRMatrix.from_csr_arrays(Al.indptr, Al.indices, Al.data,
                                         Al.shape),
             P=CSRMatrix.from_csr_arrays(Pl.indptr, Pl.indices, Pl.data,
                                         Pl.shape),
-            fwd=fwd, bwd=bwd))
+            fwd=fwd, bwd=bwd, dinv=jnp.asarray(dinv)))
     if A_coarse.shape[0] > 4096:
         raise ValueError(
             f"saamg: hierarchy failed to coarsen (coarsest level "
             f"{A_coarse.shape[0]} rows); the operator has no usable "
             "strength structure — use -p ssor/ilu instead")
     coarse_inv = jnp.asarray(np.linalg.inv(A_coarse.toarray()))
-    return SAAMGPrecon(levels=tuple(levels), coarse_inv=coarse_inv)
+    return SAAMGPrecon(levels=tuple(levels), coarse_inv=coarse_inv,
+                       smoother=smoother)

@@ -91,6 +91,7 @@ class SolverOptions:
     iluc_rate: float = 5.0          # -iluc_rate
     saamg_unsym: bool = False       # -saamg_unsym
     saamg_theta: float = 0.05       # -saamg_theta
+    saamg_smoother: str = "sgs"     # -saamg_smoother {sgs|jacobi}
     adds: bool = False              # -adds (additive Schwarz wrapper)
     adds_iter: int = 1              # -adds_iter
     initx_zeros: bool = True        # -initx_zeros
@@ -250,6 +251,7 @@ _SOLVER_ACTIONS = {
     "-switch_maxiter": _set_int("switch_maxiter"),
     "-saamg_unsym": _set_bool("saamg_unsym"),
     "-saamg_theta": _set_float("saamg_theta"),
+    "-saamg_smoother": lambda o, v: setattr(o, "saamg_smoother", v.lower()),
     "-iluc_drop": _set_float("iluc_drop"),
     "-iluc_gamma": _set_float("iluc_gamma"),
     "-iluc_rate": _set_float("iluc_rate"),

@@ -216,3 +216,17 @@ def test_saamg_hpcg_operator_coarsens():
         finally:
             nat.amg_aggregate = orig
         assert np.array_equal(out[1], agg_py)
+
+
+def test_saamg_jacobi_smoother():
+    """-saamg_smoother jacobi: weighted-Jacobi V-cycle smoothing (pure
+    streams — the TPU-fast alternative to level-scheduled SGS at scale);
+    slightly more iterations, same convergence class."""
+    from lis_tpu.utils.testmat import poisson3d27
+    A = poisson3d27(12, 12, 12)
+    b = np.asarray(A.matvec(np.ones(A.nrows)))
+    r_sgs = solve(A, b, options="-i cg -p saamg -tol 1e-10")
+    r_jac = solve(A, b, options="-i cg -p saamg -saamg_smoother jacobi "
+                                "-tol 1e-10")
+    assert r_jac.status == lis_tpu.LIS_SUCCESS
+    assert r_jac.iters <= 2 * max(r_sgs.iters, 1)
