@@ -38,33 +38,48 @@ R_DEFAULT = 128
 
 @matrix_format("bes")
 class BESMatrix(SparseMatrix):
-    slab: jax.Array           # (T, W, R): slab[t, w, r] = A[tR+r, tR+c0+w]
+    # slab[t, w, r] = A[t*R + r, t*stride + c0 + w].  stride == R for
+    # square band structure; a smaller stride lets the windows advance
+    # slower than the rows, covering RECTANGULAR operators whose columns
+    # track rows at a slope (e.g. AMG prolongators, slope ~ ncols/nrows).
+    slab: jax.Array           # (T, W, R)
     rem: object               # CSRMatrix remainder or None
     nrows: int = static()
     ncols: int = static()
     nnz: int = static()
     R: int = static()
     W: int = static()
-    c0: int = static()        # window start offset relative to t*R
+    c0: int = static()        # window start offset relative to t*stride
+    stride: int = static(default=0)   # 0 -> R (square band)
+
+    @property
+    def s(self) -> int:
+        return self.stride or self.R
 
     # ---- construction ---------------------------------------------------
     @classmethod
     def from_csr_arrays(cls, ptr, index, value, shape, R: int = R_DEFAULT,
                         W: int | None = None, coverage: float = 0.97,
-                        w_max: int = 4096, max_bytes: int = 6 << 30):
-        """Build from CSR.  The window width W (multiple of R) is chosen
-        from the entry-displacement profile to cover ``coverage`` of the
-        nnz, capped by ``w_max`` and the ``max_bytes`` slab budget;
-        out-of-window entries go to the CSR remainder."""
+                        w_max: int = 4096, max_bytes: int = 6 << 30,
+                        stride: int | None = None):
+        """Build from CSR.  The window width W (multiple of the column
+        stride) is chosen from the entry-displacement profile to cover
+        ``coverage`` of the nnz, capped by ``w_max`` and the
+        ``max_bytes`` slab budget; out-of-window entries go to the CSR
+        remainder.  ``stride`` defaults to R (square band); for
+        rectangular operators pass ~round(R*ncols/nrows) (or None with a
+        non-square shape to pick it automatically)."""
         from lis_tpu.matrix.csr import CSRMatrix
         ptr = np.asarray(ptr).astype(np.int64)
         index = np.asarray(index).astype(np.int64)
         value = np.asarray(value)
         n, m = shape
+        if stride is None:
+            stride = R if n == m else max(1, round(R * m / max(n, 1)))
         T = -(-n // R)
         rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(ptr))
         t_of = rows // R
-        disp = index - t_of * R          # displacement from block start
+        disp = index - t_of * stride     # displacement from window base
 
         if W is None or W % R:
             # cost-model window selection: every slab slot streams at the
@@ -75,16 +90,16 @@ class BESMatrix(SparseMatrix):
             if len(disp):
                 SLAB_NS_PER_SLOT = 4 / 750e9 * 1e9      # ~0.0053 ns
                 GATHER_NS = 7.0
-                # R-granular displacement histogram + cumsum: sliding
+                # stride-granular displacement histogram + cumsum: sliding
                 # window coverage in O(nbins) per candidate width
                 dmin = int(disp.min())
-                bins = (disp - dmin) // R
+                bins = (disp - dmin) // stride
                 counts = np.bincount(bins)
                 cum = np.concatenate([[0], np.cumsum(counts)])
                 nb = len(counts)
-                best_w, best_c0, best_cost = 2 * R, dmin, None
-                for wb in range(2, min(w_max, 1 << 14) // R + 1):
-                    w_try = wb * R
+                best_w, best_c0, best_cost = 2 * stride, dmin, None
+                for wb in range(2, min(w_max, 1 << 14) // stride + 1):
+                    w_try = wb * stride
                     if wb >= nb:
                         cover = np.array([cum[-1]])
                     else:
@@ -94,17 +109,18 @@ class BESMatrix(SparseMatrix):
                     cost = (T * w_try * R * SLAB_NS_PER_SLOT
                             + (len(disp) - covered) * GATHER_NS)
                     if best_cost is None or cost < best_cost:
-                        best_w, best_c0 = w_try, dmin + k * R
+                        best_w, best_c0 = w_try, dmin + k * stride
                         best_cost = cost
                     if covered == len(disp):
                         break
                 W, c0 = best_w, best_c0
             else:
-                W, c0 = 2 * R, 0
+                W, c0 = 2 * stride, 0
         else:
-            c0 = -((W - R) // 2)
-        while T * W * R * value.dtype.itemsize > max_bytes and W > 2 * R:
-            W -= R
+            c0 = -((W - stride) // 2)
+        while T * W * R * value.dtype.itemsize > max_bytes \
+                and W > 2 * stride:
+            W -= stride
         lc = disp - c0
         fits = (lc >= 0) & (lc < W)
 
@@ -123,7 +139,8 @@ class BESMatrix(SparseMatrix):
             rem = CSRMatrix.from_csr_arrays(rmm.indptr, rmm.indices,
                                             rmm.data, shape)
         return cls(slab=jnp.asarray(slab), rem=rem, nrows=n, ncols=m,
-                   nnz=int(len(value)), R=R, W=int(W), c0=int(c0))
+                   nnz=int(len(value)), R=R, W=int(W), c0=int(c0),
+                   stride=int(stride))
 
     @property
     def fill_blowup(self) -> float:
@@ -137,7 +154,7 @@ class BESMatrix(SparseMatrix):
         T, W, R = s.shape
         t, w, r = np.nonzero(s)
         grow = t * R + r
-        gcol = t * R + self.c0 + w
+        gcol = t * self.s + self.c0 + w
         keep = (grow < self.nrows) & (gcol >= 0) & (gcol < self.ncols)
         a = sp.coo_matrix((s[t, w, r][keep], (grow[keep], gcol[keep])),
                           shape=self.shape).tocsr()
@@ -152,16 +169,16 @@ class BESMatrix(SparseMatrix):
 
     # ---- device compute -------------------------------------------------
     def _windows(self, x):
-        """(T, W) sliding windows xw[t, j] = x[t*R + c0 + j] from W/R
-        shifted contiguous reshapes (gather-free)."""
-        R, W, c0 = self.R, self.W, self.c0
+        """(T, W) sliding windows xw[t, j] = x[t*s + c0 + j] from W/s
+        shifted contiguous reshapes (gather-free; s = column stride)."""
+        s, W, c0 = self.s, self.W, self.c0
         T = self.slab.shape[0]
         lo = max(-c0, 0)
-        hi = max((T - 1) * R + c0 + W - self.ncols, 0) + R
+        hi = max((T - 1) * s + c0 + W - self.ncols, 0) + s
         base = c0 + lo                      # >= 0 by construction
         xpad = jnp.pad(x, (lo, hi))
-        parts = [jax.lax.dynamic_slice(xpad, (base + c * R,), (T * R,))
-                 .reshape(T, R) for c in range(W // R)]
+        parts = [jax.lax.dynamic_slice(xpad, (base + c * s,), (T * s,))
+                 .reshape(T, s) for c in range(W // s)]
         return jnp.concatenate(parts, axis=1)
 
     def matvec(self, x):
@@ -174,26 +191,31 @@ class BESMatrix(SparseMatrix):
         return y
 
     def matvech(self, x):
-        s = jnp.conj(self.slab) if jnp.iscomplexobj(self.slab) else self.slab
-        T, W, R = s.shape
+        sl = jnp.conj(self.slab) if jnp.iscomplexobj(self.slab) \
+            else self.slab
+        T, W, R = sl.shape
+        s = self.s
         xr = jnp.pad(x, (0, T * R - self.nrows)).reshape(T, R)
-        win = jnp.sum(s * xr[:, None, :], axis=2)          # (T, W)
-        # overlap-add the windows: y[t*R + c0 + w] += win[t, w]
+        win = jnp.sum(sl * xr[:, None, :], axis=2)         # (T, W)
+        # overlap-add the windows: y[t*s + c0 + w] += win[t, w]
         lo = max(-self.c0, 0)
-        hi = max((T - 1) * R + self.c0 + W - self.ncols, 0) + R
+        hi = max((T - 1) * s + self.c0 + W - self.ncols, 0) + s
         base = self.c0 + lo
         y = jnp.zeros(lo + self.ncols + hi, dtype=win.dtype)
-        for c in range(W // R):
-            seg = win[:, c * R:(c + 1) * R].reshape(-1)
-            cur = jax.lax.dynamic_slice(y, (base + c * R,), (T * R,))
-            y = jax.lax.dynamic_update_slice(y, cur + seg, (base + c * R,))
+        for c in range(W // s):
+            seg = win[:, c * s:(c + 1) * s].reshape(-1)
+            cur = jax.lax.dynamic_slice(y, (base + c * s,), (T * s,))
+            y = jax.lax.dynamic_update_slice(y, cur + seg, (base + c * s,))
         y = y[lo: lo + self.ncols]
         if self.rem is not None:
             y = y + self.rem.matvech(x)
         return y
 
     def get_diagonal(self):
-        # global col == global row  =>  w == r - c0
+        # global col == global row  =>  w == r - c0 (square, stride == R)
+        if self.s != self.R:
+            from lis_tpu.matrix.base import SparseMatrix as _S
+            return _S.get_diagonal(self)
         T, W, R = self.slab.shape
         r = jnp.arange(R)
         w = r - self.c0

@@ -204,6 +204,32 @@ def create_saamg(A, opts):
     raw_levels, A_coarse = build_hierarchy(A_sp, theta=theta)
 
     smoother = getattr(opts, "saamg_smoother", "sgs")
+
+    def _fast_op(m):
+        """Level operator through auto_storage (DIA/HDI/BES when the
+        structure allows — the V-cycle's matvecs then stream instead of
+        gathering; CSR fallback otherwise)."""
+        from lis_tpu.solvers.driver import auto_storage
+        return auto_storage(CSRMatrix.from_csr_arrays(
+            m.indptr, m.indices, m.data, m.shape))
+
+    def _fast_prolongator(m):
+        """Prolongators track rows at slope ncols/nrows: the strided BES
+        slab covers them gather-free; CSR fallback when the profile is
+        too scattered."""
+        from lis_tpu.matrix.bes import BESMatrix
+        try:
+            bp = BESMatrix.from_csr_arrays(m.indptr, m.indices, m.data,
+                                           m.shape, max_bytes=2 << 30)
+            rem_frac = (bp.rem.nnz / max(bp.nnz, 1)
+                        if bp.rem is not None else 0.0)
+            if bp.fill_blowup <= 64 and rem_frac <= 0.05:
+                return bp
+        except Exception:
+            pass
+        return CSRMatrix.from_csr_arrays(m.indptr, m.indices, m.data,
+                                         m.shape)
+
     levels = []
     for (Al, Pl) in raw_levels:
         fwd, bwd = _sgs_plans(Al)
@@ -213,10 +239,7 @@ def create_saamg(A, opts):
         with np.errstate(divide="ignore"):
             dinv = np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 1.0)
         levels.append(AMGLevel(
-            A=CSRMatrix.from_csr_arrays(Al.indptr, Al.indices, Al.data,
-                                        Al.shape),
-            P=CSRMatrix.from_csr_arrays(Pl.indptr, Pl.indices, Pl.data,
-                                        Pl.shape),
+            A=_fast_op(Al), P=_fast_prolongator(Pl),
             fwd=fwd, bwd=bwd, dinv=jnp.asarray(dinv)))
     if A_coarse.shape[0] > 4096:
         raise ValueError(
