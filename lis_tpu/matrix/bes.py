@@ -252,3 +252,134 @@ class BESMatrix(SparseMatrix):
         if self.rem is not None:
             out = dataclasses.replace(out, rem=self.rem.scale_symm(d))
         return out
+
+
+class MultiBESMatrix(SparseMatrix):
+    """Sum of BES slabs with different window intercepts (same stride).
+
+    3-D stencil structure — and the prolongators of aggregated 3-D
+    operators — puts columns in a FEW affine bands (one per plane
+    neighbour): col ~ t*stride + {c0_1, c0_2, c0_3}.  One wide window
+    would be mostly padding; a few NARROW windows at the band intercepts
+    cover it at low blowup, each gather-free.  Built greedily: the
+    cost-model single-window builder runs on the still-uncovered
+    entries until the remainder is small or the window budget is spent.
+    """
+
+    def __init__(self, parts, rem, nrows, ncols, nnz):
+        self.parts = tuple(parts)      # BESMatrix instances (rem=None)
+        self.rem = rem                 # CSRMatrix or None
+        self.nrows = nrows
+        self.ncols = ncols
+        self.nnz = nnz
+
+    format_name = "mbes"
+
+    def tree_flatten(self):
+        return ((self.parts, self.rem), (self.nrows, self.ncols, self.nnz))
+
+    @classmethod
+    def tree_unflatten(cls, aux, c):
+        return cls(c[0], c[1], *aux)
+
+    @property
+    def fill_blowup(self):
+        slots = sum(int(np.prod(p.slab.shape)) for p in self.parts)
+        return slots / max(self.nnz, 1)
+
+    def matvec(self, x):
+        y = self.parts[0].matvec(x)
+        for p in self.parts[1:]:
+            y = y + p.matvec(x)
+        if self.rem is not None:
+            y = y + self.rem.matvec(x)
+        return y
+
+    def matvech(self, x):
+        y = self.parts[0].matvech(x)
+        for p in self.parts[1:]:
+            y = y + p.matvech(x)
+        if self.rem is not None:
+            y = y + self.rem.matvech(x)
+        return y
+
+    def get_diagonal(self):
+        d = self.parts[0].get_diagonal()
+        for p in self.parts[1:]:
+            d = d + p.get_diagonal()
+        if self.rem is not None:
+            d = d + self.rem.get_diagonal()
+        return d
+
+    def to_csr_arrays(self):
+        import scipy.sparse as sp
+        a = None
+        for p in list(self.parts) + ([self.rem] if self.rem is not None
+                                     else []):
+            pp, pi, pv = p.to_csr_arrays()
+            m = sp.csr_matrix((np.asarray(pv), np.asarray(pi),
+                               np.asarray(pp)), shape=self.shape)
+            a = m if a is None else (a + m).tocsr()
+        a.sort_indices()
+        return (a.indptr.astype(np.int32), a.indices.astype(np.int32),
+                a.data)
+
+
+jax.tree_util.register_pytree_node(
+    MultiBESMatrix,
+    lambda m: m.tree_flatten(),
+    MultiBESMatrix.tree_unflatten)
+
+
+def multi_bes_from_csr(ptr, index, value, shape, R: int = R_DEFAULT,
+                       stride: int | None = None, max_windows: int = 4,
+                       w_max: int = 4096, max_bytes: int = 4 << 30):
+    """Greedy multi-window BES build: repeatedly run the single-window
+    cost-model builder on the uncovered entries.  Returns a BESMatrix
+    (one window sufficed), a MultiBESMatrix, or raises if nothing
+    covers."""
+    import scipy.sparse as sp
+    from lis_tpu.matrix.csr import CSRMatrix
+    n, m = shape
+    cur_p = np.asarray(ptr)
+    cur_i = np.asarray(index)
+    cur_v = np.asarray(value)
+    total_nnz = len(cur_v)
+    parts = []
+    budget = max_bytes
+    for _ in range(max_windows):
+        if len(cur_v) == 0:
+            break
+        B = BESMatrix.from_csr_arrays(cur_p, cur_i, cur_v, shape, R=R,
+                                      stride=stride, w_max=w_max,
+                                      max_bytes=budget)
+        covered = B.nnz - (B.rem.nnz if B.rem is not None else 0)
+        if covered <= 0.05 * len(cur_v) and parts:
+            break                       # diminishing returns
+        budget -= int(np.prod(B.slab.shape)) * cur_v.dtype.itemsize
+        rem = B.rem
+        parts.append(dataclasses_replace_rem_none(B))
+        if rem is None:
+            cur_p = np.zeros(n + 1, dtype=np.int32)
+            cur_i = np.zeros(0, dtype=np.int32)
+            cur_v = np.zeros(0, dtype=cur_v.dtype)
+            break
+        cur_p, cur_i, cur_v = [np.asarray(a) for a in rem.to_csr_arrays()]
+        if budget <= 0:
+            break
+    rem = None
+    if len(cur_v):
+        rm = sp.csr_matrix((cur_v, cur_i, cur_p), shape=shape)
+        rm.sort_indices()
+        rem = CSRMatrix.from_csr_arrays(rm.indptr, rm.indices, rm.data,
+                                        shape)
+    if len(parts) == 1:
+        import dataclasses
+        return dataclasses.replace(parts[0], rem=rem, nnz=total_nnz)
+    return MultiBESMatrix(parts, rem, n, m, total_nnz)
+
+
+def dataclasses_replace_rem_none(B):
+    import dataclasses
+    covered = B.nnz - (B.rem.nnz if B.rem is not None else 0)
+    return dataclasses.replace(B, rem=None, nnz=covered)

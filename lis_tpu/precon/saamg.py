@@ -214,16 +214,23 @@ def create_saamg(A, opts):
             m.indptr, m.indices, m.data, m.shape))
 
     def _fast_prolongator(m):
-        """Prolongators track rows at slope ncols/nrows: the strided BES
-        slab covers them gather-free; CSR fallback when the profile is
+        """Prolongators track rows at slope ncols/nrows, with one affine
+        band per plane neighbour of the fine stencil: the multi-window
+        strided BES covers them gather-free (e.g. exactly 3 windows for
+        an aggregated 3-D operator); CSR fallback when the profile is
         too scattered."""
-        from lis_tpu.matrix.bes import BESMatrix
+        from lis_tpu.matrix.bes import multi_bes_from_csr
         try:
-            bp = BESMatrix.from_csr_arrays(m.indptr, m.indices, m.data,
-                                           m.shape, max_bytes=2 << 30)
+            # a 3-D fine stencil puts the prolongator's columns in up to
+            # 9 affine bands (3 z-planes x 3 y-rows) — give the greedy
+            # builder enough windows to find them all.  Acceptance is a
+            # cost comparison: slab slots stream ~1300x faster than
+            # gathers, so even heavy padding beats the CSR fallback.
+            bp = multi_bes_from_csr(m.indptr, m.indices, m.data, m.shape,
+                                    max_windows=12, max_bytes=2 << 30)
             rem_frac = (bp.rem.nnz / max(bp.nnz, 1)
                         if bp.rem is not None else 0.0)
-            if bp.fill_blowup <= 64 and rem_frac <= 0.05:
+            if bp.fill_blowup <= 512 and rem_frac <= 0.2:
                 return bp
         except Exception:
             pass
