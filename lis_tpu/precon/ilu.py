@@ -343,6 +343,10 @@ def create_iluk(A, opts):
             if lu is not None:
                 from lis_tpu.matrix.dia import DIAMatrix
                 offs = tuple(int(o) for o in A.offsets)
+                # upload the factors in the OPERATOR's dtype: at 10M-row
+                # f32 solves the f64 default doubles a ~1 GB transfer
+                in_dt = A.value[0].dtype if A.value else lu.dtype
+                lu = lu.astype(in_dt) if lu.dtype != in_dt else lu
 
                 nnz_row = [int(np.count_nonzero(lu[k]))
                            for k in range(len(offs))]
