@@ -384,15 +384,19 @@ def dist_solve(A: DistCSRMatrix, b, mesh: Mesh, options=None, M=None,
     elif opts.precision in ("df", "switch_df", "quad", "switch"):
         from lis_tpu.core.ddreal import DD
         from lis_tpu.solvers.base import SOLVER_FNS as _FNS
-        if not isinstance(A, DistDIAMatrix):
+        if not isinstance(A, (DistDIAMatrix, DistBESMatrix)):
             raise NotImplementedError(
-                "distributed DD precision needs a DIA-sharded matrix "
-                "(distribute_matrix picks it for banded operators)")
+                "distributed DD precision needs a DIA- or BES-sharded "
+                "matrix (distribute_matrix picks one for structured "
+                "operators)")
         qname = opts.solver + "_quad"
         if qname not in _FNS:
             raise NotImplementedError(f"no quad variant of {opts.solver!r}")
         limb = jnp.float32 if opts.precision in ("df", "switch_df") else None
-        A_dd = make_dist_dd_operator(A, mesh, limb=limb)
+        if isinstance(A, DistBESMatrix):
+            A_dd = DistBESDDOperator.from_matrix(A)
+        else:
+            A_dd = make_dist_dd_operator(A, mesh, limb=limb)
         b64 = b
         if limb is not None:
             A, b, x0, M, aux = cast32((A, b, x0, M, aux))
@@ -962,3 +966,47 @@ def distribute_bes(A, mesh: Mesh):
         slab=jax.device_put(jnp.asarray(slab), shslab), rem=rem,
         nlocal=nlocal, gn=B.nrows, gn_pad=gn_pad, nprocs=p, R=R, W=W,
         c0=B.c0)
+
+
+@dataclasses.dataclass(frozen=True)
+class DistBESDDOperator:
+    """DD matvec over a sharded BES slab: accumulate in emulated f64
+    (elementwise-correct on TPU, tighter than the f32-pair 2^-48) and
+    split back to the limb pair — the distributed twin of
+    core.ddreal.DDBesOperator."""
+    bes: object               # DistBESMatrix, slab cast to f64
+    gn: int
+    gn_pad: int
+    nlocal: int
+    nprocs: int
+
+    def _lift(self, x):
+        return x.hi.astype(jnp.float64) + x.lo.astype(jnp.float64)
+
+    def matvec(self, x):
+        from lis_tpu.core.ddreal import DD
+        y = self.bes.matvec(self._lift(x))
+        h = y.astype(x.hi.dtype)
+        return DD(h, (y - h.astype(jnp.float64)).astype(x.hi.dtype))
+
+    def matvech(self, x):
+        from lis_tpu.core.ddreal import DD
+        y = self.bes.matvech(self._lift(x))
+        h = y.astype(x.hi.dtype)
+        return DD(h, (y - h.astype(jnp.float64)).astype(x.hi.dtype))
+
+    @classmethod
+    def from_matrix(cls, A: "DistBESMatrix") -> "DistBESDDOperator":
+        b64 = dataclasses.replace(
+            A, slab=A.slab.astype(jnp.float64),
+            rem=None if A.rem is None else jax.tree.map(
+                lambda a: a.astype(jnp.float64)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, A.rem))
+        return cls(bes=b64, gn=A.gn, gn_pad=A.gn_pad, nlocal=A.nlocal,
+                   nprocs=A.nprocs)
+
+
+jax.tree_util.register_pytree_node(
+    DistBESDDOperator,
+    lambda m: ((m.bes,), (m.gn, m.gn_pad, m.nlocal, m.nprocs)),
+    lambda aux, c: DistBESDDOperator(c[0], *aux))

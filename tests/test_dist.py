@@ -386,3 +386,31 @@ def test_dist_gesolve_pencil(mesh):
     assert d.status == lis_tpu.LIS_SUCCESS
     assert abs(d.evalue - s.evalue) < 1e-6
     assert abs(d.iters - s.iters) <= 2
+
+
+def test_dist_bes_extended_precision(mesh):
+    """-f df / switch_df over a BES-sharded general matrix: the slab
+    product accumulates in emulated f64 and splits back to the limb pair
+    (DistBESDDOperator); switch_df reaches beyond-f32 true residuals."""
+    import scipy.sparse as sp
+    from lis_tpu.parallel.dist import distribute_matrix, DistBESMatrix
+    from lis_tpu.matrix.csr import CSRMatrix
+    rng = np.random.default_rng(3)
+    n, K, bw = 1024, 10, 40
+    rows = np.repeat(np.arange(n), K)
+    cols = np.clip(rows + rng.integers(-bw, bw + 1, size=n * K), 0, n - 1)
+    m = sp.coo_matrix((rng.standard_normal(n * K), (rows, cols)),
+                      shape=(n, n)).tocsr()
+    m = (m + sp.diags(np.abs(m).sum(axis=1).A1 + 1)).tocsr()
+    m.sort_indices()
+    A = CSRMatrix.from_csr_arrays(m.indptr, m.indices, m.data, m.shape)
+    Ad = distribute_matrix(A, mesh)
+    assert isinstance(Ad, DistBESMatrix)
+    xs = np.linspace(1, 2, n)
+    b = m @ xs
+    for f, bound in (("df", 1e-5), ("switch_df", 1e-10)):
+        r = dist_solve(Ad, b, mesh,
+                       options=f"-i bicgstab -p jacobi -tol 1e-12 -f {f} "
+                               "-maxiter 3000")
+        assert r.status == lis_tpu.LIS_SUCCESS, f
+        assert np.abs(np.asarray(r.x) - xs).max() < bound, f
