@@ -106,46 +106,62 @@ int ilut_factor(int32_t n, const int32_t* ptr, const int32_t* index,
                 int32_t** out_ptr, int32_t** out_index, double** out_value,
                 int64_t* out_nnz) {
     std::vector<std::map<int32_t, double>> rows(n);
+    std::vector<double> diag(n, 0.0);
+    // reference rules (lis_precon_ilut.c:61-63,129-131,230-320):
+    // mean-|a_ij| drop threshold gating only NEW update-term fill, the
+    // elimination factor itself never dropped, final keep = top
+    // lfil = (nnz/2n)*rate per side by magnitude (diagonal always kept)
+    int64_t nnz_tot = ptr[n];
+    int32_t lfil = std::max((int32_t)((double)nnz_tot / (2.0 * n) * rate), 1);
 
     for (int32_t i = 0; i < n; ++i) {
         std::map<int32_t, double> work;
         double nrm = 0.0;
         for (int32_t p = ptr[i]; p < ptr[i + 1]; ++p) {
             work[index[p]] += value[p];
-            nrm += value[p] * value[p];
+            nrm += std::fabs(value[p]);
         }
-        nrm = std::sqrt(nrm);
+        int32_t kc = std::max(ptr[i + 1] - ptr[i], 1);
+        nrm = nrm / (double)kc;
         if (nrm == 0.0) nrm = 1.0;
         double tol_i = drop * nrm;
-        int32_t p_fill = std::max((int32_t)(rate * (ptr[i + 1] - ptr[i])), 2);
 
+        // ascending-order elimination; std::map iteration picks up fill
+        // inserted at later lower positions automatically
         for (auto it = work.begin(); it != work.end() && it->first < i;) {
             int32_t k = it->first;
-            auto dk = rows[k].find(k);
-            if (dk == rows[k].end() || dk->second == 0.0) { ++it; continue; }
-            double factor = it->second / dk->second;
-            if (std::fabs(factor) < tol_i) { it = work.erase(it); continue; }
-            it->second = factor;
+            double dk = diag[k];
+            if (dk == 0.0) { ++it; continue; }
+            double fact = it->second / dk;
+            it->second = fact;
             for (auto& kv : rows[k]) {
                 if (kv.first <= k) continue;
-                work[kv.first] -= factor * kv.second;
+                double lxu = -fact * kv.second;
+                auto wj = work.find(kv.first);
+                if (wj == work.end()) {
+                    if (std::fabs(lxu) >= tol_i) work[kv.first] = lxu;
+                } else {
+                    wj->second += lxu;
+                }
             }
             it = work.upper_bound(k);
         }
-        // dual-threshold dropping per side
-        std::vector<std::pair<double, int32_t>> lo, up;
+
         double dv = 0.0;
+        auto di = work.find(i);
+        if (di != work.end()) dv = di->second;
+        if (dv == 0.0) dv = nrm;
+        std::vector<std::pair<double, int32_t>> lo, up;
         for (auto& kv : work) {
-            if (kv.first == i) { dv = kv.second; continue; }
-            if (std::fabs(kv.second) < tol_i) continue;
+            if (kv.first == i) continue;
             if (kv.first < i) lo.push_back({std::fabs(kv.second), kv.first});
             else up.push_back({std::fabs(kv.second), kv.first});
         }
         auto keep_top = [&](std::vector<std::pair<double, int32_t>>& v) {
-            if ((int32_t)v.size() > p_fill) {
-                std::partial_sort(v.begin(), v.begin() + p_fill, v.end(),
+            if ((int32_t)v.size() > lfil) {
+                std::partial_sort(v.begin(), v.begin() + lfil, v.end(),
                                   std::greater<>());
-                v.resize(p_fill);
+                v.resize(lfil);
             }
         };
         keep_top(lo);
@@ -153,7 +169,8 @@ int ilut_factor(int32_t n, const int32_t* ptr, const int32_t* index,
         std::map<int32_t, double> keep;
         for (auto& pr : lo) keep[pr.second] = work[pr.second];
         for (auto& pr : up) keep[pr.second] = work[pr.second];
-        keep[i] = (dv != 0.0) ? dv : nrm;
+        keep[i] = dv;
+        diag[i] = dv;
         rows[i] = std::move(keep);
     }
 

@@ -87,40 +87,63 @@ def _factor_iluk(ptr, index, value, n, fill):
 
 
 def _factor_ilut(ptr, index, value, n, drop, rate):
-    """Dual-threshold ILUT (Saad Alg. 10.6): relative drop tolerance
-    drop·||row||, fill cap rate·(row nnz)."""
+    """Dual-threshold ILUT matching the reference's actual rules
+    (lis_precon_ilut.c:61-63,129-131,230-320):
+    - drop tolerance relative to the MEAN |a_ij| of the row;
+    - the elimination factor is NEVER dropped — only update terms with
+      |l_ik*u_kj| < tol that would create NEW fill are skipped;
+    - the final keep is the top lfil = (nnz/2n)*rate entries PER SIDE by
+      magnitude (no tolerance filter), diagonal always kept."""
+    import heapq
     rows_val = []
+    diag = np.zeros(n)
+    nnz_tot = int(ptr[n]) if len(ptr) > n else len(value)
+    lfil = max(int((nnz_tot / (2.0 * max(n, 1))) * rate), 1)
     for i in range(n):
         work = {}
+        abssum = 0.0
         for p in range(ptr[i], ptr[i + 1]):
-            work[int(index[p])] = value[p]
-        nrm = np.sqrt(sum(v * v for v in work.values())) or 1.0
+            c = int(index[p])
+            work[c] = work.get(c, 0.0) + value[p]
+            abssum += abs(value[p])
+        k_cnt = max(ptr[i + 1] - ptr[i], 1)
+        nrm = abssum / k_cnt or 1.0
         tol_i = drop * nrm
-        p_fill = max(int(rate * (ptr[i + 1] - ptr[i])), 2)
-        for k in sorted(work):
-            if k >= i:
-                break
-            ukk = rows_val[k].get(k, 0.0)
-            if ukk == 0.0:
+
+        heap = [c for c in work if c < i]
+        heapq.heapify(heap)
+        done = set()
+        while heap:
+            k = heapq.heappop(heap)
+            if k in done or k not in work:
                 continue
-            factor = work[k] / ukk
-            if abs(factor) < tol_i:
-                del work[k]
+            done.add(k)
+            dk = diag[k]
+            if dk == 0.0:
                 continue
-            work[k] = factor
-            for j, vkj in rows_val[k].items():
+            fact = work[k] / dk
+            work[k] = fact
+            for j, ukj in rows_val[k].items():
                 if j <= k:
                     continue
-                work[j] = work.get(j, 0.0) - factor * vkj
-        # drop small entries (keep diagonal), cap fill per side
-        lower = [(j, v) for j, v in work.items() if j < i and abs(v) >= tol_i]
-        upper = [(j, v) for j, v in work.items()
-                 if j > i and abs(v) >= tol_i]
-        lower.sort(key=lambda t: -abs(t[1]))
-        upper.sort(key=lambda t: -abs(t[1]))
-        keep = dict(lower[:p_fill] + upper[:p_fill])
+                lxu = -fact * ukj
+                if abs(lxu) < tol_i and j not in work:
+                    continue
+                work[j] = work.get(j, 0.0) + lxu
+                if j < i and j not in done:
+                    heapq.heappush(heap, j)
+
         dv = work.get(i, 0.0)
-        keep[i] = dv if dv != 0.0 else nrm
+        if dv == 0.0:
+            dv = nrm
+        lower = sorted(((abs(v), j) for j, v in work.items() if j < i),
+                       reverse=True)[:lfil]
+        upper = sorted(((abs(v), j) for j, v in work.items() if j > i),
+                       reverse=True)[:lfil]
+        keep = {j: work[j] for _, j in lower}
+        keep.update({j: work[j] for _, j in upper})
+        keep[i] = dv
+        diag[i] = dv
         rows_val.append(keep)
     return rows_val
 

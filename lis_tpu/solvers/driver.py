@@ -221,6 +221,12 @@ def solve(A: SparseMatrix, b, x0=None, options=None, M=None,
         # CG + Jacobi is auto-upgraded to symmetric diagonal scaling
         # (lis_solver.c:702-705), which subsumes the preconditioner.
         scale = 2
+    if opts.precon == "is" and scale == 0:
+        # the reference FORCES Jacobi scaling for I+S (lis_solver.c:613-626):
+        # the truncated-U approximate inverse assumes a unit diagonal —
+        # without it the preconditioner is weak-to-harmful (measured 508
+        # vs 26 BiCGSTAB iterations on testmat.mtx)
+        scale = 1
     dscale = None
     if scale == 1:
         d = A.get_diagonal()

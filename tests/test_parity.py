@@ -69,3 +69,27 @@ def test_quad_gamma_parity():
     rq = solve(g, b, options="-i bicg -f quad -tol 1e-12 -maxiter 500")
     assert rq.status == lis_tpu.LIS_SUCCESS
     assert abs(rq.iters - 231) < 60
+
+
+# preconditioner iteration parity, ground truth from the built reference:
+# test1 testmat.mtx 1 -i bicgstab -p <name> -tol 1e-12 (round 2)
+PRECON_REFERENCE_ITERS = {
+    "jacobi": 15, "ssor": 12, "ilu": 11, "ilut": 6, "iluc": 8,
+    "is": 26, "sainv": 14, "hybrid": 7,
+}
+
+
+@pytest.mark.parametrize("p", sorted(PRECON_REFERENCE_ITERS))
+def test_precon_iteration_parity(testmat, p):
+    """-auto_storage false keeps the exact level-scheduled triangular
+    apply (the default TPU relaxed-sweep apply trades a few extra cheap
+    iterations for stream-speed psolves; -ssor_sweeps 6 recovers the
+    exact counts there too)."""
+    b = np.ones(testmat.nrows)
+    res = solve(testmat, b, options=f"-i bicgstab -p {p} -tol 1e-12 "
+                                    "-maxiter 1000 -auto_storage false")
+    assert res.status == lis_tpu.LIS_SUCCESS, (p, res)
+    expected = PRECON_REFERENCE_ITERS[p]
+    # converging FASTER than the reference is fine (hybrid does: its
+    # inner iteration is a fully-converging compiled loop)
+    assert res.iters <= expected + 3, (p, res.iters, expected)
