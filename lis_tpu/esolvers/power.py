@@ -232,6 +232,21 @@ def _shift_solve(A, B, sigma, rhs, opts):
     """Solve (A - σB) y = rhs (inner Krylov solve of II/RQI,
     reference lis_esolver_ii.c:216 via lis_solve_kernel)."""
     from lis_tpu.solvers.driver import solve
+    if B is None and not hasattr(A, "to_csr_arrays"):
+        # operator-only A (e.g. the distributed GlobalView adapter):
+        # raw registry solve, unpreconditioned — the driver's scaling/
+        # storage analysis needs host arrays the adapter can't provide
+        from lis_tpu.solvers.base import SOLVER_FNS, SolverSpec
+        from lis_tpu.precon.base import NonePrecon
+        As = _Shifted(A, jnp.asarray(float(sigma))) if sigma != 0.0 else A
+        name = (opts.inner.solver
+                if opts.inner.solver in ("cg", "bicgstab", "cgs", "bicg",
+                                         "minres") else "bicgstab")
+        spec = SolverSpec(solver=name, tol=opts.inner.tol,
+                          maxiter=opts.inner.maxiter, conv_cond=0)
+        out = SOLVER_FNS[name](As, rhs, jnp.zeros_like(rhs), NonePrecon(),
+                               spec)
+        return out.x
     if B is None:
         As = A.shift_diagonal(sigma)          # A - σI
     else:

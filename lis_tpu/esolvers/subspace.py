@@ -211,40 +211,59 @@ def eai(A, B, x0, opts):
 
 @register_esolver("si")
 def esi(A, B, x0, opts):
-    """Subspace iteration (lis_esi): orthogonal power iteration on an
-    ss-dimensional block, Rayleigh-Ritz projection each sweep."""
-    import numpy.random as npr
+    """Subspace iteration (lis_esi, src/esolver/lis_esolver_si.c:230-330):
+    SEQUENTIAL deflated iteration — pair j orthogonalises against the
+    already-converged v_1..v_{j-1} each sweep, the kernel is the inner
+    esolver's map (-ie ii, the default: an inverse solve per sweep, so
+    the SMALLEST pairs come out first; -ie pi: a matvec, largest pairs),
+    and the final r carries over as the next pair's start vector."""
+    from lis_tpu.esolvers.power import _shift_solve, _bsolve
     n = A.nrows
     ss = min(max(opts.ss, 1), n)
-    op = _gen_op(A, B, opts)
+    inner = getattr(opts, "inner_esolver", "ii")
+    sigma = opts.rval
 
-    rng = npr.default_rng(0)
-    X = np.zeros((n, ss))
-    X[:, 0] = np.asarray(x0)
-    if ss > 1:
-        X[:, 1:] = rng.standard_normal((n, ss - 1))
-    Xj = jnp.asarray(X)
-    Xj, _ = jnp.linalg.qr(Xj)
-
-    evalues = np.zeros(ss)
-    resids = [np.inf] * ss
-    status = C.LIS_MAXITER
-    iters = opts.maxiter
-    rh = []
-    for it in range(1, opts.maxiter + 1):
-        Z = jnp.stack([op(Xj[:, i]) for i in range(ss)], axis=1)
-        Q, _ = jnp.linalg.qr(Z)
-        T = np.asarray(Q.T @ jnp.stack([op(Q[:, i]) for i in range(ss)], axis=1))
-        w_eig, s_eig = np.linalg.eig(T)
-        order = np.argsort(-np.abs(w_eig))
-        w_eig, s_eig = np.real(w_eig[order]), np.real(s_eig[:, order])
-        Xj = Q @ jnp.asarray(s_eig)
-        evalues = w_eig
-        resids = [_pair_resid(A, B, float(w_eig[i]), Xj[:, i])
-                  for i in range(ss)]
-        rh.append(resids[0])
-        if max(resids) <= opts.tol:
-            status, iters = C.LIS_SUCCESS, it
-            break
-    evectors = [np.asarray(Xj[:, i]) for i in range(ss)]
-    return _multi_result(evalues, evectors, [iters] * ss, resids, status, rh)
+    r = x0 / v.nrm2(x0)
+    vs = []
+    evalues, resids, iters_all, rh = [], [], [], []
+    status = C.LIS_SUCCESS
+    for j in range(ss):
+        vj = r
+        resid = np.inf
+        theta = 0.0
+        it = opts.maxiter
+        for k in range(1, opts.maxiter + 1):
+            for vk in vs:
+                vj = vj - v.dot(vj, vk) * vk
+            if inner == "pi":
+                rnew = A.matvec(vj) if B is None else _bsolve(
+                    B, A.matvec(vj), opts)
+            else:
+                rhs = vj if B is None else B.matvec(vj)
+                rnew = _shift_solve(A, B, sigma, rhs, opts)
+            nrm = float(v.nrm2(rnew))
+            if not np.isfinite(nrm) or nrm == 0.0:
+                break
+            theta = float(v.dot(vj, rnew))
+            resid = float(v.nrm2(rnew - theta * vj) /
+                          (abs(theta) if theta != 0 else 1.0))
+            vj = rnew / nrm
+            if j == 0:
+                rh.append(resid)
+            if resid < opts.tol:
+                it = k
+                break
+        if inner == "pi":
+            lam = theta + sigma
+        else:
+            lam = (1.0 / theta if theta != 0 else 0.0) + sigma
+        evalues.append(lam)
+        resids.append(resid)
+        iters_all.append(it)
+        vs.append(vj)
+        r = vj
+        if resid > opts.tol:
+            status = C.LIS_MAXITER
+    evectors = [np.asarray(vk) for vk in vs]
+    return _multi_result(np.asarray(evalues), evectors, iters_all, resids,
+                         status, rh)

@@ -93,3 +93,32 @@ def test_precon_iteration_parity(testmat, p):
     # converging FASTER than the reference is fine (hybrid does: its
     # inner iteration is a fully-converging compiled loop)
     assert res.iters <= expected + 3, (p, res.iters, expected)
+
+
+# eigensolver parity, ground truth from the built reference:
+# etest1 testmat.mtx -e <n> -etol 1e-8 (round 2)
+ESOLVER_REFERENCE = {
+    "pi": (7.365014, 143), "ii": (0.1620281, 13),
+    "cg": (0.1620281, 24), "cr": (0.1620281, 32),
+}
+
+
+@pytest.mark.parametrize("e", sorted(ESOLVER_REFERENCE))
+def test_esolver_iteration_parity(testmat, e):
+    from lis_tpu import esolve
+    ev, it = ESOLVER_REFERENCE[e]
+    r = esolve(testmat, options=f"-e {e} -etol 1e-8 -emaxiter 2000")
+    assert r.status == lis_tpu.LIS_SUCCESS
+    assert abs(r.evalue - ev) < 1e-5 * max(abs(ev), 1)
+    assert abs(r.iters - it) <= 2, (e, r.iters, it)
+
+
+def test_si_parity_smallest_pairs(testmat):
+    """etest1 testmat.mtx -e 6 -ss 3: 0.162028 (13 iters), 0.398507,
+    0.398507 (a multiplicity-2 pair) — the deflated sequential inverse
+    iteration reproduces all three."""
+    from lis_tpu import esolve
+    r = esolve(testmat, options="-e si -ss 3 -etol 1e-8 -emaxiter 2000")
+    np.testing.assert_allclose(r.evalues,
+                               [0.1620281, 0.3985070, 0.3985070], atol=1e-5)
+    assert abs(int(r.iters_all[0]) - 13) <= 2
