@@ -122,3 +122,29 @@ def test_si_parity_smallest_pairs(testmat):
     np.testing.assert_allclose(r.evalues,
                                [0.1620281, 0.3985070, 0.3985070], atol=1e-5)
     assert abs(int(r.iters_all[0]) - 13) <= 2
+
+
+def test_conv_cond_and_scale_parity(testmat):
+    """Ground truth from the built reference: test1 testmat.mtx 1
+    -i bicgstab -tol 1e-10 with -conv_cond {0,1,2} -> 14/14/1 iterations
+    and -scale {1,2} -> 14/14 (ours counts one fewer consistently)."""
+    b = np.ones(testmat.nrows)
+    for cc, ref in ((0, 14), (1, 14), (2, 1)):
+        r = solve(testmat, b, options=f"-i bicgstab -tol 1e-10 "
+                                      f"-conv_cond {cc}")
+        assert abs(r.iters - ref) <= 2, (cc, r.iters, ref)
+    for s in (1, 2):
+        r = solve(testmat, b, options=f"-i bicgstab -tol 1e-10 -scale {s}")
+        assert abs(r.iters - 14) <= 2, (s, r.iters)
+
+
+def test_poisson2d_parity():
+    """test2 30 30 1 (2-D 5-pt Poisson, 900 rows) against the built
+    reference: GMRES+ILU 33, CG+SSOR 39 iterations (exact-apply mode)."""
+    from tests.problems import poisson2d
+    a = poisson2d(30, 30)
+    b = np.ones(900)
+    r = solve(a, b, options="-i gmres -p ilu -tol 1e-10 -auto_storage false")
+    assert abs(r.iters - 33) <= 2, r.iters
+    r = solve(a, b, options="-i cg -p ssor -tol 1e-10 -auto_storage false")
+    assert abs(r.iters - 39) <= 2, r.iters
