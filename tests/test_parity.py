@@ -148,3 +148,19 @@ def test_poisson2d_parity():
     assert abs(r.iters - 33) <= 2, r.iters
     r = solve(a, b, options="-i cg -p ssor -tol 1e-10 -auto_storage false")
     assert abs(r.iters - 39) <= 2, r.iters
+
+
+def test_generalized_eigensolver_parity(testmat):
+    """Pencil Ax = λBx against the built reference (getest5 testmat.mtx
+    massB, B = tridiag(4,-1)): gpi 2.181504 @111, gii 0.0788490 @14,
+    gcr 0.0788490 @35 (reference gcg itself diverges to nan on this
+    pencil; ours converges — not asserted)."""
+    from lis_tpu import gesolve
+    from tests.problems import tridiag
+    B = tridiag(100, diag=4.0)
+    for e, ev, it in (("gpi", 2.181504, 111), ("gii", 0.07884905, 14),
+                      ("gcr", 0.07884905, 35)):
+        r = gesolve(testmat, B, options=f"-e {e} -etol 1e-8 -emaxiter 3000")
+        assert r.status == lis_tpu.LIS_SUCCESS, e
+        assert abs(r.evalue - ev) < 1e-5, (e, r.evalue)
+        assert abs(r.iters - it) <= 5, (e, r.iters, it)
