@@ -29,3 +29,15 @@ import pytest
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(12345)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_xla_caches_per_module():
+    """Bound in-process XLA/LLVM JIT accumulation: past ~400 compiled
+    programs in one process the CPU backend segfaults inside
+    backend_compile_and_load (observed deterministically once the suite
+    grew past ~300 tests).  Clearing the jit caches at each module
+    boundary keeps the live-executable count bounded by the largest
+    module; cross-module cache reuse was minimal anyway."""
+    yield
+    jax.clear_caches()
