@@ -106,9 +106,16 @@ def _refine_pair(A, B, lam, x, opts):
 
 @register_esolver("li")
 def eli(A, B, x0, opts):
-    """Lanczos (lis_eli): ss-step tridiagonalisation with full
-    reorthogonalisation, host dense eig on T, optional II refinement is
-    left to the caller (reference refines with the inner esolver)."""
+    """Lanczos (lis_eli): tridiagonalisation with full
+    reorthogonalisation, host dense eig on T, fixed-shift II refinement
+    of each Ritz pair (lis_esolver_li.c:253,576).
+
+    Deliberate divergence from the reference: lis_eli runs only ss-1
+    Lanczos steps (a size-ss Krylov space — with the default ss=1 it
+    degenerates entirely) and reports refined Ritz values in QR order;
+    here the Krylov dimension is max(2*ss, ss+8) and the ss pairs are
+    the DOMINANT Ritz values, which gives strictly better-converged
+    pairs for the same ss."""
     n = A.nrows
     ss = min(max(opts.ss, 1), n)
     m = min(max(2 * ss, ss + 8), n)       # Krylov dimension ≥ requested pairs
