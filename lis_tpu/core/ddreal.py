@@ -489,16 +489,56 @@ jax.tree_util.register_pytree_node(
     lambda o: ((o.bes, o.slab64), None),
     lambda aux, c: DDBesOperator(*c))
 
+class DDF64Operator:
+    """Generic DD operator: run the format's OWN matvec with all float
+    leaves lifted to (emulated) f64, split the result back to the limb
+    pair.  Used for composite formats (multi-window BES) whose dedicated
+    DD kernels would be redundant — same accuracy rationale as
+    DDBesOperator."""
+
+    def __init__(self, A64):
+        self.A64 = A64
+
+    def _mv(self, x, transpose):
+        xs = x.hi.astype(jnp.float64) + x.lo.astype(jnp.float64)
+        y = self.A64.matvech(xs) if transpose else self.A64.matvec(xs)
+        h = y.astype(x.hi.dtype)
+        return DD(h, (y - h.astype(jnp.float64)).astype(x.hi.dtype))
+
+    def matvec(self, x):
+        return self._mv(x, False)
+
+    def matvech(self, x):
+        return self._mv(x, True)
+
+    @classmethod
+    def from_matrix(cls, A, limb=None):
+        import jax
+        A64 = jax.tree.map(
+            lambda a: a.astype(jnp.float64)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+            else a, A)
+        return cls(A64)
+
+
+jax.tree_util.register_pytree_node(
+    DDF64Operator, lambda o: ((o.A64,), None),
+    lambda aux, c: DDF64Operator(*c))
+
+
 def make_dd_operator(A, limb=None):
     """Wrap a format object for DD iterations: DIA stays DIA (stream
-    kernel), BES stays on its slab path (f64-emulated accumulation), and
-    everything else goes through the ELL gather pair.  With limb=float32
-    the operator carries its values as f32 pairs ("double-float") so no
-    precision is lost casting the system."""
-    if getattr(A, "format_name", None) == "dia":
+    kernel), BES/multi-BES stay on their slab paths (f64-emulated
+    accumulation), and everything else goes through the ELL gather pair.
+    With limb=float32 the operator carries its values as f32 pairs
+    ("double-float") so no precision is lost casting the system."""
+    fmt = getattr(A, "format_name", None)
+    if fmt == "dia":
         return DDDiaOperator.from_matrix(A, limb)
-    if getattr(A, "format_name", None) == "bes":
+    if fmt == "bes":
         return DDBesOperator.from_matrix(A, limb)
+    if fmt == "mbes":
+        return DDF64Operator.from_matrix(A, limb)
     return DDOperator.from_matrix(A, limb)
 
 

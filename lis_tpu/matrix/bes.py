@@ -324,6 +324,19 @@ class MultiBESMatrix(SparseMatrix):
         return (a.indptr.astype(np.int32), a.indices.astype(np.int32),
                 a.data)
 
+    def scale_rows(self, d):
+        return MultiBESMatrix([p.scale_rows(d) for p in self.parts],
+                              None if self.rem is None
+                              else self.rem.scale_rows(d),
+                              self.nrows, self.ncols, self.nnz)
+
+    def scale_symm(self, dsqrt_inv):
+        return MultiBESMatrix([p.scale_symm(dsqrt_inv)
+                               for p in self.parts],
+                              None if self.rem is None
+                              else self.rem.scale_symm(dsqrt_inv),
+                              self.nrows, self.ncols, self.nnz)
+
 
 jax.tree_util.register_pytree_node(
     MultiBESMatrix,

@@ -91,12 +91,14 @@ def auto_storage(A):
         if out is None:
             # general sparsity: dense sliding slabs (matrix/bes.py) beat
             # the gather path whenever the fill blowup stays below ~1000x
-            # (slabs stream at ~750 GB/s vs 0.5 GB/s for gathers); accept
-            # when the displacement profile keeps the slab affordable
-            from lis_tpu.matrix.bes import BESMatrix
+            # (slabs stream at ~750 GB/s vs 0.5 GB/s for gathers); the
+            # multi-window builder also covers few-affine-band structures
+            # (3-D-stencil-like patterns).  Accept when the displacement
+            # profile keeps the slabs affordable
+            from lis_tpu.matrix.bes import multi_bes_from_csr
             try:
-                bes = BESMatrix.from_csr_arrays(*A.to_csr_arrays(), A.shape,
-                                                max_bytes=4 << 30)
+                bes = multi_bes_from_csr(*A.to_csr_arrays(), A.shape,
+                                         max_bytes=4 << 30)
                 rem_frac = (bes.rem.nnz / max(bes.nnz, 1)
                             if bes.rem is not None else 0.0)
                 if bes.fill_blowup <= 256 and rem_frac <= 0.1:

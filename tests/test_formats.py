@@ -215,3 +215,41 @@ def test_bes_auto_storage_routing():
     x = rng.standard_normal(n)
     np.testing.assert_allclose(np.asarray(routed.matvec(jnp.asarray(x))),
                                m @ x, atol=1e-10)
+
+
+def test_multibes_auto_routing_two_bands():
+    """A general matrix with TWO affine column bands routes to the
+    multi-window BES (mbes) and solves end-to-end in every precision
+    mode, including through the scale paths."""
+    import scipy.sparse as sp
+    import lis_tpu
+    from lis_tpu import solve
+    from lis_tpu.matrix.csr import CSRMatrix
+    from lis_tpu.solvers.driver import auto_storage
+    rng = np.random.default_rng(7)
+    n = 4000
+    rows = np.repeat(np.arange(n), 8)
+    off = np.where(rng.random(n * 8) < 0.5,
+                   rng.integers(-40, 41, size=n * 8),
+                   2500 + rng.integers(-40, 41, size=n * 8))
+    cols = np.clip(rows + off, 0, n - 1)
+    m = sp.coo_matrix((rng.standard_normal(n * 8), (rows, cols)),
+                      shape=(n, n)).tocsr()
+    m = (m + sp.diags(np.abs(m).sum(axis=1).A1 + 1)).tocsr()
+    m.sort_indices()
+    A = CSRMatrix.from_csr_arrays(m.indptr, m.indices, m.data, m.shape)
+    routed = auto_storage(A)
+    assert routed.format_name == "mbes", routed.format_name
+    assert len(routed.parts) >= 2
+    x = rng.standard_normal(n)
+    np.testing.assert_allclose(np.asarray(routed.matvec(jnp.asarray(x))),
+                               m @ x, atol=1e-10)
+    xs = np.linspace(1, 2, n)
+    b = m @ xs
+    for f, bound in (("double", 1e-7), ("switch_df", 1e-11)):
+        r = solve(A, b, options=f"-i bicgstab -p jacobi -tol 1e-10 -f {f} "
+                                "-maxiter 4000")
+        assert r.status == lis_tpu.LIS_SUCCESS, f
+        assert np.abs(np.asarray(r.x) - xs).max() < bound, f
+    r = solve(A, b, options="-i bicgstab -p jacobi -tol 1e-10 -scale 1")
+    assert r.status == lis_tpu.LIS_SUCCESS
