@@ -227,11 +227,11 @@ def test_multibes_auto_routing_two_bands():
     from lis_tpu.matrix.csr import CSRMatrix
     from lis_tpu.solvers.driver import auto_storage
     rng = np.random.default_rng(7)
-    n = 4000
+    n = 8000
     rows = np.repeat(np.arange(n), 8)
     off = np.where(rng.random(n * 8) < 0.5,
                    rng.integers(-40, 41, size=n * 8),
-                   2500 + rng.integers(-40, 41, size=n * 8))
+                   5000 + rng.integers(-40, 41, size=n * 8))
     cols = np.clip(rows + off, 0, n - 1)
     m = sp.coo_matrix((rng.standard_normal(n * 8), (rows, cols)),
                       shape=(n, n)).tocsr()
