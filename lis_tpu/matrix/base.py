@@ -128,6 +128,8 @@ class SparseMatrix:
         dn = np.asarray(d)
         value = value * dn[np.repeat(np.arange(self.nrows), np.diff(ptr))]
         out = CSRMatrix.from_csr_arrays(ptr, index, value, self.shape)
+        if self.format_name not in _MATRIX_REGISTRY:
+            return out          # composite formats (e.g. mbes): CSR result
         return convert_matrix(out, self.format_name)
 
     def scale_symm(self, dsqrt_inv):
@@ -139,6 +141,8 @@ class SparseMatrix:
         rows = np.repeat(np.arange(self.nrows), np.diff(ptr))
         value = value * dn[rows] * dn[index]
         out = CSRMatrix.from_csr_arrays(ptr, index, value, self.shape)
+        if self.format_name not in _MATRIX_REGISTRY:
+            return out          # composite formats (e.g. mbes): CSR result
         return convert_matrix(out, self.format_name)
 
     def shift_diagonal(self, sigma):
@@ -152,6 +156,8 @@ class SparseMatrix:
         a = (a - sigma * sp.eye(self.nrows, self.ncols, format="csr")).tocsr()
         a.sort_indices()
         out = CSRMatrix.from_csr_arrays(a.indptr, a.indices, a.data, self.shape)
+        if self.format_name not in _MATRIX_REGISTRY:
+            return out          # composite formats (e.g. mbes): CSR result
         return convert_matrix(out, self.format_name)
 
     def axpy(self, alpha, other):
@@ -167,6 +173,8 @@ class SparseMatrix:
         c = (b + alpha * a).tocsr()
         c.sort_indices()
         out = CSRMatrix.from_csr_arrays(c.indptr, c.indices, c.data, self.shape)
+        if self.format_name not in _MATRIX_REGISTRY:
+            return out          # composite formats (e.g. mbes): CSR result
         return convert_matrix(out, self.format_name)
 
 
