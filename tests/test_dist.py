@@ -414,3 +414,30 @@ def test_dist_bes_extended_precision(mesh):
                                "-maxiter 3000")
         assert r.status == lis_tpu.LIS_SUCCESS, f
         assert np.abs(np.asarray(r.x) - xs).max() < bound, f
+
+
+def test_dist_esolve_over_bes(mesh):
+    """dist_esolve runs unchanged over BES-sharded general matrices (the
+    slab leaves shard on axis 0): power iteration matches single-device
+    exactly."""
+    import scipy.sparse as sp
+    from lis_tpu import esolve
+    from lis_tpu.parallel import distribute_matrix
+    from lis_tpu.parallel.dist import DistBESMatrix
+    from lis_tpu.parallel.dist_esolve import dist_esolve
+    from lis_tpu.matrix.csr import CSRMatrix
+    rng = np.random.default_rng(3)
+    n, K, bw = 1024, 10, 40
+    rows = np.repeat(np.arange(n), K)
+    cols = np.clip(rows + rng.integers(-bw, bw + 1, size=n * K), 0, n - 1)
+    m = sp.coo_matrix((rng.standard_normal(n * K), (rows, cols)),
+                      shape=(n, n)).tocsr()
+    m = (m + m.T + sp.diags(np.abs(m).sum(axis=1).A1 * 2 + 1)).tocsr()
+    m.sort_indices()
+    A = CSRMatrix.from_csr_arrays(m.indptr, m.indices, m.data, m.shape)
+    Ad = distribute_matrix(A, mesh)
+    assert isinstance(Ad, DistBESMatrix)
+    s = esolve(A, options="-e pi -etol 1e-7 -emaxiter 500")
+    d = dist_esolve(Ad, mesh, options="-e pi -etol 1e-7 -emaxiter 500")
+    assert abs(d.evalue - s.evalue) < 1e-6
+    assert d.iters == s.iters
