@@ -304,6 +304,40 @@ def dist_solve(A: DistCSRMatrix, b, mesh: Mesh, options=None, M=None,
         x0, mesh, A.gn_pad)
     A_orig, b_orig = A, b      # uncast originals for the true residual
 
+    # ---- scaling (lis_solve_kernel :613-721, distributed) ------------------
+    # host-roundtrip scaling: correct for every sharded type (setup-only
+    # cost); mirrors the single-chip driver incl. the CG+jacobi upgrade
+    # and the forced Jacobi scaling for -p is
+    scale = opts.scale
+    if scale == 1 and opts.solver == "cg" and opts.precon == "jacobi":
+        scale = 2
+    if opts.precon == "is" and scale == 0:
+        scale = 1
+    dscale = None
+    if scale:
+        g = undistribute_csr(A)
+        d = np.zeros(A.gn_pad, dtype=np.float64)
+        d[: A.gn] = np.asarray(g.get_diagonal())
+        if scale == 1:
+            with np.errstate(divide="ignore"):
+                dinv = np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 1.0)
+            gs = g.scale_rows(jnp.asarray(dinv[: A.gn]))
+            fac = dinv
+        else:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ds = np.where(d != 0,
+                              1.0 / np.sqrt(np.abs(np.where(d != 0, d, 1))),
+                              1.0)
+            gs = g.scale_symm(jnp.asarray(ds[: A.gn]))
+            fac = ds
+            dscale = jnp.asarray(
+                np.pad(ds[: A.gn], (0, A.gn_pad - A.gn)))
+        A = distribute_matrix(gs, mesh) if not isinstance(A, DistCSRMatrix) \
+            else distribute_csr(gs, mesh, halo=A.halo)
+        b = b * distribute_vector(fac, mesh, A.gn_pad).astype(b.dtype)
+        if dscale is not None and x0 is not None:
+            x0 = x0 / dscale.astype(x0.dtype)
+
     if M is None:
         if opts.precon == "none":
             M = NonePrecon()
@@ -417,6 +451,8 @@ def dist_solve(A: DistCSRMatrix, b, mesh: Mesh, options=None, M=None,
         out = _dist_execute(A_dd, b_dd, x0, M, aux, aux_spec, mesh,
                             spec._replace(solver=qname))
         x = out.x.block_until_ready()
+        if dscale is not None:
+            x = x * dscale.astype(x.dtype)
         elapsed = C.wtime() - t0
         iters = int(out.iters) + extra_iters
         import numpy as _np
@@ -435,6 +471,8 @@ def dist_solve(A: DistCSRMatrix, b, mesh: Mesh, options=None, M=None,
     t0 = C.wtime()
     out = _dist_execute(A, b, x0, M, aux, aux_spec, mesh, spec)
     x = out.x.block_until_ready()
+    if dscale is not None:
+        x = x * dscale.astype(x.dtype)
     elapsed = C.wtime() - t0
 
     iters = int(out.iters)

@@ -441,3 +441,28 @@ def test_dist_esolve_over_bes(mesh):
     d = dist_esolve(Ad, mesh, options="-e pi -etol 1e-7 -emaxiter 500")
     assert abs(d.evalue - s.evalue) < 1e-6
     assert d.iters == s.iters
+
+
+@pytest.mark.parametrize("opt", ["-i bicgstab -scale 1", "-i cg -scale 2",
+                                 "-i cg -p jacobi -scale 1",
+                                 "-i bicgstab -p is"])
+def test_dist_scaling_modes(mesh, opt):
+    """-scale 1/2 under dist_solve (lis_solve_kernel :613-721 under MPI):
+    same iteration counts as single-chip, true residual on the UNSCALED
+    system, x unscaled on return; includes the CG+jacobi symm upgrade
+    and the forced Jacobi scaling for -p is."""
+    from lis_tpu.parallel.dist import distribute_matrix
+    a = poisson2d(20, 20)
+    n = 400
+    xs = np.linspace(1, 2, n)
+    b = np.asarray(a.to_dense()) @ xs
+    s = solve(a, b, options=f"{opt} -tol 1e-10")
+    Ad = distribute_matrix(a, mesh)
+    d = dist_solve(Ad, b, mesh, options=f"{opt} -tol 1e-10")
+    assert d.status == lis_tpu.LIS_SUCCESS
+    # -p is applies block-Jacobi truncated-U distributed (the reference's
+    # MPI semantics) so its counts drift a little; pure scaling rows match
+    band = 8 if "-p is" in opt else 2
+    assert abs(d.iters - s.iters) <= band, (opt, d.iters, s.iters)
+    assert np.abs(np.asarray(d.x) - xs).max() < 1e-7
+    assert np.isfinite(d.true_resid) and d.true_resid < 1e-8
