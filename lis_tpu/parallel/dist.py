@@ -304,6 +304,19 @@ def dist_solve(A: DistCSRMatrix, b, mesh: Mesh, options=None, M=None,
         x0, mesh, A.gn_pad)
     A_orig, b_orig = A, b      # uncast originals for the true residual
 
+    if getattr(opts, "reorder", "none") != "none":
+        import warnings
+        warnings.warn(
+            "-reorder is a pre-distribution transform: apply "
+            "matrix.reorder.rcm_permutation/permute_symmetric BEFORE "
+            "distribute_matrix (ignored here)", RuntimeWarning,
+            stacklevel=2)
+    if opts.storage:
+        import warnings
+        warnings.warn(
+            "-storage is ignored under dist_solve: the sharded layout is "
+            "chosen by distribute_matrix", RuntimeWarning, stacklevel=2)
+
     # ---- scaling (lis_solve_kernel :613-721, distributed) ------------------
     # host-roundtrip scaling: correct for every sharded type (setup-only
     # cost); mirrors the single-chip driver incl. the CG+jacobi upgrade
