@@ -1,6 +1,6 @@
 """lis_tpu — a TPU-native sparse iterative-solver framework.
 
-A from-scratch JAX/XLA/Pallas framework with the capabilities of the Lis
+A from-scratch JAX/XLA framework with the capabilities of the Lis
 library (reference: anishida/lis, "Library of Iterative Solvers"): sparse
 storage formats with conversions, SpMV / transpose-SpMV kernels, Krylov and
 stationary linear solvers, preconditioners, eigensolvers, double-double

@@ -2,7 +2,7 @@
 //
 // The reference implements its entire host layer in C (assembly,
 // conversion, factorisation: src/matrix/*, src/precon/lis_precon_iluk.c
-// etc.).  Here the device compute path is JAX/XLA/Pallas; this library is
+// etc.).  Here the device compute path is JAX/XLA; this library is
 // the native half of the runtime: the irregular, sequential host
 // algorithms that feed the device — ILU factorisations, triangular-solve
 // level scheduling, and Matrix Market parsing — exposed through a plain C

@@ -5,7 +5,7 @@ For banded/stencil matrices (all of the reference's spmvtest problems) the
 matrix is a handful of dense diagonals; SpMV needs NO gather at all: each
 diagonal contributes ``value[k] * shift(x, off_k)``, a pure VPU multiply-add
 over contiguous memory.  The diagonal offsets are static aux data, so the
-shifts are compile-time slices — this is the flagship Pallas-kernel format
+shifts are compile-time slices — this is the flagship stream format
 (XLA-fused; measured at the HBM roofline, see BENCH.md).
 
 Out-of-range positions hold zeros in ``value`` so no runtime masks needed.

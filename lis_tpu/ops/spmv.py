@@ -3,7 +3,7 @@
 The reference dispatches on A->matrix_type (src/matvec/lis_matvec.c:55-345);
 here dispatch is a method call on the format object.  These wrappers exist
 so solver code reads like the reference's three-call interface
-(lis_matvec / lis_matvech) and so the Pallas fast paths can be swapped in
+(lis_matvec / lis_matvech) and so format fast paths can be swapped in
 centrally.  There is deliberately NO hand-written Pallas SpMV kernel:
 the jnp DIA path already measures at 105% of the v5e HBM spec and the
 BES slab path at 91% (BENCH.md) — XLA's fusion is at the roofline, and
