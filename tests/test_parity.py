@@ -164,3 +164,18 @@ def test_generalized_eigensolver_parity(testmat):
         assert r.status == lis_tpu.LIS_SUCCESS, e
         assert abs(r.evalue - ev) < 1e-5, (e, r.evalue)
         assert abs(r.iters - it) <= 5, (e, r.iters, it)
+
+
+def test_hpcg_kernel_parity():
+    """hpcg_kernel flow (test3b 32 32 32: CG + SSOR + additive Schwarz on
+    the 27-pt operator) against the built reference: 31 iterations —
+    iteration-EXACT with the exact triangular apply, +1 with the TPU
+    relaxed-sweep apply."""
+    import jax.numpy as jnp
+    from lis_tpu.utils.testmat import poisson3d27
+    A = poisson3d27(32, 32, 32)
+    b = A.matvec(jnp.ones(A.nrows))
+    r = solve(A, b, options="-i cg -p ssor -adds true -tol 1e-12 "
+                            "-auto_storage false")
+    assert r.status == lis_tpu.LIS_SUCCESS
+    assert abs(r.iters - 31) <= 1, r.iters
