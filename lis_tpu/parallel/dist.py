@@ -154,14 +154,17 @@ jax.tree_util.register_pytree_node(
     lambda aux, c: DistCSRMatrix(*c, *aux))
 
 
-def distribute_csr(A, mesh: Mesh, halo: str = "auto") -> DistCSRMatrix:
+def distribute_csr(A, mesh: Mesh, halo: str = "auto",
+                   nlocal: int | None = None) -> DistCSRMatrix:
     """Partition a CSR matrix into the sharded layout (the assemble step:
     g2l renumbering + comm plan, all host-side like the reference's
-    lis_matrix_assemble)."""
+    lis_matrix_assemble).  ``nlocal`` overrides the rows-per-shard (used
+    to match another sharded object's geometry, e.g. a BES remainder)."""
     ptr, index, value = A.to_csr_arrays()
     gn = A.nrows
     p = mesh.shape[AXIS]
-    nlocal = -(-gn // p)
+    if nlocal is None:
+        nlocal = -(-gn // p)
     gn_pad = p * nlocal
 
     rows = np.repeat(np.arange(gn, dtype=np.int64), np.diff(ptr))
@@ -222,6 +225,18 @@ def undistribute_csr(A):
         m.sort_indices()
         return CSRMatrix.from_csr_arrays(m.indptr, m.indices, m.data,
                                          (A.gn, A.gn))
+    if isinstance(A, DistMultiBESMatrix):
+        from lis_tpu.matrix.csr import CSRMatrix as _CSR
+        acc = None
+        for part in list(A.parts) + ([A.rem] if A.rem is not None else []):
+            g = undistribute_csr(part)
+            gp, gi, gv = g.to_csr_arrays()
+            mm = sp.csr_matrix((np.asarray(gv), np.asarray(gi),
+                                np.asarray(gp)), shape=(A.gn, A.gn))
+            acc = mm if acc is None else (acc + mm).tocsr()
+        acc.sort_indices()
+        return _CSR.from_csr_arrays(acc.indptr, acc.indices, acc.data,
+                                    (A.gn, A.gn))
     if isinstance(A, DistBESMatrix):
         from lis_tpu.matrix.bes import BESMatrix
         from lis_tpu.matrix.csr import CSRMatrix as _CSR
@@ -726,15 +741,25 @@ def distribute_matrix(A, mesh: Mesh, halo: str = "auto"):
                 dia=distribute_dia(H.dia, mesh),
                 rem=distribute_csr(H.rem, mesh, halo="gather"))
     # general sparsity: dense sliding slabs on the mesh (ring window
-    # halos) when the profile fits — same guards as auto_storage
-    from lis_tpu.matrix.bes import BESMatrix
+    # halos) when the profile fits — same guards as auto_storage; the
+    # multi-window builder covers few-affine-band structures, each band
+    # sharded as its own DistBES part
+    from lis_tpu.matrix.bes import multi_bes_from_csr, BESMatrix
     try:
-        bes = BESMatrix.from_csr_arrays(*A.to_csr_arrays(), A.shape,
-                                        max_bytes=4 << 30)
+        bes = multi_bes_from_csr(*A.to_csr_arrays(), A.shape,
+                                 max_bytes=4 << 30)
         rem_frac = (bes.rem.nnz / max(bes.nnz, 1)
                     if bes.rem is not None else 0.0)
         if bes.fill_blowup <= 256 and rem_frac <= 0.1:
-            return distribute_bes(bes, mesh)
+            if isinstance(bes, BESMatrix):
+                return distribute_bes(bes, mesh)
+            parts = [distribute_bes(p, mesh) for p in bes.parts]
+            rem = (None if bes.rem is None
+                   else distribute_csr(bes.rem, mesh, halo="gather",
+                                       nlocal=parts[0].nlocal))
+            return DistMultiBESMatrix(tuple(parts), rem, bes.nrows,
+                                      parts[0].gn_pad, parts[0].nlocal,
+                                      parts[0].nprocs)
     except Exception:
         pass
     return distribute_csr(A, mesh, halo=halo)
@@ -885,11 +910,17 @@ jax.tree_util.register_pytree_node(
 
 @dataclasses.dataclass(frozen=True)
 class DistBESMatrix(SparseMatrix):
-    """Block-row sharded BES (dense sliding slabs — matrix/bes.py): each
-    shard owns tlocal row-blocks of the (T, W, R) slab; the windows
-    overhang the shard boundary by at most (W - R), exchanged as ring
-    slabs exactly like DistDIAMatrix's halos.  The remainder (out-of-
-    window entries) rides a gather-mode DistCSRMatrix."""
+    """Block-row sharded BES (dense sliding slabs — matrix/bes.py).
+
+    Shard k's tiles need the x window [k*nlocal + c0, k*nlocal + c0 +
+    nlocal + W - R): a contiguous run of length L = nlocal + W - R at
+    offset c0 from the shard's own start.  Decomposing c0 = shift*nlocal
+    + c0r (c0r in [0, nlocal)), the run lives inside shards k+shift and
+    k+shift+1, fetched with TWO shifted ring ppermutes — so windows may
+    sit at ARBITRARY offsets (far off-diagonal bands of a multi-window
+    build), not just the +-1-neighbor band.  Requires W - R <= nlocal.
+    The remainder (out-of-window entries) rides a gather-mode
+    DistCSRMatrix."""
     slab: jax.Array           # (p·tlocal, W, R) sharded on axis 0
     rem: object               # DistCSRMatrix or None
     nlocal: int               # rows per shard = tlocal·R
@@ -900,32 +931,31 @@ class DistBESMatrix(SparseMatrix):
     W: int
     c0: int
 
-    @property
-    def _hl(self):
-        return max(-self.c0, 0)
+    def _fetch(self, x_local, shift):
+        """x of shard (k + shift) for every k (identity when shift==0)."""
+        p = self.nprocs
+        s = shift % p
+        if s == 0:
+            return x_local
+        perm = [(i, (i - s) % p) for i in range(p)]
+        return jax.lax.ppermute(x_local, AXIS, perm)
 
-    @property
-    def _hr(self):
-        return max(self.c0 + self.W - self.R, 0)
-
-    def _extended_x(self, x_local):
-        p, hl, hr = self.nprocs, self._hl, self._hr
-        parts = [x_local]
-        if hl:
-            perm_up = [(i, (i + 1) % p) for i in range(p)]
-            parts.insert(0, jax.lax.ppermute(x_local[-hl:], AXIS, perm_up))
-        if hr:
-            perm_dn = [(i, (i - 1) % p) for i in range(p)]
-            parts.append(jax.lax.ppermute(x_local[:hr], AXIS, perm_dn))
-        return jnp.concatenate(parts) if len(parts) > 1 else x_local
+    def _window_run(self, x_local):
+        """(L,) run [k*nlocal + c0, ... + L) for the local shard.  Three
+        consecutive source shards always cover it: c0r < nlocal and
+        L <= 2*nlocal by the W - R <= nlocal guard."""
+        L = self.nlocal + self.W - self.R
+        shift, c0r = divmod(self.c0, self.nlocal)
+        xe = jnp.concatenate([self._fetch(x_local, shift + j)
+                              for j in range(3)])
+        return jax.lax.dynamic_slice(xe, (c0r,), (L,))
 
     def matvec(self, x_local):
         R, W = self.R, self.W
         tl = self.nlocal // R
-        xe = self._extended_x(x_local)
-        base = self._hl + self.c0              # >= 0
+        run = self._window_run(x_local)           # (nlocal + W - R,)
         xw = jnp.concatenate(
-            [jax.lax.dynamic_slice(xe, (base + c * R,), (tl * R,))
+            [jax.lax.dynamic_slice(run, (c * R,), (tl * R,))
              .reshape(tl, R) for c in range(W // R)], axis=1)
         y = jnp.sum(self.slab * xw[:, :, None], axis=1).reshape(-1)
         if self.rem is not None:
@@ -936,26 +966,29 @@ class DistBESMatrix(SparseMatrix):
         s = jnp.conj(self.slab) if jnp.iscomplexobj(self.slab) else self.slab
         R, W = self.R, self.W
         tl = self.nlocal // R
-        p, hl, hr = self.nprocs, self._hl, self._hr
+        p = self.nprocs
         xr = x_local.reshape(tl, R)
         win = jnp.sum(s * xr[:, None, :], axis=2)          # (tl, W)
-        base = hl + self.c0
-        ye = jnp.zeros(hl + self.nlocal + hr, dtype=win.dtype)
+        # overlap-add into the local window run, then return the two
+        # segments to their owner shards (the lis_reduce analogue)
+        L = self.nlocal + W - R
+        shift, c0r = divmod(self.c0, self.nlocal)
+        ye = jnp.zeros(3 * self.nlocal, dtype=win.dtype)
+        run = jnp.zeros(L, dtype=win.dtype)
         for c in range(W // R):
             seg = win[:, c * R:(c + 1) * R].reshape(-1)
-            cur = jax.lax.dynamic_slice(ye, (base + c * R,), (tl * R,))
-            ye = jax.lax.dynamic_update_slice(ye, cur + seg,
-                                              (base + c * R,))
-        y = ye[hl: hl + self.nlocal]
-        # return boundary partial sums to their owners (lis_reduce analogue)
-        if hl:
-            perm_dn = [(i, (i - 1) % p) for i in range(p)]
-            from_right = jax.lax.ppermute(ye[:hl], AXIS, perm_dn)
-            y = y.at[-hl:].add(from_right)
-        if hr:
-            perm_up = [(i, (i + 1) % p) for i in range(p)]
-            from_left = jax.lax.ppermute(ye[-hr:], AXIS, perm_up)
-            y = y.at[:hr].add(from_left)
+            cur = jax.lax.dynamic_slice(run, (c * R,), (tl * R,))
+            run = jax.lax.dynamic_update_slice(run, cur + seg, (c * R,))
+        ye = jax.lax.dynamic_update_slice(ye, run, (c0r,))
+        # partials for shards k+shift+j, j=0,1,2: send each back
+        y = None
+        for j in range(3):
+            yj = ye[j * self.nlocal:(j + 1) * self.nlocal]
+            sj = (shift + j) % p
+            if sj:
+                yj = jax.lax.ppermute(
+                    yj, AXIS, [(i, (i + sj) % p) for i in range(p)])
+            y = yj if y is None else y + yj
         if self.rem is not None:
             y = y + self.rem.matvech(x_local)
         return y
@@ -999,19 +1032,14 @@ def distribute_bes(A, mesh: Mesh):
     tlocal = -(-T // p)
     nlocal = tlocal * R
     gn_pad = p * nlocal
-    hl = max(-B.c0, 0)
-    hr = max(B.c0 + W - R, 0)
-    if hl > nlocal or hr > nlocal:
-        raise ValueError(f"bes window overhang ({hl},{hr}) exceeds shard "
-                         f"rows {nlocal}; use distribute_csr")
+    if W - R > nlocal:
+        raise ValueError(f"bes window width {W} exceeds shard rows "
+                         f"{nlocal}+R; use distribute_csr")
     slab = np.zeros((p * tlocal, W, R), dtype=host(B.slab).dtype)
     slab[:T] = host(B.slab)
     rem = None
     if B.rem is not None:
-        rem = distribute_csr(B.rem, mesh, halo="gather")
-        # keep the shard geometry identical
-        if rem.nlocal != nlocal:
-            raise ValueError("bes remainder shard geometry mismatch")
+        rem = distribute_csr(B.rem, mesh, halo="gather", nlocal=nlocal)
     shslab = NamedSharding(mesh, P(AXIS, None, None))
     return DistBESMatrix(
         slab=jax.device_put(jnp.asarray(slab), shslab), rem=rem,
@@ -1061,3 +1089,54 @@ jax.tree_util.register_pytree_node(
     DistBESDDOperator,
     lambda m: ((m.bes,), (m.gn, m.gn_pad, m.nlocal, m.nprocs)),
     lambda aux, c: DistBESDDOperator(c[0], *aux))
+
+
+@dataclasses.dataclass(frozen=True)
+class DistMultiBESMatrix(SparseMatrix):
+    """Sharded multi-window BES: one DistBESMatrix per affine band plus a
+    gather-mode CSR remainder — the distributed form of MultiBESMatrix."""
+    parts: tuple
+    rem: object
+    gn: int
+    gn_pad: int
+    nlocal: int
+    nprocs: int
+
+    def matvec(self, x_local):
+        y = self.parts[0].matvec(x_local)
+        for p in self.parts[1:]:
+            y = y + p.matvec(x_local)
+        if self.rem is not None:
+            y = y + self.rem.matvec(x_local)
+        return y
+
+    def matvech(self, x_local):
+        y = self.parts[0].matvech(x_local)
+        for p in self.parts[1:]:
+            y = y + p.matvech(x_local)
+        if self.rem is not None:
+            y = y + self.rem.matvech(x_local)
+        return y
+
+    def get_diagonal(self):
+        d = self.parts[0].get_diagonal()
+        for p in self.parts[1:]:
+            d = d + p.get_diagonal()
+        if self.rem is not None:
+            d = d + self.rem.get_diagonal()
+        return d
+
+    @property
+    def nrows(self):
+        return self.gn
+
+    @property
+    def ncols(self):
+        return self.gn
+
+
+jax.tree_util.register_pytree_node(
+    DistMultiBESMatrix,
+    lambda m: ((m.parts, m.rem),
+               (m.gn, m.gn_pad, m.nlocal, m.nprocs)),
+    lambda aux, c: DistMultiBESMatrix(c[0], c[1], *aux))
