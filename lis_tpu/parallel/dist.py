@@ -446,16 +446,17 @@ def dist_solve(A: DistCSRMatrix, b, mesh: Mesh, options=None, M=None,
     elif opts.precision in ("df", "switch_df", "quad", "switch"):
         from lis_tpu.core.ddreal import DD
         from lis_tpu.solvers.base import SOLVER_FNS as _FNS
-        if not isinstance(A, (DistDIAMatrix, DistBESMatrix)):
+        if not isinstance(A, (DistDIAMatrix, DistBESMatrix,
+                              DistMultiBESMatrix)):
             raise NotImplementedError(
-                "distributed DD precision needs a DIA- or BES-sharded "
-                "matrix (distribute_matrix picks one for structured "
-                "operators)")
+                "distributed DD precision needs a DIA-, BES- or "
+                "multi-BES-sharded matrix (distribute_matrix picks one "
+                "for structured operators)")
         qname = opts.solver + "_quad"
         if qname not in _FNS:
             raise NotImplementedError(f"no quad variant of {opts.solver!r}")
         limb = jnp.float32 if opts.precision in ("df", "switch_df") else None
-        if isinstance(A, DistBESMatrix):
+        if isinstance(A, (DistBESMatrix, DistMultiBESMatrix)):
             A_dd = DistBESDDOperator.from_matrix(A)
         else:
             A_dd = make_dist_dd_operator(A, mesh, limb=limb)
@@ -1075,12 +1076,12 @@ class DistBESDDOperator:
         return DD(h, (y - h.astype(jnp.float64)).astype(x.hi.dtype))
 
     @classmethod
-    def from_matrix(cls, A: "DistBESMatrix") -> "DistBESDDOperator":
-        b64 = dataclasses.replace(
-            A, slab=A.slab.astype(jnp.float64),
-            rem=None if A.rem is None else jax.tree.map(
-                lambda a: a.astype(jnp.float64)
-                if jnp.issubdtype(a.dtype, jnp.floating) else a, A.rem))
+    def from_matrix(cls, A) -> "DistBESDDOperator":
+        b64 = jax.tree.map(
+            lambda a: a.astype(jnp.float64)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype,
+                                                      jnp.floating)
+            else a, A)
         return cls(bes=b64, gn=A.gn, gn_pad=A.gn_pad, nlocal=A.nlocal,
                    nprocs=A.nprocs)
 

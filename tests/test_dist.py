@@ -508,3 +508,32 @@ def test_dist_multibes_two_bands(mesh):
         r = dist_solve(Ad, m @ xs, mesh, options=f"{opt} -tol 1e-10")
         assert r.status == lis_tpu.LIS_SUCCESS, opt
         assert np.abs(np.asarray(r.x) - xs).max() < 1e-7
+
+
+def test_dist_multibes_extended_precision(mesh):
+    """switch_df over a multi-band-sharded matrix: the whole sharded
+    pytree lifts to emulated f64 and the formats' own matvecs run inside
+    the DD solver (beyond-double true residuals on 8 devices)."""
+    import scipy.sparse as sp
+    from lis_tpu.parallel.dist import distribute_matrix, DistMultiBESMatrix
+    from lis_tpu.matrix.csr import CSRMatrix
+    rng = np.random.default_rng(7)
+    n = 8000
+    rows = np.repeat(np.arange(n), 8)
+    off = np.where(rng.random(n * 8) < 0.5,
+                   rng.integers(-40, 41, size=n * 8),
+                   5000 + rng.integers(-40, 41, size=n * 8))
+    cols = np.clip(rows + off, 0, n - 1)
+    m = sp.coo_matrix((rng.standard_normal(n * 8), (rows, cols)),
+                      shape=(n, n)).tocsr()
+    m = (m + sp.diags(np.abs(m).sum(axis=1).A1 + 1)).tocsr()
+    m.sort_indices()
+    A = CSRMatrix.from_csr_arrays(m.indptr, m.indices, m.data, m.shape)
+    Ad = distribute_matrix(A, mesh)
+    assert isinstance(Ad, DistMultiBESMatrix)
+    xs = np.linspace(1, 2, n)
+    r = dist_solve(Ad, m @ xs, mesh,
+                   options="-i bicgstab -p jacobi -tol 1e-12 -f switch_df "
+                           "-maxiter 4000")
+    assert r.status == lis_tpu.LIS_SUCCESS
+    assert np.abs(np.asarray(r.x) - xs).max() < 1e-10
