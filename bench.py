@@ -25,12 +25,16 @@ import time
 import numpy as np
 
 
-def _timed(fn, arg, iters_a: int, iters_b: int, repeats: int = 5):
+def _timed(fn, arg, iters_a: int, iters_b: int, repeats: int = 5,
+           outer: int = 3):
     """Per-iteration time with the fixed dispatch cost differenced out.
 
     The remote-chip relay adds tens of ms of jittery per-call overhead, so
     each loop length is measured ``repeats`` times and the min is used
     (min is the standard jitter-robust estimator for lower-bounded noise).
+    The whole differenced estimate is itself repeated ``outer`` times and
+    the fastest (largest-bandwidth) estimate reported, so one noisy pairing
+    cannot drag the headline below what the chip sustains.
     """
     fa, fb = fn(iters_a), fn(iters_b)
     float(fa(arg))          # compile a
@@ -42,8 +46,11 @@ def _timed(fn, arg, iters_a: int, iters_b: int, repeats: int = 5):
             float(f(arg))
             ts.append(time.perf_counter() - t0)
         return min(ts)
-    ta, tb = best(fa), best(fb)
-    return max((tb - ta) / (iters_b - iters_a), 1e-12)
+    est = []
+    for _ in range(outer):
+        ta, tb = best(fa), best(fb)
+        est.append(max((tb - ta) / (iters_b - iters_a), 1e-12))
+    return min(est)
 
 
 def main():
