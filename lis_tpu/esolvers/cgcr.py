@@ -201,12 +201,14 @@ def _ecr_run(A, M, x, maxiter, tol, axis_name=None):
     return it - 1, x / nrm2(x), lam, resid, rh
 
 
-@_partial(_jax.jit, static_argnums=(5, 6))
-def _egcg_run(A, B, M, x, p, maxiter, tol):
+@_partial(_jax.jit, static_argnums=(5, 6, 7))
+def _egcg_run(A, B, M, x, p, maxiter, tol, axis_name=None):
     """Generalized CG eigeniteration (lis_egcg, lis_esolver_cg.c): pencil
     Rayleigh-Ritz on span{w, x, p} with explicit A/B images; the residual
     is r = Bx - Ax/lam with lam = (Ax·Bx)/(Bx·Bx), as in the reference."""
     dt = jnp.real(x).dtype
+    d = _partial(v.dot, axis_name=axis_name)
+    nrm2 = _partial(v.nrm2, axis_name=axis_name)
     Ax = A.matvec(x)
     Bx = B.matvec(x)
     Ap = x                      # p = A⁻¹x from the setup solve
@@ -228,13 +230,12 @@ def _egcg_run(A, B, M, x, p, maxiter, tol):
 
     def step(s):
         it, x, Ax, Bx, p, Ap, Bp, lam, resid, rh = s
-        d = v.dot
         lam = d(Ax, Bx) / d(Bx, Bx)
         r = Bx - (1.0 / lam) * Ax
-        resid = v.nrm2(r)
+        resid = nrm2(r)
         rh = rh.at[it].set(jnp.real(resid))
         w = M.psolve(r)
-        w = w / v.nrm2(w)
+        w = w / nrm2(w)
         Aw = A.matvec(w)
         Bw = B.matvec(w)
         A3 = jnp.array([[d(w, Aw), d(x, Aw), d(p, Aw)],
@@ -259,9 +260,9 @@ def _egcg_run(A, B, M, x, p, maxiter, tol):
         Bw2 = v3[0] * Bw + v3[2] * Bp
         Bxn = Bw2 + v3[1] * Bx
         Bpn = Bw2
-        nx = v.nrm2(xn)
+        nx = nrm2(xn)
         xn, Axn, Bxn = xn / nx, Axn / nx, Bxn / nx
-        npn = v.nrm2(pn)
+        npn = nrm2(pn)
         pn, Apn, Bpn = pn / npn, Apn / npn, Bpn / npn
         keep = resid < tol
         sel = lambda new, old: jnp.where(keep, old, new)

@@ -46,6 +46,20 @@ def _inner_precision(opts):
 
 def _bsolve(B, rhs, opts):
     """Solve B y = rhs for the generalized reduction."""
+    if not hasattr(B, "to_csr_arrays"):
+        # operator-only B (e.g. the distributed GlobalView adapter):
+        # raw registry solve — the driver's scaling/storage analysis
+        # needs host arrays the adapter can't provide
+        from lis_tpu.solvers.base import SOLVER_FNS, SolverSpec
+        from lis_tpu.precon.base import NonePrecon
+        name = (opts.inner.solver
+                if opts.inner.solver in ("cg", "bicgstab", "cgs", "bicg",
+                                         "minres") else "bicgstab")
+        spec = SolverSpec(solver=name, tol=max(opts.tol * 1e-2, 1e-14),
+                          maxiter=opts.inner.maxiter, conv_cond=0)
+        rhs = jnp.asarray(rhs)
+        return SOLVER_FNS[name](B, rhs, jnp.zeros_like(rhs), NonePrecon(),
+                                spec).x
     from lis_tpu.solvers.driver import solve
     r = solve(B, rhs, options=None,
               solver=opts.inner.solver, precon=opts.inner.precon,
@@ -134,24 +148,26 @@ class _GenOp:
     so the standard-problem compiled eigensolver loops work unchanged on
     the generalized pencil."""
 
-    def __init__(self, A, B, inner_key):
+    def __init__(self, A, B, inner_key, axis_name=None):
         self.A = A
         self.B = B
         self.inner_key = inner_key      # (solver_name, tol, maxiter) static
+        self.axis_name = axis_name      # threads psum into the nested solve
 
     def matvec(self, x):
         from lis_tpu.solvers.base import SOLVER_FNS, SolverSpec
         from lis_tpu.precon.base import NonePrecon
         name, tol, mi = self.inner_key
-        spec = SolverSpec(solver=name, tol=tol, maxiter=mi, conv_cond=0)
+        spec = SolverSpec(solver=name, tol=tol, maxiter=mi, conv_cond=0,
+                          axis_name=self.axis_name)
         return SOLVER_FNS[name](self.B, self.A.matvec(x),
                                 jnp.zeros_like(x), NonePrecon(), spec).x
 
 
 _jax.tree_util.register_pytree_node(
     _GenOp,
-    lambda m: ((m.A, m.B), (m.inner_key,)),
-    lambda aux, c: _GenOp(c[0], c[1], aux[0]))
+    lambda m: ((m.A, m.B), (m.inner_key, m.axis_name)),
+    lambda aux, c: _GenOp(c[0], c[1], *aux))
 
 
 def _gen_inner_key(opts):
@@ -228,6 +244,39 @@ def _egpi_jit(A, B, x0, opts):
                    np.asarray(rh)[1:iters + 1])
 
 
+def _egii_jit(A, B, x0, opts):
+    name = (opts.inner.solver
+            if opts.inner.solver in ("cg", "bicgstab", "cgs", "bicg",
+                                     "minres") else "bicgstab")
+    run = _egii_runner(name, opts.inner.tol, opts.inner.maxiter)
+    iters, x, ev, resid, rh = run(A, B, jnp.asarray(x0),
+                                  jnp.asarray(float(opts.rval)),
+                                  opts.maxiter, opts.tol)
+    iters = int(iters)
+    status = C.LIS_SUCCESS if float(resid) <= opts.tol else C.LIS_MAXITER
+    return _result(float(ev), x, iters, float(resid), status,
+                   np.asarray(rh)[1:iters + 1])
+
+
+def _egrqi_jit(A, B, x0, opts):
+    name = (opts.inner.solver
+            if opts.inner.solver in ("cg", "bicgstab", "cgs", "bicg",
+                                     "minres") else "bicgstab")
+    run = _egrqi_runner(name, opts.inner.tol, opts.inner.maxiter)
+    iters, x, ev, resid, rh, dead = run(A, B, jnp.asarray(x0),
+                                        opts.maxiter, opts.tol)
+    iters = int(iters)
+    resid = float(resid)
+    if resid <= opts.tol:
+        status = C.LIS_SUCCESS
+    elif bool(dead):
+        status = C.LIS_BREAKDOWN
+    else:
+        status = C.LIS_MAXITER
+    return _result(float(ev), x, iters, resid, status,
+                   np.asarray(rh)[1:iters + 1])
+
+
 def _shift_solve(A, B, sigma, rhs, opts):
     """Solve (A - σB) y = rhs (inner Krylov solve of II/RQI,
     reference lis_esolver_ii.c:216 via lis_solve_kernel)."""
@@ -247,6 +296,21 @@ def _shift_solve(A, B, sigma, rhs, opts):
         out = SOLVER_FNS[name](As, rhs, jnp.zeros_like(rhs), NonePrecon(),
                                spec)
         return out.x
+    if B is not None and not (hasattr(A, "to_csr_arrays")
+                              and hasattr(B, "to_csr_arrays")):
+        # operator-only pencil (distributed GlobalView adapters): shifted
+        # pencil operator + raw registry solve
+        from lis_tpu.solvers.base import SOLVER_FNS, SolverSpec
+        from lis_tpu.precon.base import NonePrecon
+        As = _ShiftedPencil(A, B, jnp.asarray(float(sigma)))
+        name = (opts.inner.solver
+                if opts.inner.solver in ("cg", "bicgstab", "cgs", "bicg",
+                                         "minres") else "bicgstab")
+        spec = SolverSpec(solver=name, tol=opts.inner.tol,
+                          maxiter=opts.inner.maxiter, conv_cond=0)
+        rhs = jnp.asarray(rhs)
+        return SOLVER_FNS[name](As, rhs, jnp.zeros_like(rhs), NonePrecon(),
+                                spec).x
     if B is None:
         As = A.shift_diagonal(sigma)          # A - σI
     else:
@@ -270,6 +334,8 @@ def eii(A, B, x0, opts):
     sigma = opts.rval
     if B is None and _jit_inner_ok(opts):
         return _eii_jit(A, x0, opts)
+    if B is not None and _jit_inner_ok(opts):
+        return _egii_jit(A, B, x0, opts)
     x = x0 / v.nrm2(x0)
     evalue, resid = 0.0, np.inf
     rh = []
@@ -375,6 +441,141 @@ _jax.tree_util.register_pytree_node(
     lambda aux, c: _Shifted(*c))
 
 
+class _ShiftedPencil:
+    """(A - sigma B) as an operator pytree with sigma a traced leaf —
+    the generalized shift-solve operator of II/RQI on a pencil
+    (reference lis_esolver_ii.c generalized branch).  Works on any
+    matvec-capable pair, including block-row sharded matrices inside
+    shard_map."""
+
+    def __init__(self, A, B, sigma):
+        self.A = A
+        self.B = B
+        self.sigma = sigma
+
+    def matvec(self, x):
+        return self.A.matvec(x) - self.sigma * self.B.matvec(x)
+
+    def matvech(self, x):
+        s = jnp.conj(self.sigma) if jnp.iscomplexobj(self.sigma) \
+            else self.sigma
+        return self.A.matvech(x) - s * self.B.matvech(x)
+
+
+_jax.tree_util.register_pytree_node(
+    _ShiftedPencil,
+    lambda m: ((m.A, m.B, m.sigma), ()),
+    lambda aux, c: _ShiftedPencil(*c))
+
+
+@_lru_cache(maxsize=32)
+def _egii_runner(solver_name, inner_tol, inner_maxiter, axis_name=None):
+    """Generalized inverse iteration on the pencil: one nested Krylov
+    solve of (A - σB) y = Bx per outer step, the whole eigensolve one
+    compiled while_loop.  Shared between single-device and shard_map
+    execution (axis_name threads the psum reductions)."""
+    from lis_tpu.solvers.base import SOLVER_FNS, SolverSpec
+    from lis_tpu.precon.base import NonePrecon
+    inner = SolverSpec(solver=solver_name, tol=inner_tol,
+                       maxiter=inner_maxiter, conv_cond=0,
+                       axis_name=axis_name)
+    solver_fn = SOLVER_FNS[solver_name]
+    M = NonePrecon()
+    dot = _partial(v.dot, axis_name=axis_name)
+    nrm2 = _partial(v.nrm2, axis_name=axis_name)
+
+    @_partial(_jax.jit, static_argnums=(4, 5))
+    def run(A, B, x0, sigma, maxiter, tol):
+        dt = jnp.real(x0).dtype
+        As = _ShiftedPencil(A, B, sigma)
+        x = x0 / nrm2(x0)
+        rh0 = jnp.full(maxiter + 1, jnp.nan, dtype=dt)
+
+        def cond(s):
+            it, x, ev, resid, rh = s
+            return (it <= maxiter) & (resid > tol)
+
+        def step(s):
+            it, x, ev, resid, rh = s
+            rhs = B.matvec(x)
+            y = solver_fn(As, rhs, jnp.zeros_like(rhs), M, inner).x
+            y = jnp.where(jnp.isfinite(y), y, 0.0)
+            theta = dot(x, y)
+            xn = y / nrm2(y)
+            evn = sigma + 1.0 / theta
+            az = A.matvec(xn)
+            bx = B.matvec(xn)
+            den = jnp.where(evn == 0, 1.0, jnp.abs(evn))
+            residn = nrm2(az - evn * bx) / den
+            rh = rh.at[it].set(jnp.real(residn))
+            return (it + 1, xn, evn, residn, rh)
+
+        big = jnp.asarray(jnp.inf, dt)
+        it, x, ev, resid, rh = _jax.lax.while_loop(
+            cond, step, (jnp.asarray(1), x, jnp.zeros((), dt), big, rh0))
+        return it - 1, x, ev, resid, rh
+
+    return run
+
+
+@_lru_cache(maxsize=32)
+def _egrqi_runner(solver_name, inner_tol, inner_maxiter, axis_name=None):
+    """Generalized RQI: the shift follows the pencil Rayleigh quotient
+    x·Ax / x·Bx, with the same guarded-update safeguards as the standard
+    compiled RQI loop."""
+    from lis_tpu.solvers.base import SOLVER_FNS, SolverSpec
+    from lis_tpu.precon.base import NonePrecon
+    inner = SolverSpec(solver=solver_name, tol=inner_tol,
+                       maxiter=inner_maxiter, conv_cond=0,
+                       axis_name=axis_name)
+    solver_fn = SOLVER_FNS[solver_name]
+    M = NonePrecon()
+    dot = _partial(v.dot, axis_name=axis_name)
+    nrm2 = _partial(v.nrm2, axis_name=axis_name)
+
+    @_partial(_jax.jit, static_argnums=(3, 4))
+    def run(A, B, x0, maxiter, tol):
+        dt = jnp.real(x0).dtype
+        x = x0 / nrm2(x0)
+        sigma0 = dot(x, A.matvec(x)) / dot(x, B.matvec(x))
+        rh0 = jnp.full(maxiter + 1, jnp.nan, dtype=dt)
+
+        def cond(s):
+            it, x, sigma, ev, resid, rh, badcnt = s
+            return (it <= maxiter) & (resid > tol) & (badcnt < 3)
+
+        def step(s):
+            it, x, sigma, ev, resid, rh, badcnt = s
+            rhs = B.matvec(x)
+            y = solver_fn(_ShiftedPencil(A, B, sigma), rhs,
+                          jnp.zeros_like(rhs), M, inner).x
+            y = jnp.where(jnp.isfinite(y), y, 0.0)
+            ynrm = nrm2(y)
+            bad = ~jnp.isfinite(ynrm) | (ynrm == 0.0)
+            xn = jnp.where(bad, x, y / jnp.where(ynrm == 0, 1.0, ynrm))
+            bxn = B.matvec(xn)
+            evn = dot(xn, A.matvec(xn)) / dot(xn, bxn)
+            den = jnp.where(evn == 0, 1.0, jnp.abs(evn))
+            residn = nrm2(A.matvec(xn) - evn * bxn) / den
+            move = (residn < 0.5 * resid) | ~jnp.isfinite(resid)
+            sigman = jnp.where(move, evn, sigma)
+            rh = rh.at[it].set(jnp.real(residn))
+            keep = lambda new, old: jnp.where(bad, old, new)
+            sig_retry = sigma * (1.0 + 1e-6) + jnp.asarray(1e-12, dt)
+            return (it + 1, keep(xn, x),
+                    jnp.where(bad, sig_retry, sigman),
+                    keep(evn, ev), keep(residn, resid), rh,
+                    jnp.where(bad, badcnt + 1, 0))
+
+        big = jnp.asarray(jnp.inf, dt)
+        it, x, sigma, ev, resid, rh, badcnt = _jax.lax.while_loop(
+            cond, step, (jnp.asarray(1), x, sigma0, sigma0, big, rh0,
+                         jnp.asarray(0)))
+        return it - 1, x, ev, resid, rh, badcnt >= 3
+
+    return run
+
+
 @_lru_cache(maxsize=32)
 def _erqi_runner(solver_name, inner_tol, inner_maxiter, axis_name=None):
     from lis_tpu.solvers.base import SOLVER_FNS, SolverSpec
@@ -461,6 +662,8 @@ def erqi(A, B, x0, opts):
     Rayleigh quotient, giving cubic local convergence."""
     if B is None and opts.rval == 0.0 and _jit_inner_ok(opts):
         return _erqi_jit(A, x0, opts)
+    if B is not None and opts.rval == 0.0 and _jit_inner_ok(opts):
+        return _egrqi_jit(A, B, x0, opts)
     x = x0 / v.nrm2(x0)
     bx = x if B is None else B.matvec(x)
     sigma = float(v.dot(x, A.matvec(x)) / v.dot(x, bx))

@@ -40,6 +40,13 @@ def _gen_op(A, B, opts):
     """Operator x -> B⁻¹A x for the generalized problem (B=None -> A)."""
     if B is None:
         return A.matvec
+    if not hasattr(B, "to_csr_arrays"):
+        # operator-only B (distributed GlobalView): registry-solve path
+        from lis_tpu.esolvers.power import _bsolve
+
+        def op_gv(x):
+            return _bsolve(B, A.matvec(x), opts)
+        return op_gv
     from lis_tpu.solvers.driver import solve
 
     from lis_tpu.esolvers.power import _inner_precision

@@ -10,9 +10,12 @@ into the inner solver spec, so the inner Krylov solves are the standard
 registry functions operating on sharded local views — the exact pattern
 dist_solve uses for the linear solvers.
 
-Supported: pi, ii, rqi, cg, cr (and gpi/gii/grqi/gcg/gcr names resolve to
-the same standard runs when B is None).  Subspace SI/LI/AI iterate many
-host-side eigenpairs and stay single-device for now.
+Supported: all 8 standard families — pi, ii, rqi, cg, cr compiled inside
+shard_map, and the subspace families si/li/ai on the mesh through the
+_GlobalView adapter (host-orchestrated loops over GSPMD-sharded global
+arrays).  Generalized pencils (B is not None) run distributed through the
+same nested distributed B-solve pattern: gpi/gii/grqi/gcg/gcr in
+shard_map, gsi/gli/gai via _GlobalView.
 """
 
 from __future__ import annotations
@@ -203,19 +206,99 @@ def _dist_ecr(A, x0, sigma, mesh, maxiter, tol, _n1, _n2):
                       (P(), P(AXIS), P(), P(), P()))(As, x0)
 
 
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+def _dist_egii(A, B, x0, sigma, mesh, maxiter, tol, inner_name, inner_key):
+    """Generalized inverse iteration: (A - σB) y = Bx nested inside the
+    compiled loop (lis_esolver_ii.c generalized branch under MPI)."""
+    from lis_tpu.esolvers.power import _egii_runner
+    run = _egii_runner(inner_name, *inner_key, axis_name=AXIS)
+
+    def body(A_loc, B_loc, x_loc, sig_loc):
+        return run(A_loc, B_loc, x_loc, sig_loc, maxiter, tol)
+
+    return _shard_map(
+        body, mesh, (_leaf_specs(A), _leaf_specs(B), P(AXIS), P()),
+        (P(), P(AXIS), P(), P(), P()))(A, B, x0, sigma)
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _dist_egrqi(A, B, x0, mesh, maxiter, tol, inner_name, inner_key):
+    """Generalized RQI on the pencil (moving shift σ = x·Ax / x·Bx)."""
+    from lis_tpu.esolvers.power import _egrqi_runner
+    run = _egrqi_runner(inner_name, *inner_key, axis_name=AXIS)
+
+    def body(A_loc, B_loc, x_loc):
+        return run(A_loc, B_loc, x_loc, maxiter, tol)
+
+    return _shard_map(
+        body, mesh, (_leaf_specs(A), _leaf_specs(B), P(AXIS)),
+        (P(), P(AXIS), P(), P(), P(), P()))(A, B, x0)
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _dist_egcg(A, B, x0, sigma, mesh, maxiter, tol, inner_maxiter):
+    """Generalized CG eigensolver: pencil Rayleigh-Ritz on span{w,x,p}
+    (lis_egcg) with the setup solve p = A⁻¹x run distributed."""
+    from lis_tpu.esolvers.cgcr import _egcg_run
+    from lis_tpu.esolvers.power import _Shifted
+    from lis_tpu.solvers.base import SOLVER_FNS, SolverSpec
+    from lis_tpu.precon.base import NonePrecon
+    inner = SolverSpec(solver="cg", tol=1e-10, maxiter=inner_maxiter,
+                       conv_cond=0, axis_name=AXIS)
+    As = _Shifted(A, sigma)
+
+    def body(As_loc, B_loc, x_loc):
+        from lis_tpu.core import vector as v
+        x = x_loc / v.nrm2(x_loc, axis_name=AXIS)
+        p = SOLVER_FNS["cg"](As_loc, x, jnp.zeros_like(x), NonePrecon(),
+                             inner).x
+        p = jnp.where(jnp.isfinite(p), p, 0.0)
+        return _egcg_run(As_loc, B_loc, NonePrecon(), x, p, maxiter, tol,
+                         axis_name=AXIS)
+
+    return _shard_map(
+        body, mesh, (_leaf_specs(As), _leaf_specs(B), P(AXIS)),
+        (P(), P(AXIS), P(), P(), P()))(As, B, x0)
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+def _dist_egcr(A, B, x0, sigma, mesh, maxiter, tol, inner_name, inner_key):
+    """Generalized CR eigensolver: the standard compiled CR loop on the
+    pencil operator B⁻¹A (nested distributed inner B-solves per matvec,
+    the single-device ecr generalized structure)."""
+    from lis_tpu.esolvers.cgcr import _ecr_run
+    from lis_tpu.esolvers.power import _GenOp, _Shifted
+    from lis_tpu.precon.base import NonePrecon
+    As = _Shifted(A, sigma)
+
+    def body(As_loc, B_loc, x_loc):
+        from lis_tpu.core import vector as v
+        op = _GenOp(As_loc, B_loc, (inner_name,) + inner_key,
+                    axis_name=AXIS)
+        x = x_loc / v.nrm2(x_loc, axis_name=AXIS)
+        return _ecr_run(op, NonePrecon(), x, maxiter, tol, axis_name=AXIS)
+
+    return _shard_map(
+        body, mesh, (_leaf_specs(As), _leaf_specs(B), P(AXIS)),
+        (P(), P(AXIS), P(), P(), P()))(As, B, x0)
+
+
 def _dist_gesolve(A, B, mesh, base, opts, x0):
-    """Generalized pencil Ax = λBx on the mesh.  The compiled path is
-    power iteration on B⁻¹A (nested distributed inner solves); the
-    subspace families (gli/gai/gsi) run through the GlobalView adapter,
-    whose pencil reduction calls the inner solve per matvec."""
+    """Generalized pencil Ax = λBx on the mesh: gpi/gii/grqi as compiled
+    pencil iterations with nested distributed B-solves, gcg/gcr through
+    the compiled Rayleigh-Ritz / pencil-CR loops, and the subspace
+    families (gsi/gli/gai) through the GlobalView adapter, whose pencil
+    reduction calls the inner solve per matvec
+    (src/esolver/lis_esolver.c:285 runs every G* family under MPI)."""
     from lis_tpu import config as C
     from lis_tpu.esolvers.driver import EsolveResult
 
-    if base not in ("pi",):
+    if base in _SUBSPACE:
+        return _dist_subspace(A, mesh, base, opts, x0, B=B)
+    if base not in _SUPPORTED:
         raise NotImplementedError(
-            "distributed generalized eigensolver supports -e gpi (pencil "
-            "power iteration with nested distributed B-solves); other G* "
-            "families run single-device")
+            f"distributed generalized eigensolver g{base} (supported: "
+            f"{', '.join('g' + s for s in _SUPPORTED + _SUBSPACE)})")
     dtype = jnp.result_type(*[
         l.dtype for l in jax.tree.leaves(A) if hasattr(l, "dtype")])
     if x0 is None or opts.initx_ones:
@@ -226,13 +309,36 @@ def _dist_gesolve(A, B, mesh, base, opts, x0):
         A.gn_pad).astype(dtype)
     iname = _inner_name(opts)
     inner_key = (opts.inner.tol, opts.inner.maxiter)
-    it, x, lam, resid, rh = _dist_egpi(A, B, x0d, mesh, opts.maxiter,
-                                       opts.tol, iname, inner_key)
+    shift = 0.0
+    if base == "pi":
+        it, x, lam, resid, rh = _dist_egpi(A, B, x0d, mesh, opts.maxiter,
+                                           opts.tol, iname, inner_key)
+    elif base == "ii":
+        sigma = jnp.asarray(float(opts.rval))
+        it, x, lam, resid, rh = _dist_egii(A, B, x0d, sigma, mesh,
+                                           opts.maxiter, opts.tol,
+                                           iname, inner_key)
+    elif base == "rqi":
+        it, x, lam, resid, rh, _dead = _dist_egrqi(A, B, x0d, mesh,
+                                                   opts.maxiter, opts.tol,
+                                                   iname, inner_key)
+    elif base == "cg":
+        shift = opts.rval
+        it, x, lam, resid, rh = _dist_egcg(A, B, x0d,
+                                           jnp.asarray(opts.rval), mesh,
+                                           opts.maxiter, opts.tol,
+                                           opts.inner.maxiter)
+    else:                                           # cr
+        shift = opts.rval
+        it, x, lam, resid, rh = _dist_egcr(A, B, x0d,
+                                           jnp.asarray(opts.rval), mesh,
+                                           opts.maxiter, opts.tol,
+                                           iname, inner_key)
     x = x.block_until_ready()
     iters = int(it)
     resid = float(resid)
     status = C.LIS_SUCCESS if resid <= opts.tol else C.LIS_MAXITER
-    lam = float(jnp.real(lam))
+    lam = float(jnp.real(lam)) + shift
     xg = x[: A.gn] if A.gn_pad != A.gn else x
     rh = np.asarray(rh)[1:iters + 1]
     return EsolveResult(evalue=lam, evector=xg, iters=iters, resid=resid,
@@ -242,14 +348,17 @@ def _dist_gesolve(A, B, mesh, base, opts, x0):
                         resids_all=np.asarray([resid]), rhistory=rh)
 
 
-def _dist_subspace(A, mesh, base, opts, x0):
-    """SI/LI/AI on the mesh via _GlobalView: the standard host-loop
-    implementations run unchanged on GSPMD-sharded global vectors, with
-    the matvec going through the shard_map kernel."""
+def _dist_subspace(A, mesh, base, opts, x0, B=None):
+    """SI/LI/AI (and generalized gsi/gli/gai with a sharded B) on the
+    mesh via _GlobalView: the standard host-loop implementations run
+    unchanged on GSPMD-sharded global vectors, with the matvec going
+    through the shard_map kernel and the pencil B-solves through the
+    operator-only registry path."""
     import dataclasses as _dc
     from lis_tpu.esolvers.base import ESOLVER_FNS
 
     gv = _GlobalView(A, mesh)
+    gvB = None if B is None else _GlobalView(B, mesh)
     dtype = jnp.result_type(*[
         l.dtype for l in jax.tree.leaves(A) if hasattr(l, "dtype")])
     if x0 is None or opts.initx_ones:
@@ -258,7 +367,7 @@ def _dist_subspace(A, mesh, base, opts, x0):
         np.pad(np.asarray(x0, dtype=np.float64),
                (0, A.gn_pad - len(np.asarray(x0)))), mesh,
         A.gn_pad).astype(dtype)
-    res = ESOLVER_FNS[base](gv, None, x0d, opts)
+    res = ESOLVER_FNS[base](gv, gvB, x0d, opts)
     if A.gn_pad != A.gn:
         res = _dc.replace(
             res, evector=jnp.asarray(np.asarray(res.evector)[: A.gn]),

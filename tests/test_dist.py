@@ -388,6 +388,51 @@ def test_dist_gesolve_pencil(mesh):
     assert abs(d.iters - s.iters) <= 2
 
 
+def test_dist_gesolve_all_compiled_families(mesh):
+    """gii/grqi/gcg/gcr on the mesh (nested distributed B-solves /
+    pencil Rayleigh-Ritz): iteration-identical to single-device
+    (reference runs every G* family under MPI, lis_esolver.c:285)."""
+    from lis_tpu import gesolve
+    from lis_tpu.parallel import distribute_matrix
+    from lis_tpu.parallel.dist_esolve import dist_esolve
+    a = poisson2d(16, 16)
+    bm = tridiag(256, diag=4.0)
+    Ad = distribute_matrix(a, mesh)
+    Bd = distribute_matrix(bm, mesh)
+    for e in ("gii", "grqi", "gcg", "gcr"):
+        s = gesolve(a, bm, options=f"-e {e} -etol 1e-8 -emaxiter 2000")
+        d = dist_esolve(Ad, mesh,
+                        options=f"-e {e} -etol 1e-8 -emaxiter 2000", B=Bd)
+        assert d.status == lis_tpu.LIS_SUCCESS, e
+        assert d.iters == s.iters, (e, d.iters, s.iters)
+        assert abs(d.evalue - s.evalue) < 1e-8, e
+
+
+def test_dist_gesolve_subspace_families(mesh):
+    """Generalized subspace families (gli/gai/gsi) through the
+    GlobalView adapter with operator-only pencil B-solves."""
+    from lis_tpu import gesolve
+    from lis_tpu.parallel import distribute_matrix
+    from lis_tpu.parallel.dist_esolve import dist_esolve
+    a = poisson2d(16, 16)
+    bm = tridiag(256, diag=4.0)
+    Ad = distribute_matrix(a, mesh)
+    Bd = distribute_matrix(bm, mesh)
+    for e in ("gli", "gai"):
+        s = gesolve(a, bm, options=f"-e {e} -etol 1e-8 -emaxiter 300 -ss 2")
+        d = dist_esolve(Ad, mesh, B=Bd,
+                        options=f"-e {e} -etol 1e-8 -emaxiter 300 -ss 2")
+        assert d.status == lis_tpu.LIS_SUCCESS, e
+        assert d.iters == s.iters, e
+        np.testing.assert_allclose(d.evalues, s.evalues, rtol=1e-7)
+    s = gesolve(a, bm, options="-e gsi -etol 1e-8 -emaxiter 300")
+    d = dist_esolve(Ad, mesh, B=Bd,
+                    options="-e gsi -etol 1e-8 -emaxiter 300")
+    assert d.status == lis_tpu.LIS_SUCCESS
+    assert d.iters == s.iters
+    assert abs(d.evalue - s.evalue) < 1e-8
+
+
 def test_dist_bes_extended_precision(mesh):
     """-f df / switch_df over a BES-sharded general matrix: the slab
     product accumulates in emulated f64 and splits back to the limb pair
