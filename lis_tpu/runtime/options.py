@@ -92,6 +92,7 @@ class SolverOptions:
     saamg_unsym: bool = False       # -saamg_unsym
     saamg_theta: float = 0.05       # -saamg_theta
     saamg_smoother: str = "sgs"     # -saamg_smoother {sgs|jacobi}
+    saamg_lattice: bool = True      # -saamg_lattice (streamed box path)
     adds: bool = False              # -adds (additive Schwarz wrapper)
     adds_iter: int = 1              # -adds_iter
     initx_zeros: bool = True        # -initx_zeros
@@ -252,6 +253,7 @@ _SOLVER_ACTIONS = {
     "-saamg_unsym": _set_bool("saamg_unsym"),
     "-saamg_theta": _set_float("saamg_theta"),
     "-saamg_smoother": lambda o, v: setattr(o, "saamg_smoother", v.lower()),
+    "-saamg_lattice": _set_bool("saamg_lattice"),
     "-iluc_drop": _set_float("iluc_drop"),
     "-iluc_gamma": _set_float("iluc_gamma"),
     "-iluc_rate": _set_float("iluc_rate"),

@@ -71,6 +71,51 @@ def poisson3d27(l: int, m: int, n: int) -> CSRMatrix:
     return _to_matrix(a)
 
 
+def poisson3d_jump(l: int, m: int, n: int, jump: float = 1e4,
+                   seed: int = 0, pattern: str = "cube") -> CSRMatrix:
+    """7-point variable-coefficient Poisson with a discontinuous
+    coefficient field (face values by harmonic mean) — the classic
+    ill-conditioned AMG showcase: the condition number scales with the
+    jump ratio, so one-level preconditioners (SSOR/ILU) degrade while
+    multigrid stays (near) mesh- and jump-independent.  ``pattern`` is
+    "cube" (a high-coefficient center cube) or "checker" (3-D 2^3-block
+    checkerboard)."""
+    N = l * m * n
+    i = np.arange(N, dtype=np.int64)
+    x, y, z = i % l, (i // l) % m, i // (l * m)
+    if pattern == "checker":
+        blk = max(2, min(l, m, n) // 8)
+        hi = ((x // blk + y // blk + z // blk) % 2).astype(bool)
+    else:
+        hi = ((l // 4 <= x) & (x < 3 * l // 4)
+              & (m // 4 <= y) & (y < 3 * m // 4)
+              & (n // 4 <= z) & (z < 3 * n // 4))
+    k = np.where(hi, jump, 1.0)
+
+    rows, cols, vals = [], [], []
+    diag = np.zeros(N)
+    for d, lim, coord in ((1, l, x), (l, m, y), (l * m, n, z)):
+        mask = coord < lim - 1          # face between i and i+d
+        a = k[i[mask]]
+        b = k[i[mask] + d]
+        w = 2.0 * a * b / (a + b)       # harmonic mean
+        rows += [i[mask], i[mask] + d]
+        cols += [i[mask] + d, i[mask]]
+        vals += [-w, -w]
+        np.add.at(diag, i[mask], w)
+        np.add.at(diag, i[mask] + d, w)
+        # homogeneous Dirichlet boundary faces (keeps A nonsingular SPD)
+        diag[coord == 0] += k[coord == 0]
+        diag[coord == lim - 1] += k[coord == lim - 1]
+    rows.append(i)
+    cols.append(i)
+    vals.append(diag)
+    a = sp.coo_matrix((np.concatenate(vals),
+                       (np.concatenate(rows), np.concatenate(cols))),
+                      shape=(N, N))
+    return _to_matrix(a)
+
+
 def gamma_matrix(n: int, gamma: float = 2.0) -> CSRMatrix:
     """The test5 quad-precision demo matrix (test/test5.c:96-105):
     A[i,i-2] = γ, A[i,i] = 2, A[i,i+1] = 1 — ill-conditioned for γ ≈ 2,
