@@ -14,6 +14,7 @@ from lis_tpu.matrix.base import SparseMatrix, get_format
 
 from lis_tpu.matrix import hybrid as _hybrid    # noqa: F401 (registers 'hdi')
 from lis_tpu.matrix import bes as _bes          # noqa: F401 (registers 'bes')
+from lis_tpu.matrix import css as _css          # noqa: F401 (registers 'css')
 
 
 def convert_matrix(matrix: SparseMatrix, target: str, **kw) -> SparseMatrix:

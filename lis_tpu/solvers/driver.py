@@ -106,6 +106,21 @@ def auto_storage(A):
             except Exception:
                 pass
         if out is None:
+            # locality-free sparsity (no band RCM could expose): the
+            # chunk-sorted select-stream format removes the x-side gather
+            # entirely (matrix/css.py) — ~10-20x the plain gather path.
+            # Accept when the per-chunk padding stays modest
+            from lis_tpu.matrix.css import CSSMatrix
+            try:
+                css = CSSMatrix.from_csr_arrays(*A.to_csr_arrays(),
+                                                A.shape)
+                rem_frac = (css.rem.nnz / max(css.nnz, 1)
+                            if css.rem is not None else 0.0)
+                if css.fill_blowup <= 4.0 and rem_frac <= 0.05:
+                    out = css
+            except Exception:
+                pass
+        if out is None:
             out = False
     try:
         # cache on the (frozen) format object so repeated solves with the

@@ -14,7 +14,7 @@ from lis_tpu.matrix.base import _MATRIX_REGISTRY
 from tests.problems import poisson2d, random_sparse, tridiag
 
 FORMATS = ["csr", "csc", "msr", "dia", "ell", "jad", "bsr", "bsc", "vbr",
-           "coo", "dns", "bes"]
+           "coo", "dns", "bes", "css"]
 
 
 @pytest.fixture(scope="module")
@@ -139,7 +139,9 @@ def test_hybrid_hdi_format():
     big = big.tocsr(); big.sort_indices()
     Rb = CSRMatrix.from_csr_arrays(big.indptr, big.indices, big.data,
                                    big.shape)
-    assert auto_storage(Rb).format_name == "csr"
+    # locality-free sparsity (no band): the chunk-sorted select-stream
+    # format replaces the gather-CSR last resort (round-3 fast path)
+    assert auto_storage(Rb).format_name == "css"
 
 
 def test_poisson3d27_dia_generator():
