@@ -102,8 +102,23 @@ def main(argv=None):
             base = (mflops, nd)
         # ideal throughput scales linearly with mesh width in both modes
         eff = mflops / (base[0] * nd / base[1])
+        # per-device comm volume per matvec (elements moved over the
+        # mesh): ring slabs for neighbor halos, the export table for
+        # comm-table halos, the whole padded vector for all-gather
+        esz = 8
+        if getattr(Ad, "hw", 0) and hasattr(Ad, "offsets"):
+            comm = 2 * Ad.hw * (len(Ad.offsets) + 1)   # value + x slabs
+        elif getattr(Ad, "hw", 0):
+            comm = 2 * Ad.hw
+        elif hasattr(Ad, "comm_elems"):
+            comm = Ad.comm_elems
+        elif getattr(Ad, "halo", "") == "gather":
+            comm = Ad.gn_pad
+        else:
+            comm = 0
         print(f"  ndev={nd:3d}  n={A0.nrows:9d}  {t*1e6:10.1f} us/matvec  "
-              f"{mflops:10.1f} MFLOPS  efficiency {eff:5.2f}")
+              f"{mflops:10.1f} MFLOPS  efficiency {eff:5.2f}  "
+              f"comm {comm * esz / 1e3:.1f} KB/dev/mv")
     return 0
 
 

@@ -8,12 +8,16 @@ lis_reduce :959) and MPI_Allreduce in every dot/norm.
 TPU-native mapping (SURVEY.md §2.10):
 - rows block-partitioned over mesh axis "p", padded so every shard owns the
   same ``nlocal`` rows (static shapes for XLA);
-- SpMV: gather of remote x segments.  Two plans:
-  * ``halo='gather'``  — all_gather(x) then gather at global column indices
-    (always correct; one ICI all-gather per matvec);
+- SpMV: remote x segments arrive by one of three plans:
   * ``halo='neighbor'``— banded matrices exchange fixed-width boundary
     slabs with the two ring neighbors via ppermute, overlapping interior
     compute — the analogue of the reference's USE_OVERLAP JAD path;
+  * ``halo='table'``   — general sparsity uses a static export/import
+    comm table built at distribute time (lis_commtable_create analogue):
+    per-device traffic proportional to boundary nnz, not gn (the
+    default for non-banded matrices);
+  * ``halo='gather'``  — all_gather(x) then gather at global column
+    indices (explicit opt-in; O(gn) traffic per matvec);
 - transpose SpMV: local scatter contributions then psum_scatter — the
   analogue of lis_reduce;
 - dot/norm: lax.psum via the vector ops' axis_name.
@@ -154,6 +158,206 @@ jax.tree_util.register_pytree_node(
     lambda aux, c: DistCSRMatrix(*c, *aux))
 
 
+@dataclasses.dataclass(frozen=True)
+class DistTableCSRMatrix(SparseMatrix):
+    """Block-row sharded CSR with a COMM-TABLE halo plan — the TPU
+    analogue of the reference's lis_commtable_create / lis_send_recv
+    (src/matrix/lis_matrix_mpi.c:594-828, :834-955): at distribute time
+    the host computes, per shard and per shard-distance d, exactly which
+    owned x entries each neighbor needs (export lists) and where the
+    received ghosts land (import layout = the ghost tail, concatenated
+    per distance).  Every matvec then moves ONLY boundary data — one
+    ppermute of the packed export slab per active distance — instead of
+    all-gathering the whole vector: per-device comm volume is
+    proportional to boundary nnz, not gn.  Column indices are renumbered
+    g2l (ghosts occupy [nlocal, nlocal+G), mirroring lis_matrix_g2l_csr
+    :222); the transpose apply routes ghost partials back through the
+    reversed permutes and adds into the owners (lis_reduce :959)."""
+    value: jax.Array          # (p·mnnz,) zero-padded
+    lidx: jax.Array           # (p·mnnz,) int32 LOCAL col ids (g2l)
+    row_ids: jax.Array        # (p·mnnz,) int32 local row ids (sorted)
+    ghost_gids: jax.Array     # (p·G,) int32 global id per ghost slot
+    exports: tuple            # per distance: (p·Ed,) int32 local x ids
+    nlocal: int               # static
+    gn: int                   # static
+    gn_pad: int               # static
+    nprocs: int               # static
+    dists: tuple = ()         # static: active shard distances
+    exp_lens: tuple = ()      # static: Ed per distance
+    G: int = 0                # static: ghost tail length
+
+    halo = "table"
+
+    # ---- local (inside-shard_map) compute -------------------------------
+    def _exchange(self, x_local):
+        """Ghost tail via per-distance export pack + ppermute (the
+        lis_send_recv analogue; receives concatenate in plan order)."""
+        p = self.nprocs
+        ghosts = []
+        for d, eidx in zip(self.dists, self.exports):
+            packed = jnp.take(x_local, eidx, axis=0, mode="clip")
+            perm = [(i, (i - d) % p) for i in range(p)]
+            ghosts.append(jax.lax.ppermute(packed, AXIS, perm))
+        if not ghosts:
+            return x_local
+        return jnp.concatenate([x_local] + ghosts)
+
+    def matvec(self, x_local):
+        xe = self._exchange(x_local)
+        prod = self.value * jnp.take(xe, self.lidx, axis=0, mode="clip")
+        return jax.ops.segment_sum(prod, self.row_ids,
+                                   num_segments=self.nlocal,
+                                   indices_are_sorted=True)
+
+    def matvech(self, x_local):
+        v = jnp.conj(self.value) if jnp.iscomplexobj(self.value) \
+            else self.value
+        prod = v * jnp.take(x_local, self.row_ids, axis=0)
+        contrib = jnp.zeros(self.nlocal + self.G, dtype=prod.dtype)
+        contrib = contrib.at[self.lidx].add(prod)
+        y = contrib[: self.nlocal]
+        p = self.nprocs
+        off = self.nlocal
+        # lis_reduce: route ghost partials back to their owners and add
+        ye = jnp.concatenate([y, jnp.zeros(1, dtype=y.dtype)])
+        for d, Ed, eidx in zip(self.dists, self.exp_lens, self.exports):
+            part = jax.lax.dynamic_slice(contrib, (off,), (Ed,)) \
+                if Ed else contrib[:0]
+            off += Ed
+            perm = [(i, (i + d) % p) for i in range(p)]
+            back = jax.lax.ppermute(part, AXIS, perm)
+            ye = ye.at[jnp.minimum(eidx, self.nlocal)].add(back)
+        return ye[: self.nlocal]
+
+    @property
+    def nrows(self):
+        return self.gn
+
+    @property
+    def ncols(self):
+        return self.gn
+
+    @property
+    def comm_elems(self) -> int:
+        """Per-device vector elements moved per matvec (the measured comm
+        volume cli/scaling.py reports; all-gather moves gn_pad)."""
+        return int(sum(self.exp_lens))
+
+    def get_diagonal(self):
+        isdiag = self.lidx == self.row_ids
+        contrib = jnp.where(isdiag, self.value, 0)
+        return jax.ops.segment_sum(contrib, self.row_ids,
+                                   num_segments=self.nlocal,
+                                   indices_are_sorted=True)
+
+
+jax.tree_util.register_pytree_node(
+    DistTableCSRMatrix,
+    lambda m: ((m.value, m.lidx, m.row_ids, m.ghost_gids, m.exports),
+               (m.nlocal, m.gn, m.gn_pad, m.nprocs, m.dists, m.exp_lens,
+                m.G)),
+    lambda aux, c: DistTableCSRMatrix(*c, *aux))
+
+
+def distribute_csr_table(A, mesh: Mesh,
+                         nlocal: int | None = None) -> DistTableCSRMatrix:
+    """Build the comm-table sharded layout (the assemble step: g2l
+    renumbering + export/import plan, host-side — the trace-time
+    lis_commtable_create)."""
+    ptr, index, value = A.to_csr_arrays()
+    gn = A.nrows
+    p = mesh.shape[AXIS]
+    if nlocal is None:
+        nlocal = -(-gn // p)
+    gn_pad = p * nlocal
+
+    ptr = np.asarray(ptr)
+    index = np.asarray(index).astype(np.int64)
+    value = np.asarray(value)
+    rows = np.repeat(np.arange(gn, dtype=np.int64), np.diff(ptr))
+    shard_of = rows // nlocal
+    owner = np.minimum(index // nlocal, p - 1)
+
+    # need[k][j]: sorted unique global ids shard k imports from owner j
+    need = [dict() for _ in range(p)]
+    for k in range(p):
+        sel = shard_of == k
+        cols = index[sel]
+        own = owner[sel]
+        gh = own != k
+        if gh.any():
+            for j in np.unique(own[gh]):
+                need[k][int(j)] = np.unique(cols[gh & (own == j)])
+
+    dists = sorted({(j - k) % p for k in range(p) for j in need[k]})
+    exp_lens = []
+    exports = []
+    ghost_base = [dict() for _ in range(p)]   # (k, d) -> tail offset
+    G = 0
+    for d in dists:
+        Ed = max((len(need[(i - d) % p].get(i, ()))
+                  for i in range(p)), default=0)
+        Ed = max(Ed, 1)
+        exp = np.full((p, Ed), nlocal, dtype=np.int32)   # pad -> dump slot
+        for i in range(p):                                # i = owner/sender
+            k = (i - d) % p                               # receiver
+            gids = need[k].get(i)
+            if gids is not None:
+                exp[i, : len(gids)] = (gids - i * nlocal).astype(np.int32)
+            ghost_base[k][d] = nlocal + G
+        exports.append(exp)
+        exp_lens.append(Ed)
+        G += Ed
+
+    # g2l renumbering: ghost slot = base(k, d) + position in import list
+    lidx_np = np.empty(len(index), dtype=np.int32)
+    for k in range(p):
+        sel = np.nonzero(shard_of == k)[0]
+        cols = index[sel]
+        own = owner[sel]
+        loc = (cols - k * nlocal).astype(np.int32)
+        for j, gids in need[k].items():
+            d = (j - k) % p
+            m = own == j
+            pos = np.searchsorted(gids, cols[m])
+            loc[m] = (ghost_base[k][d] + pos).astype(np.int32)
+        lidx_np[sel] = loc
+
+    ghost_gids = np.full((p, G), gn, dtype=np.int32)
+    for k in range(p):
+        for d in dists:
+            j = (k + d) % p
+            gids = need[k].get(j)
+            if gids is not None:
+                b = ghost_base[k][d] - nlocal
+                ghost_gids[k, b: b + len(gids)] = gids
+
+    counts = np.bincount(shard_of, minlength=p)
+    mnnz = max(int(counts.max()) if p else 1, 1)
+    val = np.zeros((p, mnnz), dtype=value.dtype)
+    li = np.zeros((p, mnnz), dtype=np.int32)
+    rid = np.full((p, mnnz), nlocal - 1, dtype=np.int32)
+    order = np.argsort(shard_of, kind="stable")
+    pos = np.concatenate([[0], np.cumsum(counts)])
+    lrow = rows - shard_of * nlocal
+    for k in range(p):
+        sel = order[pos[k]:pos[k + 1]]
+        cnt = len(sel)
+        val[k, :cnt] = value[sel]
+        li[k, :cnt] = lidx_np[sel]
+        rid[k, :cnt] = lrow[sel]
+
+    sh = NamedSharding(mesh, P(AXIS))
+    put = lambda a: jax.device_put(jnp.asarray(a.reshape(-1)), sh)
+    return DistTableCSRMatrix(
+        value=put(val), lidx=put(li), row_ids=put(rid),
+        ghost_gids=put(ghost_gids),
+        exports=tuple(put(e) for e in exports),
+        nlocal=nlocal, gn=gn, gn_pad=gn_pad, nprocs=p,
+        dists=tuple(int(d) for d in dists),
+        exp_lens=tuple(int(e) for e in exp_lens), G=G)
+
+
 def distribute_csr(A, mesh: Mesh, halo: str = "auto",
                    nlocal: int | None = None) -> DistCSRMatrix:
     """Partition a CSR matrix into the sharded layout (the assemble step:
@@ -171,10 +375,14 @@ def distribute_csr(A, mesh: Mesh, halo: str = "auto",
     shard_of = rows // nlocal
     lrow = rows - shard_of * nlocal
 
-    # bandwidth check for the neighbor-halo fast path
+    # bandwidth check for the neighbor-halo fast path; non-banded
+    # sparsity gets the comm-table plan (boundary-proportional traffic —
+    # lis_commtable semantics); the O(gn) all-gather is explicit opt-in
     bw = int(np.abs(index.astype(np.int64) - rows).max()) if len(rows) else 0
     if halo == "auto":
-        halo = "neighbor" if 0 < bw <= nlocal else "gather"
+        halo = "neighbor" if 0 < bw <= nlocal else "table"
+    if halo == "table":
+        return distribute_csr_table(A, mesh, nlocal=nlocal)
     hw = min(max(bw, 1), nlocal) if halo == "neighbor" else 0
 
     counts = np.bincount(shard_of, minlength=p)
@@ -265,6 +473,28 @@ def undistribute_csr(A):
         D = DIAMatrix(value=vals, nrows=A.gn, ncols=A.gn,
                       nnz=nnz, offsets=A.offsets)
         return convert_matrix(D, "csr")
+    if isinstance(A, DistTableCSRMatrix):
+        # rebuild global columns from the g2l renumbering + ghost ids
+        val = host(A.value)
+        li = host(A.lidx).astype(np.int64)
+        rid = host(A.row_ids).astype(np.int64)
+        gg = host(A.ghost_gids).reshape(A.nprocs, A.G) if A.G else None
+        shard = np.repeat(np.arange(A.nprocs), len(val) // A.nprocs)
+        grow = shard * A.nlocal + rid
+        if gg is not None:
+            ghost = li >= A.nlocal
+            gcol = np.where(
+                ghost,
+                gg[shard, np.clip(li - A.nlocal, 0, A.G - 1)],
+                li + shard * A.nlocal)
+        else:
+            gcol = li + shard * A.nlocal
+        keep = (val != 0) & (grow < A.gn) & (gcol < A.gn)
+        coo = sp.coo_matrix((val[keep], (grow[keep], gcol[keep])),
+                            shape=(A.gn, A.gn)).tocsr()
+        coo.sort_indices()
+        return CSRMatrix.from_csr_arrays(coo.indptr, coo.indices, coo.data,
+                                         (A.gn, A.gn))
     val = host(A.value)
     idx = host(A.index).astype(np.int64)
     rid = host(A.row_ids).astype(np.int64)
@@ -740,7 +970,7 @@ def distribute_matrix(A, mesh: Mesh, halo: str = "auto"):
         if 0 < hbw <= nlocal:
             return DistHybridMatrix(
                 dia=distribute_dia(H.dia, mesh),
-                rem=distribute_csr(H.rem, mesh, halo="gather"))
+                rem=distribute_csr(H.rem, mesh, halo="table"))
     # general sparsity: dense sliding slabs on the mesh (ring window
     # halos) when the profile fits — same guards as auto_storage; the
     # multi-window builder covers few-affine-band structures, each band
@@ -756,7 +986,7 @@ def distribute_matrix(A, mesh: Mesh, halo: str = "auto"):
                 return distribute_bes(bes, mesh)
             parts = [distribute_bes(p, mesh) for p in bes.parts]
             rem = (None if bes.rem is None
-                   else distribute_csr(bes.rem, mesh, halo="gather",
+                   else distribute_csr(bes.rem, mesh, halo="table",
                                        nlocal=parts[0].nlocal))
             return DistMultiBESMatrix(tuple(parts), rem, bes.nrows,
                                       parts[0].gn_pad, parts[0].nlocal,
@@ -1040,7 +1270,7 @@ def distribute_bes(A, mesh: Mesh):
     slab[:T] = host(B.slab)
     rem = None
     if B.rem is not None:
-        rem = distribute_csr(B.rem, mesh, halo="gather", nlocal=nlocal)
+        rem = distribute_csr(B.rem, mesh, halo="table", nlocal=nlocal)
     shslab = NamedSharding(mesh, P(AXIS, None, None))
     return DistBESMatrix(
         slab=jax.device_put(jnp.asarray(slab), shslab), rem=rem,
