@@ -355,6 +355,8 @@ def _dia_from_csr(ptr, index, value, n):
 @register_precon("ilu")
 def create_iluk(A, opts):
     fill = getattr(opts, "ilu_fill", 0)
+    if getattr(A, "format_name", None) == "bsr":
+        return _create_bilu(A, fill)
     if getattr(A, "format_name", None) == "dia" and fill == 0:
         is_complex = any(jnp.iscomplexobj(v) for v in A.value)
         if not is_complex:
@@ -419,6 +421,158 @@ def create_iluk(A, opts):
             return _plans_from_combined_csr(*out, A.nrows, A.shape)
     rows = _factor_iluk(ptr, index, value, A.nrows, fill)
     return _plans_from_rows(rows, A.nrows, A.shape)
+
+
+@precon_pytree
+class BlockILUPrecon:
+    """Block ILU(k) for BSR operators: M = (I+L)·D·(I+Ũ) with block
+    factors, Ũ = D⁻¹U.  Reference: lis_precon_iluk.c:1289 (symbolic),
+    :1670 (numeric, block ops via lis_array_matmat/lis_array_ge), psolve
+    :1990.  The apply is two level-scheduled scalar triangular solves on
+    the block-expanded unit factors plus one batched (nr,bnr,bnr) block
+    D⁻¹ einsum between them — MXU work instead of the reference's scalar
+    per-block loops."""
+    lower: TriSolvePlan       # expanded L̃ (unit diag)
+    upper: TriSolvePlan       # expanded Ũ = D⁻¹U (unit diag)
+    lower_t: TriSolvePlan     # Ũᴴ (unit lower)
+    upper_t: TriSolvePlan     # L̃ᴴ (unit upper)
+    dinv: jax.Array           # (nr, bnr, bnr) inverted diagonal blocks
+    n: int                    # true (unpadded) size
+    bnr: int
+    _static = ("n", "bnr")
+
+    def _apply(self, r, lo, d, up):
+        N = d.shape[0] * self.bnr
+        rp = r if r.shape[0] == N else jnp.pad(r, (0, N - r.shape[0]))
+        z = trisolve(lo, rp)
+        w = jnp.einsum("tij,tj->ti", d,
+                       z.reshape(-1, self.bnr)).reshape(-1)
+        return trisolve(up, w)[: self.n]
+
+    def psolve(self, r):
+        return self._apply(r, self.lower, self.dinv, self.upper)
+
+    def psolveh(self, r):
+        dh = jnp.conj(jnp.swapaxes(self.dinv, -1, -2))
+        return self._apply(r, self.lower_t, dh, self.upper_t)
+
+
+def _bilu_symbolic(bptr, bindex, nr, fill):
+    """Level-of-fill pattern at block granularity (the reference's
+    lis_symbolic_fact_bsr, lis_precon_iluk.c:1289): single ascending
+    pivot pass per row, fill entry kept when lev(j)+lev(U_jk)+1 ≤ fill."""
+    import heapq
+    upat = []
+    rows = []
+    for i in range(nr):
+        lev = {int(j): 0 for j in bindex[bptr[i]:bptr[i + 1]]}
+        lev.setdefault(i, 0)
+        heap = [c for c in lev if c < i]
+        heapq.heapify(heap)
+        seen = set()
+        while heap:
+            j = heapq.heappop(heap)
+            if j in seen:
+                continue
+            seen.add(j)
+            lj = lev[j]
+            for k, lu in upat[j].items():
+                l = lj + lu + 1
+                if l <= fill:
+                    if k not in lev:
+                        if k < i:
+                            heapq.heappush(heap, k)
+                        lev[k] = l
+                    elif l < lev[k]:
+                        lev[k] = l
+        rows.append(sorted(lev))
+        upat.append({k: v for k, v in lev.items() if k > i})
+    return rows
+
+
+def _factor_bilu(bptr, bindex, bval, nr, bnr, fill):
+    """Block IKJ ILU(k): L_ij ← A_ij·D_j⁻¹, row updates −L_ij·U_jk kept
+    on the symbolic pattern, D_i inverted after its row (the reference's
+    lis_numerical_fact_bsr, lis_precon_iluk.c:1670)."""
+    patt = _bilu_symbolic(bptr, bindex, nr, fill)
+    dtype = bval.dtype if np.issubdtype(bval.dtype, np.complexfloating) \
+        else np.float64
+    Dinv = np.zeros((nr, bnr, bnr), dtype=dtype)
+    Lrows = []
+    Urows = []
+    z = np.zeros((bnr, bnr), dtype=dtype)
+    for i in range(nr):
+        row = {c: z.copy() for c in patt[i]}
+        for p in range(bptr[i], bptr[i + 1]):
+            row[int(bindex[p])] = bval[p].astype(dtype).copy()
+        for j in (c for c in patt[i] if c < i):
+            Lij = row[j] @ Dinv[j]
+            row[j] = Lij
+            for k, Ujk in Urows[j].items():
+                tgt = row.get(k)
+                if tgt is not None:
+                    tgt -= Lij @ Ujk
+        d = row[i]
+        try:
+            Dinv[i] = np.linalg.inv(d)
+        except np.linalg.LinAlgError:
+            Dinv[i] = np.linalg.pinv(d)
+        Urows.append({k: v for k, v in row.items() if k > i})
+        Lrows.append({k: v for k, v in row.items() if k < i})
+    return Lrows, Urows, Dinv
+
+
+def _blocks_to_strict_csr(rows, nr, bnr, dtype):
+    indptr = [0]
+    indices = []
+    data = []
+    for row in rows:
+        for c in sorted(row):
+            indices.append(c)
+            data.append(row[c])
+        indptr.append(len(indices))
+    if not indices:
+        return sp.csr_matrix((nr * bnr, nr * bnr), dtype=dtype)
+    m = sp.bsr_matrix((np.asarray(data, dtype=dtype),
+                       np.asarray(indices, np.int32),
+                       np.asarray(indptr, np.int32)),
+                      shape=(nr * bnr, nr * bnr)).tocsr()
+    m.eliminate_zeros()
+    m.sort_indices()
+    return m
+
+
+def _create_bilu(A, fill):
+    p, i, v = A.to_csr_arrays()
+    N = A.nr * A.bnr
+    a = sp.csr_matrix((np.asarray(v), np.asarray(i), np.asarray(p)),
+                      shape=A.shape)
+    a.resize((N, N))
+    if N > A.nrows:  # unit diagonal on padded rows keeps D blocks regular
+        pad_d = np.arange(A.nrows, N)
+        a = (a + sp.coo_matrix((np.ones(len(pad_d)), (pad_d, pad_d)),
+                               shape=(N, N))).tocsr()
+    b = sp.bsr_matrix(a, blocksize=(A.bnr, A.bnr))
+    b.sort_indices()
+    Lrows, Urows, Dinv = _factor_bilu(b.indptr, b.indices, b.data,
+                                      A.nr, A.bnr, fill)
+    dtype = Dinv.dtype
+    Ut_rows = [{k: Dinv[t] @ blk for k, blk in Urows[t].items()}
+               for t in range(A.nr)]
+    L = _blocks_to_strict_csr(Lrows, A.nr, A.bnr, dtype)
+    U = _blocks_to_strict_csr(Ut_rows, A.nr, A.bnr, dtype)
+    ones = np.ones(N, dtype=dtype)
+    LH = L.conj().T.tocsr()
+    UH = U.conj().T.tocsr()
+    LH.sort_indices()
+    UH.sort_indices()
+    return BlockILUPrecon(
+        lower=make_plan(L.indptr, L.indices, L.data, ones, lower=True),
+        upper=make_plan(U.indptr, U.indices, U.data, ones, lower=False),
+        lower_t=make_plan(UH.indptr, UH.indices, UH.data, ones, lower=True),
+        upper_t=make_plan(LH.indptr, LH.indices, LH.data, ones,
+                          lower=False),
+        dinv=jnp.asarray(Dinv), n=A.nrows, bnr=A.bnr)
 
 
 def _maybe_dia_apply(fp, fi, fv, A, opts, max_nnd=512):

@@ -91,8 +91,34 @@ def test_precon_iteration_parity(testmat, p):
     assert res.status == lis_tpu.LIS_SUCCESS, (p, res)
     expected = PRECON_REFERENCE_ITERS[p]
     # converging FASTER than the reference is fine (hybrid does: its
-    # inner iteration is a fully-converging compiled loop)
+    # inner iteration is a fully-converging compiled loop); everything
+    # else must land in a band so a semantics change can't hide behind
+    # "stronger-but-slower" or "weaker-but-luckier" drift
     assert res.iters <= expected + 3, (p, res.iters, expected)
+    if p != "hybrid":
+        assert res.iters >= expected - 3, (p, res.iters, expected)
+
+
+# block ILU(k) on BSR, ground truth from the built reference:
+# lsolve testmat.mtx 1 -i <s> -p ilu -storage 7 -storage_block <bnr>
+BILU_REFERENCE = [
+    ("bicg", 2, 0, 17), ("bicg", 3, 0, 11), ("bicg", 2, 1, 9),
+    ("gmres", 2, 0, 16), ("bicgstab", 2, 0, 10),
+]
+
+
+@pytest.mark.parametrize("s,bnr,fill,expected", BILU_REFERENCE)
+def test_block_ilu_parity(testmat, s, bnr, fill, expected):
+    """-p ilu on a BSR-stored matrix runs the block factorization
+    (lis_precon_iluk.c:1289/:1670) — iteration counts must track the
+    reference's block-ILU, not the scalar CSR ILU."""
+    b = np.ones(testmat.nrows)
+    res = solve(testmat, b,
+                options=f"-i {s} -p ilu -ilu_fill {fill} -storage bsr "
+                        f"-storage_block {bnr} -tol 1e-12 -maxiter 1000")
+    assert res.status == lis_tpu.LIS_SUCCESS, (s, bnr, fill, res)
+    assert abs(res.iters - expected) <= 2, (s, bnr, fill, res.iters,
+                                            expected)
 
 
 # eigensolver parity, ground truth from the built reference:
