@@ -38,7 +38,7 @@ def local_diag_blocks(A) -> list:
     p, nl, gn = A.nprocs, A.nlocal, A.gn
     blocks = []
     for k in range(p):
-        lo, hi = k * nl, min((k + 1) * nl, gn)
+        lo, hi = min(k * nl, gn), min((k + 1) * nl, gn)
         m = gs[lo:hi, lo:hi].tocoo()
         r, c, v = m.row, m.col, m.data
         npad = nl - (hi - lo)
