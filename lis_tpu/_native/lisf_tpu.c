@@ -219,7 +219,9 @@ F77(lis_esolver_set_option)(const char* text, lisf_int* e, lisf_int* ierr,
     *ierr = call_ll("esolver_set_option", "(sl)", buf, (long)*e);
 }
 
-F77(lis_esolve)(lisf_int* A, lisf_int* x, lisf_int* e, double* evalue,
+/* Reference ABI (src/fortran/lisf_esolver.c:93): evalue precedes the
+ * esolver handle. */
+F77(lis_esolve)(lisf_int* A, lisf_int* x, double* evalue, lisf_int* e,
                 lisf_int* ierr) {
     *evalue = call_dd("esolve", "(lll)", (long)*A, (long)*x, (long)*e);
     *ierr = 0;
@@ -228,4 +230,261 @@ F77(lis_esolve)(lisf_int* A, lisf_int* x, lisf_int* e, double* evalue,
 F77(lis_esolver_get_iter)(lisf_int* e, lisf_int* iter, lisf_int* ierr) {
     *iter = call_ll("esolver_get_iter", "(l)", (long)*e);
     *ierr = 0;
+}
+
+/* ---- strings and file I/O (src/fortran/lisf_system.c) ------------------- */
+
+static void fstr_in(char* buf, size_t cap, const char* text, long len) {
+    size_t n = (size_t)(len < (long)cap - 1 ? len : (long)cap - 1);
+    memcpy(buf, text, n);
+    while (n > 0 && buf[n - 1] == ' ') --n;     /* trim F77 blank padding */
+    buf[n] = '\0';
+}
+
+static void fstr_out(char* dst, long cap, const char* src) {
+    long n = (long)strlen(src);
+    if (n > cap) n = cap;
+    memcpy(dst, src, (size_t)n);
+    memset(dst + n, ' ', (size_t)(cap - n));    /* F77 blank padding */
+}
+
+F77(lis_input)(lisf_int* A, lisf_int* b, lisf_int* x, const char* fname,
+               lisf_int* ierr, long fname_len) {
+    char buf[1024];
+    fstr_in(buf, sizeof buf, fname, fname_len);
+    *ierr = call_ll("input", "(llls)", (long)*A, (long)*b, (long)*x, buf);
+}
+
+F77(lis_input_matrix)(lisf_int* A, const char* fname, lisf_int* ierr,
+                      long fname_len) {
+    char buf[1024];
+    fstr_in(buf, sizeof buf, fname, fname_len);
+    *ierr = call_ll("input_matrix", "(ls)", (long)*A, buf);
+}
+
+F77(lis_input_vector)(lisf_int* v, const char* fname, lisf_int* ierr,
+                      long fname_len) {
+    char buf[1024];
+    fstr_in(buf, sizeof buf, fname, fname_len);
+    *ierr = call_ll("input_vector", "(ls)", (long)*v, buf);
+}
+
+F77(lis_output_vector)(lisf_int* v, lisf_int* fmt, const char* fname,
+                       lisf_int* ierr, long fname_len) {
+    char buf[1024];
+    fstr_in(buf, sizeof buf, fname, fname_len);
+    *ierr = call_ll("output_vector", "(lls)", (long)*v, (long)*fmt, buf);
+}
+
+F77(lis_solver_output_rhistory)(lisf_int* s, const char* fname,
+                                lisf_int* ierr, long fname_len) {
+    char buf[1024];
+    fstr_in(buf, sizeof buf, fname, fname_len);
+    *ierr = call_ll("solver_output_rhistory", "(ls)", (long)*s, buf);
+}
+
+F77(lis_esolver_output_rhistory)(lisf_int* e, const char* fname,
+                                 lisf_int* ierr, long fname_len) {
+    char buf[1024];
+    fstr_in(buf, sizeof buf, fname, fname_len);
+    *ierr = call_ll("esolver_output_rhistory", "(ls)", (long)*e, buf);
+}
+
+/* ---- matrix extras (src/fortran/lisf_matrix.c) --------------------------- */
+
+F77(lis_matrix_get_size)(lisf_int* A, lisf_int* n, lisf_int* gn,
+                         lisf_int* ierr) {
+    *n = call_ll("matrix_get_n", "(l)", (long)*A);
+    *gn = call_ll("matrix_get_gn", "(l)", (long)*A);
+    *ierr = 0;
+}
+
+F77(lis_matrix_get_range)(lisf_int* A, lisf_int* is, lisf_int* ie,
+                          lisf_int* ierr) {
+    *is = call_ll("matrix_get_range_is", "(l)", (long)*A);
+    *ie = call_ll("matrix_get_range_ie", "(l)", (long)*A);
+    *ierr = 0;
+}
+
+F77(lis_matrix_get_nnz)(lisf_int* A, lisf_int* nnz, lisf_int* ierr) {
+    *nnz = call_ll("matrix_get_nnz", "(l)", (long)*A);
+    *ierr = 0;
+}
+
+F77(lis_matrix_duplicate)(lisf_int* Ain, lisf_int* Aout, lisf_int* ierr) {
+    *Aout = call_ll("matrix_duplicate", "(l)", (long)*Ain);
+    *ierr = (*Aout > 0) ? 0 : -1;
+}
+
+F77(lis_matrix_convert)(lisf_int* Ain, lisf_int* Aout, lisf_int* ierr) {
+    *ierr = call_ll("matrix_convert", "(ll)", (long)*Ain, (long)*Aout);
+}
+
+F77(lis_matrix_set_csr)(lisf_int* nnz, lisf_int* ptr, lisf_int* index,
+                        double* value, lisf_int* A, lisf_int* ierr) {
+    *ierr = call_ll("matrix_set_csr", "(lllll)", (long)*nnz,
+                    (long)(uintptr_t)ptr, (long)(uintptr_t)index,
+                    (long)(uintptr_t)value, (long)*A);
+}
+
+F77(lis_matvec)(lisf_int* A, lisf_int* x, lisf_int* y, lisf_int* ierr) {
+    *ierr = call_ll("matvec", "(lll)", (long)*A, (long)*x, (long)*y);
+}
+
+/* ---- vector extras (src/fortran/lisf_vector.c) ---------------------------- */
+
+F77(lis_vector_duplicate)(lisf_int* vin, lisf_int* vout, lisf_int* ierr) {
+    *vout = call_ll("vector_duplicate", "(l)", (long)*vin);
+    *ierr = (*vout > 0) ? 0 : -1;
+}
+
+F77(lis_vector_is_null)(lisf_int* v, lisf_int* ierr) {
+    *ierr = call_ll("vector_is_null", "(l)", (long)*v);
+}
+
+F77(lis_vector_dot)(lisf_int* u, lisf_int* v, double* dot, lisf_int* ierr) {
+    *dot = call_dd("vector_dot", "(ll)", (long)*u, (long)*v);
+    *ierr = 0;
+}
+
+F77(lis_vector_print)(lisf_int* v, lisf_int* ierr) {
+    *ierr = call_ll("vector_print", "(l)", (long)*v);
+}
+
+F77(lis_vector_conjugate)(lisf_int* v, lisf_int* ierr) {
+    *ierr = call_ll("vector_conjugate", "(l)", (long)*v);
+}
+
+/* ---- solver extras (src/fortran/lisf_solver.c) ----------------------------- */
+
+F77(lis_solver_set_optionc)(lisf_int* s, lisf_int* ierr) {
+    *ierr = call_ll("solver_set_optionC", "(l)", (long)*s);
+}
+
+F77(lis_solver_get_iterex)(lisf_int* s, lisf_int* iter, lisf_int* iter_double,
+                           lisf_int* iter_quad, lisf_int* ierr) {
+    *iter = call_ll("solver_get_iter", "(l)", (long)*s);
+    *iter_double = call_ll("solver_get_iter_double", "(l)", (long)*s);
+    *iter_quad = call_ll("solver_get_iter_quad", "(l)", (long)*s);
+    *ierr = 0;
+}
+
+F77(lis_solver_get_timeex)(lisf_int* s, double* time, double* itime,
+                           double* ptime, double* p_c_time, double* p_i_time,
+                           lisf_int* ierr) {
+    *time = call_dd("solver_get_time", "(l)", (long)*s);
+    *itime = call_dd("solver_get_itime", "(l)", (long)*s);
+    *ptime = call_dd("solver_get_ptime", "(l)", (long)*s);
+    *p_c_time = 0.0;
+    *p_i_time = 0.0;
+    *ierr = 0;
+}
+
+F77(lis_solver_get_solver)(lisf_int* s, lisf_int* nsol, lisf_int* ierr) {
+    *nsol = call_ll("solver_get_solver", "(l)", (long)*s);
+    *ierr = 0;
+}
+
+static void get_name(const char* api, long nsol, char* name, long name_len) {
+    if (ensure_python()) return;
+    PyObject* fn = PyObject_GetAttrString(g_api, api);
+    if (!fn) { PyErr_Print(); return; }
+    PyObject* res = PyObject_CallFunction(fn, "(l)", nsol);
+    Py_DECREF(fn);
+    if (!res) { PyErr_Print(); return; }
+    const char* s = PyUnicode_AsUTF8(res);
+    fstr_out(name, name_len, s ? s : "");
+    Py_DECREF(res);
+}
+
+F77(lis_solver_get_solvername)(lisf_int* nsol, char* name, lisf_int* ierr,
+                               long name_len) {
+    get_name("solver_get_solvername", (long)*nsol, name, name_len);
+    *ierr = 0;
+}
+
+/* ---- esolver extras (src/fortran/lisf_esolver.c) --------------------------- */
+
+F77(lis_esolver_set_optionc)(lisf_int* e, lisf_int* ierr) {
+    *ierr = call_ll("esolver_set_optionC", "(l)", (long)*e);
+}
+
+F77(lis_esolver_get_iterex)(lisf_int* e, lisf_int* iter,
+                            lisf_int* iter_double, lisf_int* iter_quad,
+                            lisf_int* ierr) {
+    *iter = call_ll("esolver_get_iter", "(l)", (long)*e);
+    *iter_double = *iter;
+    *iter_quad = 0;
+    *ierr = 0;
+}
+
+F77(lis_esolver_get_timeex)(lisf_int* e, double* time, double* itime,
+                            double* ptime, double* p_c_time,
+                            double* p_i_time, lisf_int* ierr) {
+    *time = call_dd("esolver_get_time", "(l)", (long)*e);
+    *itime = *time;
+    *ptime = 0.0;
+    *p_c_time = 0.0;
+    *p_i_time = 0.0;
+    *ierr = 0;
+}
+
+F77(lis_esolver_get_residualnorm)(lisf_int* e, double* resid,
+                                  lisf_int* ierr) {
+    *resid = call_dd("esolver_get_residualnorm", "(l)", (long)*e);
+    *ierr = 0;
+}
+
+F77(lis_esolver_get_esolver)(lisf_int* e, lisf_int* nsol, lisf_int* ierr) {
+    *nsol = call_ll("esolver_get_esolver", "(l)", (long)*e);
+    *ierr = 0;
+}
+
+F77(lis_esolver_get_esolvername)(lisf_int* nsol, char* name, lisf_int* ierr,
+                                 long name_len) {
+    get_name("esolver_get_esolvername", (long)*nsol, name, name_len);
+    *ierr = 0;
+}
+
+/* ---- dense array ops (src/fortran/lisf_array.c) ----------------------------- */
+
+F77(lis_array_set_all)(lisf_int* n, double* alpha, double* a,
+                       lisf_int* ierr) {
+    *ierr = call_ll("array_set_all", "(ldl)", (long)*n, *alpha,
+                    (long)(uintptr_t)a);
+}
+
+F77(lis_array_matvec)(lisf_int* n, double* a, double* x, double* y,
+                      lisf_int* flag, lisf_int* ierr) {
+    *ierr = call_ll("array_matvec", "(lllll)", (long)*n,
+                    (long)(uintptr_t)a, (long)(uintptr_t)x,
+                    (long)(uintptr_t)y, (long)*flag);
+}
+
+F77(lis_array_solve)(lisf_int* n, double* a, double* b, double* x,
+                     double* w, lisf_int* ierr) {
+    *ierr = call_ll("array_solve", "(lllll)", (long)*n,
+                    (long)(uintptr_t)a, (long)(uintptr_t)b,
+                    (long)(uintptr_t)x, (long)(uintptr_t)w);
+}
+
+F77(lis_array_xpay)(lisf_int* n, double* x, double* alpha, double* y,
+                    lisf_int* ierr) {
+    *ierr = call_ll("array_xpay", "(lldl)", (long)*n, (long)(uintptr_t)x,
+                    *alpha, (long)(uintptr_t)y);
+}
+
+F77(lis_array_nrm2)(lisf_int* n, double* x, double* nrm, lisf_int* ierr) {
+    *nrm = call_dd("array_nrm2", "(ll)", (long)*n, (long)(uintptr_t)x);
+    *ierr = 0;
+}
+
+/* ---- CHKERR (test/lisf_init.F analogue) ------------------------------------ */
+
+F77(chkerr)(lisf_int* ierr) {
+    if (*ierr) {
+        fprintf(stderr, "lisf_tpu: CHKERR failed with ierr=%ld\n",
+                (long)*ierr);
+        exit((int)*ierr);
+    }
 }

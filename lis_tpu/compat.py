@@ -323,9 +323,12 @@ def lis_esolver_set_option(text, esolver):
 
 
 def lis_esolve(A, x, esolver):
+    import time as _time
     from lis_tpu.esolvers.driver import esolve
+    t0 = _time.perf_counter()
     res = esolve(A.m, options=esolver.options or None,
                  x0=None if x.value is None else x.value)
+    esolver.time = _time.perf_counter() - t0
     esolver.result = res
     x.value = res.evector
     x.n = A.n
@@ -389,3 +392,162 @@ def lis_output(A, b, x, fmt, filename):
          x=None if x is None else np.asarray(x.value),
          fmt="lis" if fmt in (3, "lis") else "mm")
     return LIS_SUCCESS
+
+
+def lis_input_matrix(A, filename):
+    """Read only the matrix from a file (lis.h:1021 lis_input_matrix)."""
+    return lis_input(A, None, None, filename)
+
+
+def lis_input_vector(v, filename):
+    from lis_tpu.io import lis_input_vector as _inpv
+    v.value = _inpv(filename)
+    v.n = int(v.value.shape[0])
+    return LIS_SUCCESS
+
+
+def lis_output_vector(v, fmt, filename):
+    from lis_tpu.io import lis_output_vector as _outv
+    _outv(filename, np.asarray(v.value),
+          fmt="plain" if fmt in (0, "plain") else "mm")
+    return LIS_SUCCESS
+
+
+def lis_output_matrix(A, fmt, filename):
+    return lis_output(A, None, None, fmt, filename)
+
+
+def lis_solver_output_rhistory(solver, filename):
+    """Write the residual history one value per line
+    (src/solver/lis_solver.c lis_solver_output_rhistory)."""
+    rh = np.asarray(solver.result.rhistory)
+    with open(filename, "w") as f:
+        for r in rh:
+            f.write(f"{float(r):e}\n")
+    return LIS_SUCCESS
+
+
+def lis_esolver_output_rhistory(esolver, filename):
+    rh = esolver.result.rhistory
+    rh = np.asarray([] if rh is None else rh)
+    with open(filename, "w") as f:
+        for r in rh:
+            f.write(f"{float(r):e}\n")
+    return LIS_SUCCESS
+
+
+# ---- matrix extras (lis.h:865-914) -------------------------------------------
+
+def lis_matrix_get_range(A):
+    """1-based [is, ie) row range, single-comm semantics
+    (src/matrix/lis_matrix.c lis_matrix_get_range; the Fortran interface
+    shifts to 1-based — test/test2f.F90 loops ii = is-1 .. ie-2)."""
+    return 1, A.n + 1
+
+
+def lis_matrix_get_nnz(A):
+    return int(A.m.nnz)
+
+
+def lis_matrix_duplicate(Ain):
+    """New matrix with the same size/comm, no values
+    (lis_matrix_duplicate: structure only)."""
+    out = _MatrixHandle(Ain.comm)
+    out.n = Ain.n
+    out.matrix_type = Ain.matrix_type
+    return out
+
+
+# ---- vector extras ------------------------------------------------------------
+
+LIS_TRUE = 1
+LIS_FALSE = 0
+
+
+def lis_vector_is_null(v):
+    return LIS_TRUE if v.value is None or v.n is None else LIS_FALSE
+
+
+def lis_vector_print(v):
+    """Print vector entries like lis_vector_print (one per line)."""
+    for val in np.asarray(v.value):
+        print(f"{complex(val):.6f}" if np.iscomplexobj(v.value)
+              else f"{float(val):.6f}")
+    return LIS_SUCCESS
+
+
+def lis_vector_conjugate(v):
+    import jax.numpy as jnp
+    v.value = jnp.conjugate(v.value)
+    return LIS_SUCCESS
+
+
+# ---- esolver extras (lis.h:990-1013) -------------------------------------------
+
+def lis_esolver_set_optionC(esolver):
+    from lis_tpu import config as C
+    esolver.options = (esolver.options + " "
+                       + " ".join(C.get_cmd_args())).strip()
+    return LIS_SUCCESS
+
+
+def lis_esolver_get_iterex(esolver):
+    r = esolver.result
+    return r.iters, r.iters, 0
+
+
+def lis_esolver_get_timeex(esolver):
+    t = getattr(esolver, "time", 0.0)
+    return t, t, 0.0, 0.0, 0.0
+
+
+def lis_esolver_get_esolver(esolver):
+    from lis_tpu.runtime.options import EsolverOptions
+    return EsolverOptions.from_string(esolver.options or None).esolver_id
+
+
+def lis_esolver_get_esolvername(nsol):
+    from lis_tpu.runtime.options import ESOLVER_NAMES
+    return ESOLVER_NAMES[int(nsol) - 1]
+
+
+# ---- dense array ops (lis.h array section; src/array/lis_array.c) --------------
+
+def lis_array_set_all(n, alpha, a):
+    a[:int(n)] = alpha
+    return LIS_SUCCESS
+
+
+def lis_array_matvec(n, a, x, y, flag):
+    """y {=, +=, -=} A x for an n×n column-major dense array
+    (lis_array_matvec; Fortran storage order)."""
+    n = int(n)
+    prod = np.asarray(a[:n * n]).reshape(n, n, order="F") @ np.asarray(x[:n])
+    if flag == LIS_INS_VALUE:
+        y[:n] = prod
+    elif flag == LIS_ADD_VALUE:
+        y[:n] += prod
+    else:
+        y[:n] -= prod
+    return LIS_SUCCESS
+
+
+def lis_array_solve(n, a, b, x, w):
+    """Direct dense solve via the core array layer (lis_array_solve;
+    w is the reference's workspace — kept for signature parity)."""
+    from lis_tpu.core import array as _arr
+    n = int(n)
+    x[:n] = np.asarray(_arr.solve(
+        np.asarray(a[:n * n]).reshape(n, n, order="F"), np.asarray(b[:n])))
+    return LIS_SUCCESS
+
+
+def lis_array_xpay(n, x, alpha, y):
+    """y = x + alpha*y (lis_array_xpay)."""
+    n = int(n)
+    y[:n] = np.asarray(x[:n]) + alpha * np.asarray(y[:n])
+    return LIS_SUCCESS
+
+
+def lis_array_nrm2(n, x):
+    return float(np.linalg.norm(np.asarray(x[:int(n)])))

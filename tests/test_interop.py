@@ -107,3 +107,109 @@ def test_fortran_abi_binding():
     assert r.returncode == 0, (r.stdout, r.stderr)
     assert "F77-ABI binding OK" in r.stdout
     os.unlink(exe)
+
+
+# ---- reference Fortran test-program flows (test/test1f.F, test2f.F90,
+# ---- test6f.F90, test7f.F, etest1f.F) through the F77-ABI shim ----------------
+
+import os as _os
+import subprocess as _sp
+
+_NATIVE = _os.path.join(_os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))), "lis_tpu", "_native")
+_FTEST = _os.path.join(_NATIVE, "ftest")
+
+
+@pytest.fixture(scope="module")
+def ftest_build():
+    """Build liblisf_tpu.so and the five C drivers that emit the exact
+    gfortran call sequences of the reference's Fortran test programs."""
+    import shutil
+    if shutil.which("gcc") is None or shutil.which("python3-config") is None:
+        pytest.skip("no C toolchain")
+    lib = _os.path.join(_NATIVE, "liblisf_tpu.so")
+    inc = _sp.run(["python3-config", "--includes"],
+                  capture_output=True, text=True).stdout.split()
+    ld = _sp.run(["python3-config", "--ldflags", "--embed"],
+                 capture_output=True, text=True).stdout.split()
+    r = _sp.run(["gcc", "-shared", "-fPIC",
+                 _os.path.join(_NATIVE, "lisf_tpu.c")] + inc + ld
+                + ["-o", lib], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    exes = {}
+    for t in ("test1f", "test2f", "test6f", "test7f", "etest1f"):
+        exe = _os.path.join(_FTEST, t)
+        r = _sp.run(["gcc", _os.path.join(_FTEST, t + ".c"), "-I" + _FTEST,
+                     "-L" + _NATIVE, "-llisf_tpu", "-Wl,-rpath," + _NATIVE,
+                     "-o", exe], capture_output=True, text=True)
+        assert r.returncode == 0, (t, r.stderr)
+        exes[t] = exe
+    return exes
+
+
+def _run_ftest(exe, *args, timeout=300):
+    env = dict(_os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=_os.path.dirname(_os.path.dirname(_NATIVE)))
+    return _sp.run([exe, *map(str, args)], capture_output=True, text=True,
+                   env=env, timeout=timeout)
+
+
+def test_fortran_test1f_flow(ftest_build, tmp_path):
+    """test1f: file-driven solve with -print/-optionC, solution +
+    rhistory written (reference test/test1f.F)."""
+    mtx = "/root/reference/test/testmat.mtx"
+    if not _os.path.exists(mtx):
+        pytest.skip("reference testmat.mtx not available")
+    sol, rh = tmp_path / "sol.mtx", tmp_path / "rh.txt"
+    r = _run_ftest(ftest_build["test1f"], mtx, 1, sol, rh,
+                   "-i", "bicg", "-tol", "1e-12")
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    # the rebuilt reference binary: test1f testmat.mtx 1 ... -i bicg
+    # converges in 15 iterations at tol 1e-12
+    assert "bicg: number of iterations = 15" in r.stdout
+    assert sol.exists() and rh.exists()
+    assert float(rh.read_text().splitlines()[0]) == 1.0
+
+
+def test_fortran_test2f_flow(ftest_build, tmp_path):
+    """test2f: set_csr assembly from caller-owned Fortran buffers +
+    convert + solve (reference test/test2f.F90)."""
+    sol, rh = tmp_path / "sol.mtx", tmp_path / "rh.txt"
+    r = _run_ftest(ftest_build["test2f"], 10, 10, 1, sol, rh,
+                   "-i", "cg", "-p", "jacobi", "-tol", "1e-10")
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    assert "matrix size = 100 x 100 (460 nonzero entries)" in r.stdout
+    assert "cg: number of iterations = 15" in r.stdout
+
+
+def test_fortran_test6f_flow(ftest_build):
+    """test6f: dense direct solve through lis_array_* on raw
+    column-major Fortran buffers (reference test/test6f.F90)."""
+    r = _run_ftest(ftest_build["test6f"], 8, 8)
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    assert "matrix size = 64 x 64 (288 nonzero entries)" in r.stdout
+    resid = float(r.stdout.rsplit("relative residual    = ", 1)[1].split()[0])
+    assert resid < 1e-12
+
+
+def test_fortran_test7f_flow(ftest_build):
+    """test7f: vector print/conjugate/dot/nrm2 (reference
+    test/test7f.F; driven real-valued like the reference's default
+    non-COMPLEX build)."""
+    r = _run_ftest(ftest_build["test7f"])
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    assert "inner product (v,v) = 40.0" in r.stdout
+
+
+def test_fortran_etest1f_flow(ftest_build, tmp_path):
+    """etest1f: file-driven eigensolve with esolver getters + rhistory
+    (reference test/etest1f.F)."""
+    mtx = "/root/reference/test/testmat.mtx"
+    if not _os.path.exists(mtx):
+        pytest.skip("reference testmat.mtx not available")
+    ev, rh = tmp_path / "ev.mtx", tmp_path / "rh.txt"
+    r = _run_ftest(ftest_build["etest1f"], mtx, ev, rh,
+                   "-e", "pi", "-emaxiter", "2000")
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    assert "pi: eigenvalue           = 7.36" in r.stdout
+    assert ev.exists() and rh.exists()
