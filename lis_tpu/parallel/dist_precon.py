@@ -210,46 +210,121 @@ def make_dist_hybrid(A, mesh: Mesh, opts):
 
 
 @jax.tree_util.register_pytree_node_class
+class DistAMGMidLevel:
+    """One mesh-sharded coarse level of the distributed SA-AMG hierarchy.
+
+    The analogue of the reference's per-level distributed AMG data
+    (src/fortran/amg/lis_m_data_structure_for_AMG.F90:36): each shard owns
+    a contiguous row slab of this level's operator A_l and prolongator
+    P_l plus block-local SGS plans of its diagonal block.  Vectors at
+    these levels are small, so they stay REPLICATED — a slab matvec is a
+    local segment-sum followed by one tiled all_gather; only the MATRIX
+    memory (the part that scales) is divided by the mesh width.
+    """
+
+    def __init__(self, a_val, a_col, a_row, p_val, p_col, p_row, fwd, bwd,
+                 n, nc, nloc, p):
+        self.a_val = a_val        # (mnnzA,) local operator slab entries
+        self.a_col = a_col        # (mnnzA,) int32 GLOBAL columns
+        self.a_row = a_row        # (mnnzA,) int32 local slab rows (sorted)
+        self.p_val = p_val        # (mnnzP,) local prolongator slab
+        self.p_col = p_col        # (mnnzP,) int32 global coarse columns
+        self.p_row = p_row        # (mnnzP,) int32 local slab rows (sorted)
+        self.fwd = fwd            # block-local SGS plans (stacked)
+        self.bwd = bwd
+        self.n = n                # static: global rows at this level
+        self.nc = nc              # static: global rows at the next level
+        self.nloc = nloc          # static: slab rows per shard
+        self.p = p                # static: mesh width
+
+    def tree_flatten(self):
+        return ((self.a_val, self.a_col, self.a_row, self.p_val, self.p_col,
+                 self.p_row, self.fwd, self.bwd),
+                (self.n, self.nc, self.nloc, self.p))
+
+    @classmethod
+    def tree_unflatten(cls, aux, c):
+        return cls(*c, *aux)
+
+    # ---- inside-shard_map ops (x, b replicated length-n vectors) --------
+    def local(self, x):
+        k = jax.lax.axis_index(AXIS)
+        return jax.lax.dynamic_slice_in_dim(
+            jnp.pad(x, (0, self.nloc * self.p - self.n)), k * self.nloc,
+            self.nloc)
+
+    def gather(self, x_loc):
+        return jax.lax.all_gather(x_loc, AXIS, tiled=True)[:self.n]
+
+    def matvec(self, x):
+        y_loc = jax.ops.segment_sum(
+            self.a_val * jnp.take(x, self.a_col, axis=0), self.a_row,
+            num_segments=self.nloc, indices_are_sorted=True)
+        return self.gather(y_loc)
+
+    def gs(self, b, lower):
+        """Block-local SGS half sweep on the owned diagonal block (the
+        reference's rank-local hybrid Gauss-Seidel)."""
+        from lis_tpu.ops.trisolve import trisolve
+        return trisolve(self.fwd if lower else self.bwd, self.local(b))
+
+    def restrict(self, r):
+        r_loc = self.local(r)
+        contrib = jnp.zeros(self.nc, dtype=r.dtype).at[self.p_col].add(
+            self.p_val * jnp.take(r_loc, self.p_row, axis=0))
+        return jax.lax.psum(contrib, AXIS)
+
+    def prolong_local(self, ec):
+        return jax.ops.segment_sum(
+            self.p_val * jnp.take(ec, self.p_col, axis=0), self.p_row,
+            num_segments=self.nloc, indices_are_sorted=True)
+
+
+@jax.tree_util.register_pytree_node_class
 class DistSAAMGPrecon:
     """Distributed smoothed-aggregation AMG.
 
     Design (vs the reference's per-level MPI comm tables,
     src/fortran/amg/lis_m_solver_AMGCG.F90:50, lis_m_solver_SR2.F90:43):
-    level 0 — the only level with meaningful size — is mesh-sharded:
-    block-local SGS smoothing (the relaxed-sweep precedent of dist ssor)
-    with the residual matvec going through the DISTRIBUTED operator, and
-    the smoothed prolongator stored as local row slabs; restriction is one
-    psum of the coarse-length vector.  Levels 1+ shrink geometrically, so
-    they run REPLICATED on every shard (no comm at all below level 0) —
-    the TPU-idiomatic choice: don't shard tiny work.
+    level 0 is mesh-sharded: block-local SGS smoothing (the relaxed-sweep
+    precedent of dist ssor) with the residual matvec going through the
+    DISTRIBUTED operator, and the smoothed prolongator stored as local
+    row slabs; restriction is one psum of the coarse-length vector.
+    Coarse levels that still exceed ``saamg_shard_rows × ndev`` rows are
+    sharded as :class:`DistAMGMidLevel` row slabs (matrix memory ∝ 1/p,
+    vectors replicated), so the hierarchy no longer keeps a full replica
+    per device; only the truly small tail is replicated — the
+    TPU-idiomatic choice: don't shard tiny work.
     """
 
-    def __init__(self, A0, p_value, p_col, p_row, fwd, bwd, coarse, n1,
-                 nlocal):
+    def __init__(self, A0, p_value, p_col, p_row, fwd, bwd, mids, coarse,
+                 n1, nlocal):
         self.A0 = A0              # distributed operator (local view)
         self.p_value = p_value    # (mnnz,) local prolongator entries
         self.p_col = p_col        # (mnnz,) int32 global coarse columns
         self.p_row = p_row        # (mnnz,) int32 local fine rows (sorted)
         self.fwd = fwd            # block-local SGS plans (stacked)
         self.bwd = bwd
-        self.coarse = coarse      # replicated single-chip SAAMGPrecon
+        self.mids = mids          # tuple[DistAMGMidLevel] — sharded slabs
+        self.coarse = coarse      # replicated single-chip SAAMGPrecon tail
         self.n1 = n1              # static: coarse size
         self.nlocal = nlocal      # static
 
     def tree_flatten(self):
         return ((self.A0, self.p_value, self.p_col, self.p_row, self.fwd,
-                 self.bwd, self.coarse), (self.n1, self.nlocal))
+                 self.bwd, self.mids, self.coarse), (self.n1, self.nlocal))
 
     @classmethod
     def tree_unflatten(cls, aux, c):
         return cls(*c, *aux)
 
     def partition_specs(self):
-        """Mixed in_specs: level-0 leaves sharded, coarse replicated."""
+        """Mixed in_specs: level-0 + mid-level leaves sharded, coarse
+        replicated."""
         sharded = jax.tree.map(
             lambda _: P(AXIS),
             (self.A0, self.p_value, self.p_col, self.p_row, self.fwd,
-             self.bwd))
+             self.bwd, self.mids))
         repl = jax.tree.map(lambda _: P(), self.coarse)
         return jax.tree_util.tree_unflatten(
             jax.tree_util.tree_structure(self),
@@ -262,6 +337,29 @@ class DistSAAMGPrecon:
         x = x + trisolve(self.fwd, b - self.A0.matvec(x))
         return x + trisolve(self.bwd, b - self.A0.matvec(x))
 
+    def _mid_cycle(self, i, b):
+        """V-cycle over the sharded coarse levels; ``b`` is a replicated
+        global vector at mid level ``i``.  Mirrors SAAMGPrecon._cycle with
+        block-local SGS smoothing and slab matvecs."""
+        if i == len(self.mids):
+            return self.coarse.psolve(b)
+        m = self.mids[i]
+        # pre-smooth from x = 0
+        x_loc = m.gs(b, lower=True)
+        x = m.gather(x_loc)
+        x_loc = x_loc + m.gs(b - m.matvec(x), lower=False)
+        x = m.gather(x_loc)
+        # coarse-grid correction
+        rc = m.restrict(b - m.matvec(x))
+        ec = self._mid_cycle(i + 1, rc)
+        x_loc = x_loc + m.prolong_local(ec)
+        x = m.gather(x_loc)
+        # post-smooth
+        x_loc = x_loc + m.gs(b - m.matvec(x), lower=True)
+        x = m.gather(x_loc)
+        x_loc = x_loc + m.gs(b - m.matvec(x), lower=False)
+        return m.gather(x_loc)
+
     def psolve(self, r):
         from lis_tpu.ops.trisolve import trisolve
         # pre-smooth from x = 0 (one SGS sweep)
@@ -272,7 +370,7 @@ class DistSAAMGPrecon:
         contrib = jnp.zeros(self.n1, dtype=rr.dtype).at[self.p_col].add(
             self.p_value * jnp.take(rr, self.p_row, axis=0))
         rc = jax.lax.psum(contrib, AXIS)
-        ec = self.coarse.psolve(rc)         # replicated small V-cycle
+        ec = self._mid_cycle(0, rc)         # sharded slabs, then the tail
         # prolongate the correction into the local rows
         x = x + jax.ops.segment_sum(
             self.p_value * jnp.take(ec, self.p_col, axis=0), self.p_row,
@@ -282,6 +380,52 @@ class DistSAAMGPrecon:
 
     def psolveh(self, r):
         return self.psolve(r)               # symmetric hierarchy
+
+
+def _slab_triplets(M, p, nloc):
+    """Row-slab triplets of a scipy matrix, padded per shard to a common
+    nnz: (p, mnnz) value / GLOBAL column / local-row arrays, rows sorted
+    within each shard so segment_sum can assume sorted indices.  Padding
+    entries carry value 0 at local row nloc-1."""
+    Mc = M.tocoo()
+    shard_of = Mc.row // nloc
+    counts = np.bincount(shard_of, minlength=p)
+    mnnz = max(int(counts.max()), 1)
+    val = np.zeros((p, mnnz))
+    col = np.zeros((p, mnnz), dtype=np.int32)
+    row = np.full((p, mnnz), nloc - 1, dtype=np.int32)
+    lrow = Mc.row - shard_of * nloc
+    srt = np.lexsort((Mc.col, lrow, shard_of))
+    pos = np.concatenate([[0], np.cumsum(counts)])
+    for k in range(p):
+        sel = srt[pos[k]:pos[k + 1]]
+        cnt = len(sel)
+        val[k, :cnt] = Mc.data[sel]
+        col[k, :cnt] = Mc.col[sel]
+        row[k, :cnt] = lrow[sel]
+    return val, col, row
+
+
+def _slab_sgs_plans(gs, p, nloc, mesh):
+    """Stacked block-local SGS plans of the nloc-sized diagonal blocks of
+    a scipy matrix (identity on padding rows past the true size)."""
+    from lis_tpu.precon.saamg import _sgs_plans
+    gn = gs.shape[0]
+    fwds, bwds = [], []
+    for k in range(p):
+        lo, hi = min(k * nloc, gn), min((k + 1) * nloc, gn)
+        m = gs[lo:hi, lo:hi].tocoo()
+        r, c, v = m.row, m.col, m.data
+        npad = nloc - (hi - lo)
+        if npad > 0:
+            r = np.concatenate([r, np.arange(hi - lo, nloc)])
+            c = np.concatenate([c, np.arange(hi - lo, nloc)])
+            v = np.concatenate([v, np.ones(npad, dtype=v.dtype)])
+        f, b = _sgs_plans(sp.coo_matrix((v, (r, c)),
+                                        shape=(nloc, nloc)).tocsr())
+        fwds.append(f)
+        bwds.append(b)
+    return _stack_plans(fwds, mesh), _stack_plans(bwds, mesh)
 
 
 def make_dist_saamg(A, mesh: Mesh, opts):
@@ -339,9 +483,28 @@ def make_dist_saamg(A, mesh: Mesh, opts):
         row[k, :cnt] = lrow[sel]
     put = lambda a: jax.device_put(jnp.asarray(a.reshape(-1)), sh)
 
-    # replicated coarse hierarchy (levels 1+)
+    # coarse hierarchy: shard levels while they still hold real memory
+    # (rows > saamg_shard_rows × ndev), replicate only the small tail —
+    # the reference distributes every level with per-level comm tables
+    # (lis_m_data_structure_for_AMG.F90:36)
+    shard_rows = int(getattr(opts, "saamg_shard_rows", 256))
+    lvl = 1
+    mids = []
+    while lvl < len(raw) and raw[lvl][0].shape[0] > shard_rows * p:
+        Al, Pl = raw[lvl]
+        n_l = Al.shape[0]
+        nloc_l = -(-n_l // p)
+        av, ac, ar = _slab_triplets(Al, p, nloc_l)
+        pv, pc, pr = _slab_triplets(Pl, p, nloc_l)
+        f_l, b_l = _slab_sgs_plans(Al.tocsr(), p, nloc_l, mesh)
+        mids.append(DistAMGMidLevel(
+            a_val=put(av), a_col=put(ac), a_row=put(ar),
+            p_val=put(pv), p_col=put(pc), p_row=put(pr),
+            fwd=f_l, bwd=b_l, n=n_l, nc=Pl.shape[1], nloc=nloc_l, p=p))
+        lvl += 1
+
     clevels = []
-    for (Al, Pl) in raw[1:]:
+    for (Al, Pl) in raw[lvl:]:
         f, b = _sgs_plans(Al)
         Al.sort_indices()
         Pl.sort_indices()
@@ -354,5 +517,6 @@ def make_dist_saamg(A, mesh: Mesh, opts):
                              np.linalg.inv(A_coarse.toarray())))
 
     return DistSAAMGPrecon(A0=A, p_value=put(val), p_col=put(col),
-                           p_row=put(row), fwd=fwd, bwd=bwd, coarse=coarse,
+                           p_row=put(row), fwd=fwd, bwd=bwd,
+                           mids=tuple(mids), coarse=coarse,
                            n1=n1, nlocal=nl)

@@ -93,6 +93,8 @@ class SolverOptions:
     saamg_theta: float = 0.05       # -saamg_theta
     saamg_smoother: str = "sgs"     # -saamg_smoother {sgs|jacobi}
     saamg_lattice: bool = True      # -saamg_lattice (streamed box path)
+    saamg_shard_rows: int = 256     # -saamg_shard_rows (dist: shard coarse
+                                    #  levels while rows > this × ndev)
     adds: bool = False              # -adds (additive Schwarz wrapper)
     adds_iter: int = 1              # -adds_iter
     initx_zeros: bool = True        # -initx_zeros
@@ -254,6 +256,7 @@ _SOLVER_ACTIONS = {
     "-saamg_theta": _set_float("saamg_theta"),
     "-saamg_smoother": lambda o, v: setattr(o, "saamg_smoother", v.lower()),
     "-saamg_lattice": _set_bool("saamg_lattice"),
+    "-saamg_shard_rows": _set_int("saamg_shard_rows"),
     "-iluc_drop": _set_float("iluc_drop"),
     "-iluc_gamma": _set_float("iluc_gamma"),
     "-iluc_rate": _set_float("iluc_rate"),
