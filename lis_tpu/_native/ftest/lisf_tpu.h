@@ -78,6 +78,18 @@ extern void lis_solver_get_solvername_(lisf_int*, char*, lisf_int*, long);
 extern void lis_solver_output_rhistory_(lisf_int*, const char*, lisf_int*,
                                         long);
 
+/* PSD: decoupled precon/solver (test8f.F90) */
+extern void lis_solver_set_matrix_(lisf_int*, lisf_int*, lisf_int*);
+extern void lis_precon_psd_create_(lisf_int*, lisf_int*, lisf_int*);
+extern void lis_precon_psd_update_(lisf_int*, lisf_int*, lisf_int*);
+extern void lis_precon_destroy_(lisf_int*, lisf_int*);
+extern void lis_solve_kernel_(lisf_int*, lisf_int*, lisf_int*, lisf_int*,
+                              lisf_int*, lisf_int*);
+extern void lis_matrix_psd_set_value_(lisf_int*, lisf_int*, lisf_int*,
+                                      double*, lisf_int*, lisf_int*);
+extern void lis_matrix_psd_reset_scale_(lisf_int*, lisf_int*);
+extern void lis_vector_psd_reset_scale_(lisf_int*, lisf_int*);
+
 /* eigensolver */
 extern void lis_esolver_create_(lisf_int*, lisf_int*);
 extern void lis_esolver_destroy_(lisf_int*, lisf_int*);

@@ -479,6 +479,46 @@ F77(lis_array_nrm2)(lisf_int* n, double* x, double* nrm, lisf_int* ierr) {
     *ierr = 0;
 }
 
+/* ---- PSD: decoupled precon/solver (test8f.F90 workflow;
+        src/fortran/lisf_precon.c:65-125, lisf_solver.c:93,254) ------------- */
+
+F77(lis_solver_set_matrix)(lisf_int* A, lisf_int* s, lisf_int* ierr) {
+    *ierr = call_ll("solver_set_matrix", "(ll)", (long)*A, (long)*s);
+}
+
+F77(lis_precon_psd_create)(lisf_int* s, lisf_int* p, lisf_int* ierr) {
+    *p = call_ll("precon_create", "(l)", (long)*s);
+    *ierr = (*p > 0) ? 0 : -1;
+}
+
+F77(lis_precon_psd_update)(lisf_int* s, lisf_int* p, lisf_int* ierr) {
+    *ierr = call_ll("precon_psd_update", "(ll)", (long)*s, (long)*p);
+}
+
+F77(lis_precon_destroy)(lisf_int* p, lisf_int* ierr) {
+    *ierr = call_ll("precon_destroy", "(l)", (long)*p);
+}
+
+F77(lis_solve_kernel)(lisf_int* A, lisf_int* b, lisf_int* x, lisf_int* s,
+                      lisf_int* p, lisf_int* ierr) {
+    *ierr = call_ll("solve_kernel", "(lllll)", (long)*A, (long)*b, (long)*x,
+                    (long)*s, (long)*p);
+}
+
+F77(lis_matrix_psd_set_value)(lisf_int* flag, lisf_int* i, lisf_int* j,
+                              double* value, lisf_int* A, lisf_int* ierr) {
+    *ierr = call_ll("matrix_psd_set_value", "(llldl)", (long)*flag, (long)*i,
+                    (long)*j, *value, (long)*A);
+}
+
+F77(lis_matrix_psd_reset_scale)(lisf_int* A, lisf_int* ierr) {
+    *ierr = call_ll("matrix_psd_reset_scale", "(l)", (long)*A);
+}
+
+F77(lis_vector_psd_reset_scale)(lisf_int* v, lisf_int* ierr) {
+    *ierr = call_ll("vector_psd_reset_scale", "(l)", (long)*v);
+}
+
 /* ---- CHKERR (test/lisf_init.F analogue) ------------------------------------ */
 
 F77(chkerr)(lisf_int* ierr) {

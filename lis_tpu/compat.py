@@ -30,7 +30,8 @@ import numpy as np
 
 from lis_tpu.config import (LIS_SUCCESS, LIS_FAILS, LIS_ILL_OPTION,
                             LIS_BREAKDOWN, LIS_OUT_OF_MEMORY, LIS_MAXITER,
-                            LIS_ERR_NOT_IMPLEMENTED, LIS_ERR_FILE_IO)
+                            LIS_ERR_NOT_IMPLEMENTED, LIS_ERR_FILE_IO,
+                            LIS_ERR_ILL_ARG)
 from lis_tpu.config import initialize as lis_initialize          # noqa: F401
 from lis_tpu.config import finalize as lis_finalize              # noqa: F401
 from lis_tpu.config import wtime as lis_wtime                    # noqa: F401
@@ -305,6 +306,118 @@ def lis_solver_get_solver(solver):
 def lis_solver_get_solvername(nsol):
     from lis_tpu.runtime.options import SOLVER_NAMES
     return SOLVER_NAMES[int(nsol) - 1]
+
+
+# ---- PSD: Preconditioner and Solver Decoupled (test8f.F90 workflow) ---------
+#
+# The reference decouples precon construction from the solve so a factored
+# preconditioner can be reused/refreshed across repeated solves on a matrix
+# whose VALUES change but whose structure does not (lis_precon_psd_create /
+# lis_precon_psd_update, src/precon/lis_precon.c; lis_solve_kernel,
+# src/solver/lis_solver.c:440).  The reference implements the psd hooks only
+# for ILU(k) and SA-AMG; here every registered preconditioner rebuilds
+# cleanly, because construction was functional to begin with.
+
+class _PreconHandle:
+    def __init__(self):
+        self.M = None
+        self.precon_type = "none"
+
+
+def lis_solver_set_matrix(A, solver):
+    """Bind A to the solver for PSD precon construction
+    (lisf_solver.c: lis_solver_set_matrix_f)."""
+    solver.A = A
+    return LIS_SUCCESS
+
+
+def _psd_build(solver, precon):
+    from lis_tpu.runtime.options import SolverOptions
+    from lis_tpu.precon.base import PRECON_REGISTRY, NonePrecon, create_precon
+    from lis_tpu.solvers import driver as _drv  # registers precon modules
+    del _drv
+    opts = SolverOptions.from_string(solver.options or None)
+    A = getattr(solver, "A", None)
+    if A is None or A.m is None:
+        return LIS_ERR_ILL_ARG
+    precon.precon_type = opts.precon
+    if opts.precon == "none":
+        precon.M = NonePrecon()
+    else:
+        if opts.precon not in PRECON_REGISTRY:
+            return LIS_ERR_NOT_IMPLEMENTED
+        precon.M = create_precon(opts.precon, A.m, opts)
+        if opts.adds:
+            from lis_tpu.precon.ads import wrap_additive_schwarz
+            precon.M = wrap_additive_schwarz(A.m, precon.M, opts)
+    return LIS_SUCCESS
+
+
+def lis_precon_psd_create(solver, precon=None):
+    """Create the preconditioner from the solver's bound matrix + options,
+    without solving (lis_precon_psd_create, lis_precon.c)."""
+    precon = precon if precon is not None else _PreconHandle()
+    err = _psd_build(solver, precon)
+    if err:
+        raise RuntimeError(f"lis_precon_psd_create failed (status {err})")
+    return precon
+
+
+def lis_precon_psd_update(solver, precon):
+    """Re-factor the preconditioner after lis_matrix_psd_set_value updates
+    (lis_precon_psd_update, lis_precon.c)."""
+    return _psd_build(solver, precon)
+
+
+def lis_precon_destroy(precon):
+    precon.M = None
+    return LIS_SUCCESS
+
+
+def lis_solve_kernel(A, b, x, solver, precon):
+    """lis_solve with an externally supplied preconditioner
+    (lis_solve_kernel, src/solver/lis_solver.c:440)."""
+    from lis_tpu.solvers.driver import solve
+    res = solve(A.m, b.value, x0=x.value, options=solver.options or None,
+                M=precon.M)
+    solver.result = res
+    x.value = res.x
+    x.n = A.n
+    return res.status
+
+
+def lis_matrix_psd_set_value(flag, i, j, value, A):
+    """Update a value inside the ASSEMBLED structure — the structure must
+    already contain (i, j) (lis_matrix_psd_set_value_csr,
+    src/matrix/lis_matrix_csr.c; CSR only in the reference too)."""
+    import dataclasses
+    from lis_tpu.matrix.csr import CSRMatrix
+    if not isinstance(A.m, CSRMatrix):
+        return LIS_ERR_NOT_IMPLEMENTED
+    ptr, index, val = A.m.to_csr_arrays()
+    lo, hi = int(ptr[i]), int(ptr[i + 1])
+    rel = np.nonzero(index[lo:hi] == j)[0]   # columns need not be sorted
+    if rel.size == 0:
+        return LIS_ERR_ILL_ARG
+    pos = lo + int(rel[0])
+    newv = value if flag == LIS_INS_VALUE else val[pos] + value
+    A.m = dataclasses.replace(A.m, value=A.m.value.at[pos].set(newv))
+    return LIS_SUCCESS
+
+
+def lis_matrix_psd_reset_scale(A):
+    """Clear the is_scaled flag (lis_matrix_psd_reset_scale,
+    src/matrix/lis_matrix_ops.c).  solve() here scales functionally — the
+    caller's matrix is never mutated — so this only resets bookkeeping."""
+    A.is_scaled = False
+    return LIS_SUCCESS
+
+
+def lis_vector_psd_reset_scale(v):
+    """Vector analogue of lis_matrix_psd_reset_scale
+    (src/vector/lis_vector.c)."""
+    v.is_scaled = False
+    return LIS_SUCCESS
 
 
 # ---- eigensolver (lis.h:990-1013) --------------------------------------------

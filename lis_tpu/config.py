@@ -22,6 +22,7 @@ import jax
 LIS_SUCCESS = 0
 LIS_FAILS = -1
 LIS_ILL_OPTION = 1
+LIS_ERR_ILL_ARG = 1          # alias (lis.h:1057 — same value as ILL_OPTION)
 LIS_BREAKDOWN = 2
 LIS_OUT_OF_MEMORY = 3
 LIS_MAXITER = 4

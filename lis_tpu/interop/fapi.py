@@ -370,3 +370,44 @@ def array_xpay(n: int, x_addr: int, alpha: float, y_addr: int) -> int:
 
 def array_nrm2(n: int, x_addr: int) -> float:
     return float(c.lis_array_nrm2(n, _dbuf(x_addr, n)))
+
+
+# ---- PSD: decoupled precon/solver (test8f.F90; src/fortran/lisf_precon.c) ---
+
+def solver_set_matrix(ha: int, hs: int) -> int:
+    return c.lis_solver_set_matrix(_get(ha), _get(hs))
+
+
+def precon_create(hs: int) -> int:
+    """lis_precon_psd_create → new precon handle (0 on failure)."""
+    try:
+        return _put(c.lis_precon_psd_create(_get(hs)))
+    except Exception:
+        return 0
+
+
+def precon_psd_update(hs: int, hp: int) -> int:
+    return c.lis_precon_psd_update(_get(hs), _get(hp))
+
+
+def precon_destroy(hp: int) -> int:
+    _drop(hp)
+    return 0
+
+
+def solve_kernel(ha: int, hb: int, hx: int, hs: int, hp: int) -> int:
+    return c.lis_solve_kernel(_get(ha), _get(hb), _get(hx), _get(hs),
+                              _get(hp))
+
+
+def matrix_psd_set_value(flag: int, i: int, j: int, value: float,
+                         ha: int) -> int:
+    return c.lis_matrix_psd_set_value(flag, i, j, value, _get(ha))
+
+
+def matrix_psd_reset_scale(ha: int) -> int:
+    return c.lis_matrix_psd_reset_scale(_get(ha))
+
+
+def vector_psd_reset_scale(hv: int) -> int:
+    return c.lis_vector_psd_reset_scale(_get(hv))

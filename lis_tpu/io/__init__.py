@@ -12,7 +12,8 @@ from __future__ import annotations
 from lis_tpu.io.mm import (read_matrix_market, read_vector_mm,
                            write_matrix_market, write_vector_mm)
 from lis_tpu.io.hb import read_harwell_boeing, write_harwell_boeing
-from lis_tpu.io.lisio import read_lis_file, write_lis_file
+from lis_tpu.io.lisio import (read_lis_file, read_lis_vector,
+                              write_lis_file, write_lis_vector)
 from lis_tpu.io.plain import read_vector_plain, write_vector_plain
 
 
@@ -43,11 +44,16 @@ def lis_input(path: str, matrix_type: str = "csr", **kw):
 
 
 def lis_input_vector(path: str):
-    """Read a vector: MM array, Lis ascii, or PLAIN (lis_input.c:176-248)."""
+    """Read a vector: MM array, Lis native (ascii or B/L binary), or PLAIN
+    (lis_input.c:176-248; vec-banner dispatch lis_input_vector_lis:470)."""
     fmt = _sniff(path)
     if fmt == "mm":
         return read_vector_mm(path)
     if fmt == "lis":
+        with open(path, "rb") as f:
+            head = f.read(10)
+        if head[7:10] == b"vec":
+            return read_lis_vector(path)
         _, b, _ = read_lis_file(path)
         return b
     return read_vector_plain(path)
@@ -72,10 +78,18 @@ def lis_output(path: str, matrix, b=None, x=None, fmt: str = "mm"):
         raise ValueError(f"unsupported output format {fmt!r}")
 
 
-def lis_output_vector(path: str, vec, fmt: str = "mm"):
+def lis_output_vector(path: str, vec, fmt: str = "mm", nprocs: int = 1):
+    """Formats: "mm", "plain", "lis" (reference ascii #LIS A vec),
+    "lisb"/"lisl" (big/little-endian binary vec flavors)."""
     if fmt == "mm":
         write_vector_mm(path, vec)
     elif fmt == "plain":
         write_vector_plain(path, vec)
+    elif fmt == "lis":
+        write_lis_vector(path, vec, mode="A", nprocs=nprocs)
+    elif fmt == "lisb":
+        write_lis_vector(path, vec, mode="B", nprocs=nprocs)
+    elif fmt == "lisl":
+        write_lis_vector(path, vec, mode="L", nprocs=nprocs)
     else:
         raise ValueError(f"unsupported vector output format {fmt!r}")

@@ -1,12 +1,23 @@
-"""Lis native ASCII format (reference: lis_input/lis_output,
+"""Lis native file formats (reference: lis_input/lis_output,
 src/system/lis_input.c:67, src/system/lis_output.c:63-449).
 
-The Lis ASCII format is a simple header + triplet list; we read/write the
-CSR flavor.  (The reference's binary flavor with byte-swapping is host-side
-I/O plumbing; ASCII round-trips the same information.)
+Matrix flavor: header + triplet list (the reference's LIS_FMT_LIS matrix
+reader is compiled out — lis_input.c:109-117 comments the banner match —
+so the triplet layout here is our own, kept stable since round 1).
+
+Vector flavor: the reference's `#LIS A vec` layout exactly
+(lis_output_vector_lis_ascii, lis_output.c:56 — "%28.20e " values three
+per line under per-PE "# pe n" section headers), plus the binary `B`/`L`
+mode flavors whose headers lis_input_vector_lis (lis_input.c:470-495)
+detects and byte-swap-classifies but whose payload the reference leaves
+LIS_ERR_NOT_IMPLEMENTED: we complete them as big/little-endian i64/f64
+records so the byte-swap branch is actually exercised.
 """
 
 from __future__ import annotations
+
+import struct
+import sys
 
 import numpy as np
 
@@ -52,3 +63,99 @@ def read_lis_file(path: str, matrix_type: str = "csr", **kw):
             x = jnp.asarray(xd[:, 1])
     coo = COOMatrix.from_arrays(rows, cols, vals, (n, m))
     return convert_matrix(coo, matrix_type, **kw), b, x
+
+
+# ---------------------------------------------------------------------------
+# Vector flavor: "#LIS <mode> vec"
+# ---------------------------------------------------------------------------
+
+_VEC_MAGIC = {"A": b"#LIS A vec", "B": b"#LIS B vec", "L": b"#LIS L vec"}
+
+
+def _sections(vec, nprocs: int):
+    """Split vec into nprocs contiguous block-row sections (ranges.py rule)."""
+    v = np.asarray(vec)
+    gn = v.shape[0]
+    starts = [(gn * p) // nprocs for p in range(nprocs + 1)]
+    return [(p, v[starts[p]:starts[p + 1]]) for p in range(nprocs)]
+
+
+def write_lis_vector(path: str, vec, mode: str = "A", nprocs: int = 1):
+    """Write a vector in the Lis native format.
+
+    mode="A": byte-compatible with lis_output_vector_lis_ascii
+    (lis_output.c:56) — "#LIS A vec", nprocs line, then per PE a
+    "# pe n" header and "%28.20e " values three per line.
+    mode="B"/"L": the binary flavors (big/little endian) — same logical
+    layout with i64 counts and f64 values.
+    """
+    if mode not in _VEC_MAGIC:
+        raise ValueError(f"lis vector mode must be A, B or L, got {mode!r}")
+    secs = _sections(vec, nprocs)
+    if mode == "A":
+        with open(path, "w") as f:
+            f.write("#LIS A vec\n")
+            f.write(f"{nprocs}\n")
+            for pe, part in secs:
+                f.write(f"# {pe} {len(part)}\n")
+                for i, val in enumerate(part):
+                    f.write("%28.20e " % float(val))
+                    if (i + 1) % 3 == 0:
+                        f.write("\n")
+                if len(part) % 3 != 0:
+                    f.write("\n")
+        return
+    end = ">" if mode == "B" else "<"
+    with open(path, "wb") as f:
+        f.write(_VEC_MAGIC[mode] + b"\n")
+        f.write(struct.pack(end + "q", nprocs))
+        for pe, part in secs:
+            f.write(struct.pack(end + "qq", pe, len(part)))
+            f.write(np.asarray(part, dtype=end + "f8").tobytes())
+
+
+def read_lis_vector(path: str):
+    """Read a Lis native vector file (any mode; binary modes byte-swap when
+    the file's endianness differs from the host, the analogue of
+    lis_input.c:486-495's LIS_BINARY_BIG/LITTLE classification)."""
+    import jax.numpy as jnp
+    with open(path, "rb") as f:
+        head = f.read(10)
+    if not head.startswith(b"#LIS"):
+        raise ValueError(f"not a LIS vector file: {head!r}")
+    mode = chr(head[5])
+    if mode == "A":
+        parts = {}
+        with open(path) as f:
+            f.readline()
+            nprocs = int(f.readline().split()[0])
+            pe = n = None
+            vals: list[float] = []
+            for line in f:
+                if line.startswith("#"):
+                    if pe is not None:
+                        parts[pe] = vals
+                    _, pe_s, n_s = line.split()
+                    pe, n, vals = int(pe_s), int(n_s), []
+                else:
+                    vals.extend(float(t) for t in line.split())
+            if pe is not None:
+                parts[pe] = vals
+        if len(parts) != nprocs:
+            raise ValueError(f"expected {nprocs} PE sections, got {len(parts)}")
+        flat = [v for p in sorted(parts) for v in parts[p]]
+        return jnp.asarray(np.array(flat))
+    if mode not in ("B", "L"):
+        raise ValueError(f"unknown LIS vector mode {mode!r}")
+    end = ">" if mode == "B" else "<"
+    with open(path, "rb") as f:
+        f.read(11)  # magic + newline
+        (nprocs,) = struct.unpack(end + "q", f.read(8))
+        chunks = {}
+        for _ in range(nprocs):
+            pe, n = struct.unpack(end + "qq", f.read(16))
+            chunks[pe] = np.frombuffer(f.read(8 * n), dtype=end + "f8")
+    flat = np.concatenate([chunks[p] for p in sorted(chunks)])
+    if (end == ">") != (sys.byteorder == "big"):
+        flat = flat.astype("=f8")  # byte-swap to host order
+    return jnp.asarray(flat)

@@ -80,3 +80,60 @@ def test_io_roundtrip(tmp_path):
     lis.lis_matrix_get_diagonal(B, d)
     np.testing.assert_allclose(lis.lis_vector_get_values(d, 0, n),
                                np.arange(1.0, n + 1))
+
+
+def test_psd_decoupled_flow():
+    """The test8f.F90 PSD workflow (reference test/test8f.F90): bind the
+    matrix, create the preconditioner WITHOUT solving, lis_solve_kernel with
+    it, update matrix values in the assembled structure, psd_update the
+    factors, solve again — both solves must converge on the right answers."""
+    n = 40
+    A = lis.lis_matrix_create(0)
+    lis.lis_matrix_set_size(A, 0, n)
+    for i in range(n):
+        lis.lis_matrix_set_value(lis.LIS_INS_VALUE, i, i, 2.5, A)
+        if i > 0:
+            lis.lis_matrix_set_value(lis.LIS_INS_VALUE, i, i - 1, -1.0, A)
+        if i < n - 1:
+            lis.lis_matrix_set_value(lis.LIS_INS_VALUE, i, i + 1, -1.0, A)
+    lis.lis_matrix_assemble(A)
+
+    solver = lis.lis_solver_create()
+    lis.lis_solver_set_option("-i bicgstab -p ilu -tol 1e-12", solver)
+    lis.lis_solver_set_matrix(A, solver)
+    precon = lis.lis_precon_psd_create(solver)
+    assert precon.precon_type == "ilu"
+
+    b = lis.lis_vector_create(0)
+    lis.lis_vector_set_size(b, 0, n)
+    lis.lis_vector_set_all(1.0, b)
+    x = lis.lis_vector_duplicate(b)
+
+    st = lis.lis_solve_kernel(A, b, x, solver, precon)
+    assert st == lis.LIS_SUCCESS
+    dense1 = np.asarray(A.m.to_dense())
+    np.testing.assert_allclose(
+        dense1 @ np.asarray(lis.lis_vector_get_values(x, 0, n)),
+        np.ones(n), atol=1e-9)
+    iters1 = lis.lis_solver_get_iter(solver)
+
+    # strengthen the diagonal in place (structure unchanged), refresh factors
+    for i in range(n):
+        assert lis.lis_matrix_psd_set_value(
+            lis.LIS_ADD_VALUE, i, i, 2.0, A) == lis.LIS_SUCCESS
+    # an entry OUTSIDE the structure is rejected, not inserted
+    assert lis.lis_matrix_psd_set_value(
+        lis.LIS_INS_VALUE, 0, n - 1, 9.9, A) == lis.LIS_ERR_ILL_ARG
+    assert lis.lis_precon_psd_update(solver, precon) == lis.LIS_SUCCESS
+    lis.lis_matrix_psd_reset_scale(A)
+    lis.lis_vector_psd_reset_scale(b)
+
+    st = lis.lis_solve_kernel(A, b, x, solver, precon)
+    assert st == lis.LIS_SUCCESS
+    dense2 = np.asarray(A.m.to_dense())
+    np.testing.assert_allclose(np.diag(dense2), np.diag(dense1) + 2.0)
+    np.testing.assert_allclose(
+        dense2 @ np.asarray(lis.lis_vector_get_values(x, 0, n)),
+        np.ones(n), atol=1e-9)
+    # better-conditioned system + refreshed ILU: no more iterations needed
+    assert lis.lis_solver_get_iter(solver) <= iters1

@@ -137,7 +137,7 @@ def ftest_build():
                 + ["-o", lib], capture_output=True, text=True)
     assert r.returncode == 0, r.stderr
     exes = {}
-    for t in ("test1f", "test2f", "test6f", "test7f", "etest1f"):
+    for t in ("test1f", "test2f", "test6f", "test7f", "test8f", "etest1f"):
         exe = _os.path.join(_FTEST, t)
         r = _sp.run(["gcc", _os.path.join(_FTEST, t + ".c"), "-I" + _FTEST,
                      "-L" + _NATIVE, "-llisf_tpu", "-Wl,-rpath," + _NATIVE,
@@ -213,3 +213,21 @@ def test_fortran_etest1f_flow(ftest_build, tmp_path):
     assert r.returncode == 0, (r.stdout, r.stderr)
     assert "pi: eigenvalue           = 7.36" in r.stdout
     assert ev.exists() and rh.exists()
+
+
+def test_fortran_test8f_psd_flow(ftest_build):
+    """test8f: the PSD (Preconditioner and Solver Decoupled) workflow —
+    lis_solver_set_matrix + lis_precon_psd_create + lis_solve_kernel,
+    then lis_matrix_psd_set_value / lis_precon_psd_update /
+    psd_reset_scale and a second decoupled solve (reference
+    test/test8f.F90)."""
+    import re
+    r = _run_ftest(ftest_build["test8f"], 50)
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    m1 = re.search(r"pass 1: iters = (\d+), resid = ([0-9.e+-]+)", r.stdout)
+    m2 = re.search(r"pass 2: iters = (\d+), resid = ([0-9.e+-]+)", r.stdout)
+    assert m1 and m2, r.stdout
+    # both converged under the 1e-12 tolerance; the refreshed ILU on the
+    # better-conditioned pass needs no more iterations than pass 1
+    assert float(m1.group(2)) < 1e-11 and float(m2.group(2)) < 1e-11
+    assert int(m2.group(1)) <= int(m1.group(1))

@@ -214,3 +214,38 @@ def test_hb_write_roundtrip(tmp_path):
     a4, _, _ = lis_input(str(p3))
     np.testing.assert_allclose(np.asarray(a.to_dense()),
                                np.asarray(a4.to_dense()), rtol=1e-14)
+
+
+def test_lis_vector_ascii_reference_layout(tmp_path):
+    """#LIS A vec writer emits the reference's exact byte layout
+    (lis_output_vector_lis_ascii: %28.20e values three per line under
+    "# pe n" section headers) and the reader concatenates PE sections."""
+    from lis_tpu.io import lis_input_vector, lis_output_vector
+    v = np.linspace(-2.0, 3.0, 11)
+    p = tmp_path / "v.lis"
+    lis_output_vector(str(p), v, fmt="lis", nprocs=3)
+    text = p.read_text()
+    lines = text.splitlines()
+    assert lines[0] == "#LIS A vec"
+    assert lines[1] == "3"
+    # section headers carry the block-row partition sizes 3/4/4
+    assert lines[2] == "# 0 3"
+    # values are right-aligned %28.20e, three per line
+    assert lines[3] == "%28.20e %28.20e %28.20e " % (v[0], v[1], v[2])
+    v2 = lis_input_vector(str(p))
+    np.testing.assert_allclose(np.asarray(v2), v, rtol=0, atol=0)
+
+
+def test_lis_vector_binary_roundtrip_both_endians(tmp_path):
+    """The B/L binary vec flavors round-trip with byte-swapping: a
+    big-endian file on a little-endian host exercises the swap branch
+    (lis_input.c:486-495's LIS_BINARY_BIG/LITTLE classification)."""
+    from lis_tpu.io import lis_input_vector, lis_output_vector
+    v = np.linspace(0.5, -7.25, 10)
+    for fmt in ("lisb", "lisl"):
+        p = tmp_path / f"v.{fmt}"
+        lis_output_vector(str(p), v, fmt=fmt, nprocs=4)
+        head = p.read_bytes()[:10]
+        assert head == (b"#LIS B vec" if fmt == "lisb" else b"#LIS L vec")
+        v2 = lis_input_vector(str(p))
+        np.testing.assert_array_equal(np.asarray(v2, dtype=np.float64), v)
