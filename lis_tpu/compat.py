@@ -85,14 +85,17 @@ class _EsolverHandle:
 # ---- matrix (lis.h:865-914) -------------------------------------------------
 
 def lis_matrix_create(comm=0):
+    """Allocate a matrix handle (man lis_matrix_create.3)."""
     return _MatrixHandle(comm)
 
 
 def lis_matrix_destroy(A):
+    """Release a matrix handle (man lis_matrix_destroy.3)."""
     return LIS_SUCCESS
 
 
 def lis_matrix_set_size(A, local_n, global_n):
+    """Set local/global dimension and open assembly (man lis_matrix_set_size.3)."""
     A.n = int(global_n or local_n)
     from lis_tpu.matrix.assembly import MatrixAssembler
     A._asm = MatrixAssembler((A.n, A.n))
@@ -100,29 +103,35 @@ def lis_matrix_set_size(A, local_n, global_n):
 
 
 def lis_matrix_get_size(A):
+    """(local_n, global_n) of the matrix (man lis_matrix_get_size.3)."""
     return A.n, A.n
 
 
 def lis_matrix_set_type(A, matrix_type):
+    """Declare the storage type used at assemble time (man lis_matrix_set_type.3)."""
     A.matrix_type = int(matrix_type)
     return LIS_SUCCESS
 
 
 def lis_matrix_get_type(A):
+    """Declared storage type id (man lis_matrix_get_type.3)."""
     return A.matrix_type
 
 
 def lis_matrix_set_value(flag, i, j, value, A):
+    """Insert (LIS_INS_VALUE) or accumulate (LIS_ADD_VALUE) A[i,j] (man lis_matrix_set_value.3)."""
     A._asm.set_value(flag, int(i), int(j), value)
     return LIS_SUCCESS
 
 
 def lis_matrix_set_csr(nnz, ptr, index, value, A):
+    """Adopt caller-owned CSR arrays as the matrix storage (man lis_matrix_set_csr.3)."""
     A._csr = (np.asarray(ptr), np.asarray(index), np.asarray(value))
     return LIS_SUCCESS
 
 
 def lis_matrix_assemble(A):
+    """Finalize assembly: build the storage object in the requested type (man lis_matrix_assemble.3)."""
     from lis_tpu.matrix.csr import CSRMatrix
     from lis_tpu.matrix.convert import convert_matrix
     if A._csr is not None:
@@ -136,6 +145,7 @@ def lis_matrix_assemble(A):
 
 
 def lis_matrix_convert(Ain, Aout):
+    """Convert Ain's storage into Aout's declared type (man lis_matrix_convert.3)."""
     from lis_tpu.matrix.convert import convert_matrix
     Aout.n = Ain.n
     Aout.m = convert_matrix(Ain.m, _TYPE_NAMES.get(Aout.matrix_type, "csr"))
@@ -143,6 +153,7 @@ def lis_matrix_convert(Ain, Aout):
 
 
 def lis_matrix_get_diagonal(A, d):
+    """Copy diag(A) into vector d (man lis_matrix_get_diagonal.3)."""
     d.value = A.m.get_diagonal()
     d.n = A.n
     return LIS_SUCCESS
@@ -151,14 +162,17 @@ def lis_matrix_get_diagonal(A, d):
 # ---- vector (lis.h:824-859) -------------------------------------------------
 
 def lis_vector_create(comm=0):
+    """Allocate a vector handle (man lis_vector_create.3)."""
     return _VectorHandle(comm)
 
 
 def lis_vector_destroy(v):
+    """Release a vector handle (man lis_vector_destroy.3)."""
     return LIS_SUCCESS
 
 
 def lis_vector_set_size(v, local_n, global_n=0):
+    """Set the vector dimension and allocate zeros (man lis_vector_set_size.3)."""
     import jax.numpy as jnp
     v.n = int(global_n or local_n)
     v.value = jnp.zeros(v.n)
@@ -166,6 +180,7 @@ def lis_vector_set_size(v, local_n, global_n=0):
 
 
 def lis_vector_duplicate(vin, _cls=None):
+    """New zero vector with vin's size/layout (man lis_vector_duplicate.3)."""
     import jax.numpy as jnp
     v = _VectorHandle(vin.comm)
     v.n = vin.n
@@ -174,6 +189,7 @@ def lis_vector_duplicate(vin, _cls=None):
 
 
 def lis_vector_set_all(alpha, v):
+    """Fill v with alpha (man lis_vector_set_all.3)."""
     import jax.numpy as jnp
     v.value = jnp.full(v.n, alpha, dtype=v.value.dtype
                        if v.value is not None else None)
@@ -181,38 +197,46 @@ def lis_vector_set_all(alpha, v):
 
 
 def lis_vector_set_value(flag, i, value, v):
+    """Insert or accumulate v[i] (man lis_vector_set_value.3)."""
     old = v.value[i] if flag == LIS_ADD_VALUE else 0.0
     v.value = v.value.at[int(i)].set(value + old)
     return LIS_SUCCESS
 
 
 def lis_vector_get_value(v, i):
+    """Read v[i] (man lis_vector_get_value.3)."""
     return float(v.value[int(i)])
 
 
 def lis_vector_get_values(v, start, count):
+    """Read count entries starting at start (man lis_vector_get_values.3)."""
     return np.asarray(v.value[int(start):int(start) + int(count)])
 
 
 def lis_vector_nrm2(v):
+    """2-norm of v (man lis_vector_nrm2.3)."""
     return float(np.linalg.norm(np.asarray(v.value)))
 
 
 def lis_vector_dot(u, v):
+    """Hermitian inner product <u, v> (man lis_vector_dot.3)."""
     return float(np.dot(np.asarray(u.value), np.asarray(v.value)))
 
 
 def lis_vector_axpy(alpha, x, y):
+    """y := alpha x + y (man lis_vector_axpy.3)."""
     y.value = y.value + alpha * x.value
     return LIS_SUCCESS
 
 
 def lis_vector_scale(alpha, x):
+    """x := alpha x (man lis_vector_scale.3)."""
     x.value = alpha * x.value
     return LIS_SUCCESS
 
 
 def lis_vector_copy(src, dst):
+    """dst := src (man lis_vector_copy.3)."""
     dst.value = src.value
     dst.n = src.n
     return LIS_SUCCESS
@@ -221,12 +245,14 @@ def lis_vector_copy(src, dst):
 # ---- matvec (lis.h:920-921) -------------------------------------------------
 
 def lis_matvec(A, x, y):
+    """y := A x (man lis_matvec.3)."""
     y.value = A.m.matvec(x.value)
     y.n = A.n
     return LIS_SUCCESS
 
 
 def lis_matvech(A, x, y):
+    """y := A^H x — transpose (conjugate) product (man lis_matvech.3)."""
     y.value = A.m.matvech(x.value)
     y.n = A.n
     return LIS_SUCCESS
@@ -235,19 +261,23 @@ def lis_matvech(A, x, y):
 # ---- solver (lis.h:961-984) -------------------------------------------------
 
 def lis_solver_create():
+    """Allocate a solver workspace handle (man lis_solver_create.3)."""
     return _SolverHandle()
 
 
 def lis_solver_destroy(s):
+    """Release a solver handle (man lis_solver_destroy.3)."""
     return LIS_SUCCESS
 
 
 def lis_solver_set_option(text, solver):
+    """Append option text (e.g. \"-i gmres -p ilu\") to the solver (man lis_solver_set_option.3)."""
     solver.options = (solver.options + " " + text).strip()
     return LIS_SUCCESS
 
 
 def lis_solver_set_optionC(solver):
+    """Append the command-line options captured at initialize (man lis_solver_set_optionc.3)."""
     from lis_tpu import config as C
     solver.options = (solver.options + " "
                       + " ".join(C.get_cmd_args())).strip()
@@ -255,6 +285,7 @@ def lis_solver_set_optionC(solver):
 
 
 def lis_solve(A, b, x, solver):
+    """Solve Ax = b with the solver's options; x holds the solution (man lis_solve.3)."""
     from lis_tpu.solvers.driver import solve
     res = solve(A.m, b.value, x0=x.value, options=solver.options or None)
     solver.result = res
@@ -264,28 +295,34 @@ def lis_solve(A, b, x, solver):
 
 
 def lis_solver_get_iter(solver):
+    """Iteration count of the last solve (man lis_solver_get_iter.3)."""
     return solver.result.iters
 
 
 def lis_solver_get_iterex(solver):
+    """Iteration counts (total, double, quad) of the last solve (man lis_solver_get_iterex.3)."""
     r = solver.result
     return r.iters, r.iters, 0
 
 
 def lis_solver_get_time(solver):
+    """Wall-clock time of the last solve (man lis_solver_get_time.3)."""
     return solver.result.time
 
 
 def lis_solver_get_timeex(solver):
+    """Phase timers (total, itime, ptime, ...) of the last solve (man lis_solver_get_timeex.3)."""
     r = solver.result
     return r.time, r.itime, r.ptime, 0.0, 0.0
 
 
 def lis_solver_get_residualnorm(solver):
+    """Relative residual norm reached by the last solve (man lis_solver_get_residualnorm.3)."""
     return solver.result.resid
 
 
 def lis_solver_get_rhistory(solver, v=None):
+    """Per-iteration residual history of the last solve (man lis_solver_get_rhistory.3)."""
     rh = solver.result.rhistory
     if v is not None:
         import jax.numpy as jnp
@@ -296,14 +333,17 @@ def lis_solver_get_rhistory(solver, v=None):
 
 
 def lis_solver_get_status(solver):
+    """Status code of the last solve (man lis_solver_get_status.3)."""
     return solver.result.status
 
 
 def lis_solver_get_solver(solver):
+    """Numeric id of the solver that ran (man lis_solver_get_solver.3)."""
     return solver.result.options.solver_id
 
 
 def lis_solver_get_solvername(nsol):
+    """Solver name for a numeric id (man lis_solver_get_solvername.3)."""
     from lis_tpu.runtime.options import SOLVER_NAMES
     return SOLVER_NAMES[int(nsol) - 1]
 
@@ -370,6 +410,7 @@ def lis_precon_psd_update(solver, precon):
 
 
 def lis_precon_destroy(precon):
+    """Release a PSD preconditioner handle (man lis_precon_destroy.3)."""
     precon.M = None
     return LIS_SUCCESS
 
@@ -423,19 +464,23 @@ def lis_vector_psd_reset_scale(v):
 # ---- eigensolver (lis.h:990-1013) --------------------------------------------
 
 def lis_esolver_create():
+    """Allocate an eigensolver workspace handle (man lis_esolver_create.3)."""
     return _EsolverHandle()
 
 
 def lis_esolver_destroy(e):
+    """Release an eigensolver handle (man lis_esolver_destroy.3)."""
     return LIS_SUCCESS
 
 
 def lis_esolver_set_option(text, esolver):
+    """Append option text (e.g. \"-e cg -emaxiter 1000\") to the esolver (man lis_esolver_set_option.3)."""
     esolver.options = (esolver.options + " " + text).strip()
     return LIS_SUCCESS
 
 
 def lis_esolve(A, x, esolver):
+    """Compute the dominant eigenpair of A into x; returns (status, evalue) (man lis_esolve.3)."""
     import time as _time
     from lis_tpu.esolvers.driver import esolve
     t0 = _time.perf_counter()
@@ -449,6 +494,7 @@ def lis_esolve(A, x, esolver):
 
 
 def lis_gesolve(A, B, x, esolver):
+    """Generalized eigenproblem Ax = lambda Bx; returns (status, evalue) (man lis_gesolve.3)."""
     from lis_tpu.esolvers.driver import gesolve
     res = gesolve(A.m, B.m, options=esolver.options or None,
                   x0=None if x.value is None else x.value)
@@ -459,14 +505,17 @@ def lis_gesolve(A, B, x, esolver):
 
 
 def lis_esolver_get_iter(esolver):
+    """Iteration count of the last esolve (man lis_esolver_get_iter.3)."""
     return esolver.result.iters
 
 
 def lis_esolver_get_residualnorm(esolver):
+    """Relative residual of the converged eigenpair (man lis_esolver_get_residualnorm.3)."""
     return esolver.result.resid
 
 
 def lis_esolver_get_evalues(esolver, v=None):
+    """All Ritz values from the last esolve (man lis_esolver_get_evalues.3)."""
     ev = esolver.result.evalues
     if ev is None:
         ev = np.asarray([esolver.result.evalue])
@@ -479,12 +528,14 @@ def lis_esolver_get_evalues(esolver, v=None):
 
 
 def lis_esolver_get_status(esolver):
+    """Status code of the last esolve (man lis_esolver_get_status.3)."""
     return esolver.result.status
 
 
 # ---- I/O (lis.h:1019-1026) --------------------------------------------------
 
 def lis_input(A, b, x, filename):
+    """Read matrix (+ optional b, x) from file, auto-detecting the format (man lis_input.3)."""
     from lis_tpu.io import lis_input as _inp
     m, bv, xv = _inp(filename)
     A.m = m
@@ -499,6 +550,7 @@ def lis_input(A, b, x, filename):
 
 
 def lis_output(A, b, x, fmt, filename):
+    """Write matrix (+ optional b, x) in the requested format (man lis_output.3)."""
     from lis_tpu.io import lis_output as _out
     _out(filename, A.m,
          b=None if b is None else np.asarray(b.value),
@@ -513,6 +565,7 @@ def lis_input_matrix(A, filename):
 
 
 def lis_input_vector(v, filename):
+    """Read a vector from file into the handle (man lis_input_vector.3)."""
     from lis_tpu.io import lis_input_vector as _inpv
     v.value = _inpv(filename)
     v.n = int(v.value.shape[0])
@@ -520,6 +573,7 @@ def lis_input_vector(v, filename):
 
 
 def lis_output_vector(v, fmt, filename):
+    """Write a vector in the requested format (man lis_output_vector.3)."""
     from lis_tpu.io import lis_output_vector as _outv
     _outv(filename, np.asarray(v.value),
           fmt="plain" if fmt in (0, "plain") else "mm")
@@ -527,6 +581,7 @@ def lis_output_vector(v, fmt, filename):
 
 
 def lis_output_matrix(A, fmt, filename):
+    """Write the matrix alone in the requested format (man lis_output_matrix.3)."""
     return lis_output(A, None, None, fmt, filename)
 
 
@@ -541,6 +596,7 @@ def lis_solver_output_rhistory(solver, filename):
 
 
 def lis_esolver_output_rhistory(esolver, filename):
+    """Write the esolve residual history to a file (man lis_esolver_output_rhistory.3)."""
     rh = esolver.result.rhistory
     rh = np.asarray([] if rh is None else rh)
     with open(filename, "w") as f:
@@ -559,6 +615,7 @@ def lis_matrix_get_range(A):
 
 
 def lis_matrix_get_nnz(A):
+    """Number of stored nonzeros (man lis_matrix_get_nnz.3)."""
     return int(A.m.nnz)
 
 
@@ -578,6 +635,7 @@ LIS_FALSE = 0
 
 
 def lis_vector_is_null(v):
+    """1 if the handle has no storage yet, else 0 (man lis_vector_is_null.3)."""
     return LIS_TRUE if v.value is None or v.n is None else LIS_FALSE
 
 
@@ -590,6 +648,7 @@ def lis_vector_print(v):
 
 
 def lis_vector_conjugate(v):
+    """v := conj(v) in place (man lis_vector_conjugate.3)."""
     import jax.numpy as jnp
     v.value = jnp.conjugate(v.value)
     return LIS_SUCCESS
@@ -598,6 +657,7 @@ def lis_vector_conjugate(v):
 # ---- esolver extras (lis.h:990-1013) -------------------------------------------
 
 def lis_esolver_set_optionC(esolver):
+    """Append the command-line options captured at initialize (man lis_esolver_set_optionc.3)."""
     from lis_tpu import config as C
     esolver.options = (esolver.options + " "
                        + " ".join(C.get_cmd_args())).strip()
@@ -605,21 +665,25 @@ def lis_esolver_set_optionC(esolver):
 
 
 def lis_esolver_get_iterex(esolver):
+    """Iteration counts (total, double, quad) of the last esolve (man lis_esolver_get_iterex.3)."""
     r = esolver.result
     return r.iters, r.iters, 0
 
 
 def lis_esolver_get_timeex(esolver):
+    """Phase timers (total, precon, iteration) of the last esolve (man lis_esolver_get_timeex.3)."""
     t = getattr(esolver, "time", 0.0)
     return t, t, 0.0, 0.0, 0.0
 
 
 def lis_esolver_get_esolver(esolver):
+    """Numeric id of the eigensolver that ran (man lis_esolver_get_esolver.3)."""
     from lis_tpu.runtime.options import EsolverOptions
     return EsolverOptions.from_string(esolver.options or None).esolver_id
 
 
 def lis_esolver_get_esolvername(nsol):
+    """Eigensolver name for a numeric id (man lis_esolver_get_esolvername.3)."""
     from lis_tpu.runtime.options import ESOLVER_NAMES
     return ESOLVER_NAMES[int(nsol) - 1]
 
@@ -627,6 +691,7 @@ def lis_esolver_get_esolvername(nsol):
 # ---- dense array ops (lis.h array section; src/array/lis_array.c) --------------
 
 def lis_array_set_all(n, alpha, a):
+    """Fill the first n entries of a raw array with alpha (man lis_array_set_all.3)."""
     a[:int(n)] = alpha
     return LIS_SUCCESS
 
@@ -663,4 +728,5 @@ def lis_array_xpay(n, x, alpha, y):
 
 
 def lis_array_nrm2(n, x):
+    """2-norm of the first n entries of a raw array (man lis_array_nrm2.3)."""
     return float(np.linalg.norm(np.asarray(x[:int(n)])))

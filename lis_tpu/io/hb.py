@@ -38,6 +38,8 @@ def _read_fixed(lines, nlines, count, width, conv):
 
 
 def read_harwell_boeing(path: str, matrix_type: str = "csr", **kw):
+    """Read a Harwell-Boeing (RUA/RSA) file into a matrix of matrix_type
+    (reference lis_input_hb, src/system/lis_input_hb.c)."""
     with open(path) as f:
         lines = iter(f.readlines())
     next(lines)                                    # title line

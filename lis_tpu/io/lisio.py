@@ -27,6 +27,7 @@ from lis_tpu.matrix.convert import convert_matrix
 
 
 def write_lis_file(path: str, matrix: SparseMatrix, b=None, x=None):
+    """Write the Lis native matrix triplet flavor (+ optional b, x)."""
     ptr, index, value = matrix.to_csr_arrays()
     n, m = matrix.shape
     rows = np.repeat(np.arange(n), np.diff(ptr))

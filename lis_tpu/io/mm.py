@@ -213,6 +213,7 @@ def write_matrix_market(path: str, matrix: SparseMatrix,
 
 
 def write_vector_mm(path: str, vec):
+    """Write a vector as a MatrixMarket array (lis_output_vector_mm)."""
     v = np.asarray(vec)
     with open(path, "w") as f:
         f.write("%%MatrixMarket vector array real general\n")

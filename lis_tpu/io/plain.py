@@ -12,6 +12,7 @@ import numpy as np
 
 
 def read_vector_plain(path: str):
+    """Read a PLAIN vector file: one value per line (lis_input.c:176-248)."""
     vals = []
     with open(path) as f:
         for line in f:
@@ -22,6 +23,8 @@ def read_vector_plain(path: str):
 
 
 def write_vector_plain(path: str, vec):
+    """Write a PLAIN vector file: "%28.20e" one value per line
+    (lis_output_vector_plain, lis_output.c:180)."""
     v = np.asarray(vec)
     with open(path, "w") as f:
         for x in v:

@@ -520,6 +520,8 @@ def redistribute_csr(A: DistCSRMatrix, mesh: Mesh,
 
 
 def distribute_vector(v, mesh: Mesh, gn_pad: int):
+    """Zero-pad v to gn_pad and shard it into equal block rows over the
+    mesh (the lis_vector block-row partition, ranges.py rule)."""
     v = jnp.asarray(v)
     if v.shape[0] < gn_pad:
         v = jnp.pad(v, (0, gn_pad - v.shape[0]))

@@ -17,6 +17,8 @@ AXIS = "p"
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
+    """1-D device mesh over the first n_devices (default all) jax devices;
+    the axis name is AXIS ("p") — the MPI_Comm analogue."""
     devs = jax.devices()
     if n_devices is not None:
         if len(devs) < n_devices:
@@ -30,6 +32,7 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 
 
 def nprocs(mesh: Mesh) -> int:
+    """Device count along the distribution axis (MPI_Comm_size analogue)."""
     return mesh.shape[AXIS]
 
 

@@ -29,6 +29,8 @@ def set_debug_trace(on: bool, stream=None):
 
 
 def debug_trace_enabled() -> bool:
+    """True when LIS_DEBUG_FUNC-style call tracing is on (set_debug_trace /
+    LIS_TPU_DEBUG env)."""
     return _enabled
 
 
