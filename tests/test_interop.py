@@ -122,7 +122,7 @@ _FTEST = _os.path.join(_NATIVE, "ftest")
 
 @pytest.fixture(scope="module")
 def ftest_build():
-    """Build liblisf_tpu.so and the five C drivers that emit the exact
+    """Build liblisf_tpu.so and the C drivers that emit the exact
     gfortran call sequences of the reference's Fortran test programs."""
     import shutil
     if shutil.which("gcc") is None or shutil.which("python3-config") is None:
@@ -137,7 +137,8 @@ def ftest_build():
                 + ["-o", lib], capture_output=True, text=True)
     assert r.returncode == 0, r.stderr
     exes = {}
-    for t in ("test1f", "test2f", "test6f", "test7f", "test8f", "etest1f"):
+    for t in ("test1f", "test2f", "test6f", "test7f", "test8f",
+              "etest1f", "etest4f"):
         exe = _os.path.join(_FTEST, t)
         r = _sp.run(["gcc", _os.path.join(_FTEST, t + ".c"), "-I" + _FTEST,
                      "-L" + _NATIVE, "-llisf_tpu", "-Wl,-rpath," + _NATIVE,
@@ -231,3 +232,19 @@ def test_fortran_test8f_psd_flow(ftest_build):
     # better-conditioned pass needs no more iterations than pass 1
     assert float(m1.group(2)) < 1e-11 and float(m2.group(2)) < 1e-11
     assert int(m2.group(1)) <= int(m1.group(1))
+
+
+def test_fortran_etest4f_flow(ftest_build):
+    """etest4f: assembled 1-D Laplacian eigensolve with -e from the
+    captured command line, full getter surface (reference
+    test/etest4f.F). The exact smallest eigenvalue of tridiag(-1,2,-1)
+    at n=50 under inverse iteration is 2-2cos(pi/51)."""
+    import math
+    r = _run_ftest(ftest_build["etest4f"], 50, "-e", "ii", "-emaxiter",
+                   "3000", "-etol", "1e-10")
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    assert "matrix size = 50 x 50 (148 nonzero entries)" in r.stdout
+    line = [l for l in r.stdout.splitlines() if "eigenvalue" in l][0]
+    ev = float(line.split("=")[1])
+    assert abs(ev - (2 - 2 * math.cos(math.pi / 51))) < 1e-8
+    assert "ii: number of iterations" in r.stdout
