@@ -133,14 +133,22 @@ def lis_matrix_set_csr(nnz, ptr, index, value, A):
 def lis_matrix_assemble(A):
     """Finalize assembly: build the storage object in the requested type (man lis_matrix_assemble.3)."""
     from lis_tpu.matrix.csr import CSRMatrix
+    from lis_tpu.matrix.coo import COOMatrix
     from lis_tpu.matrix.convert import convert_matrix
     if A._csr is not None:
         ptr, index, value = A._csr
         m = CSRMatrix.from_csr_arrays(ptr, index, value, (A.n, A.n))
+    elif getattr(A, "_triplets", None) is not None:
+        rows, cols, vals = A._triplets
+        m = COOMatrix.from_arrays(rows, cols, vals, (A.n, A.n))
     else:
         m = A._asm.assemble("csr")
     name = _TYPE_NAMES.get(A.matrix_type, "csr")
-    A.m = convert_matrix(m, name) if name != "csr" else m
+    kw = {}
+    if name in ("bsr", "bsc") and getattr(A, "_block", None):
+        kw["bnr"] = A._block[0]
+    A.m = convert_matrix(m, name, **kw) if name != "csr" else (
+        m if isinstance(m, CSRMatrix) else convert_matrix(m, "csr"))
     return LIS_SUCCESS
 
 
@@ -730,3 +738,905 @@ def lis_array_xpay(n, x, alpha, y):
 def lis_array_nrm2(n, x):
     """2-norm of the first n entries of a raw array (man lis_array_nrm2.3)."""
     return float(np.linalg.norm(np.asarray(x[:int(n)])))
+
+
+# ---- full lis.h surface: vector ops (lis.h:824-859) -------------------------
+
+def lis_vector_get_size(v):
+    """(local_n, global_n) of the vector (man lis_vector_get_size.3)."""
+    return v.n, v.n
+
+
+def lis_vector_get_range(v):
+    """[is, ie) row range owned locally (man lis_vector_get_range.3)."""
+    return 0, v.n
+
+
+def lis_vector_set_values(flag, count, index, value, v):
+    """Insert/accumulate count entries at positions index
+    (man lis_vector_set_values.3)."""
+    import jax.numpy as jnp
+    idx = np.asarray(index[:int(count)], dtype=np.int32)
+    val = jnp.asarray(np.asarray(value[:int(count)]))
+    if flag == LIS_ADD_VALUE:
+        v.value = v.value.at[idx].add(val)
+    else:
+        v.value = v.value.at[idx].set(val)
+    return LIS_SUCCESS
+
+
+def lis_vector_set_values2(flag, start, count, value, v):
+    """Insert/accumulate count contiguous entries from start
+    (man lis_vector_set_values2.3)."""
+    import jax.numpy as jnp
+    s, c = int(start), int(count)
+    val = jnp.asarray(np.asarray(value[:c]))
+    if flag == LIS_ADD_VALUE:
+        v.value = v.value.at[s:s + c].add(val)
+    else:
+        v.value = v.value.at[s:s + c].set(val)
+    return LIS_SUCCESS
+
+
+def lis_vector_scatter(value, v):
+    """Copy a raw array into the vector (man lis_vector_scatter.3)."""
+    import jax.numpy as jnp
+    v.value = jnp.asarray(np.asarray(value[:v.n]))
+    return LIS_SUCCESS
+
+
+def lis_vector_gather(v, value=None):
+    """Copy the vector into a raw array (man lis_vector_gather.3)."""
+    out = np.asarray(v.value)
+    if value is not None:
+        value[:v.n] = out
+        return LIS_SUCCESS
+    return out
+
+
+def lis_vector_swap(vsrc, vdst):
+    """Exchange the contents of two vectors (man lis_vector_swap.3)."""
+    vsrc.value, vdst.value = vdst.value, vsrc.value
+    vsrc.n, vdst.n = vdst.n, vsrc.n
+    return LIS_SUCCESS
+
+
+def lis_vector_xpay(x, alpha, y):
+    """y := x + alpha y (man lis_vector_xpay.3)."""
+    from lis_tpu.core import vector as _v
+    y.value = _v.xpay(x.value, alpha, y.value)
+    return LIS_SUCCESS
+
+
+def lis_vector_axpyz(alpha, x, y, z):
+    """z := alpha x + y (man lis_vector_axpyz.3)."""
+    from lis_tpu.core import vector as _v
+    z.value = _v.axpyz(alpha, x.value, y.value)
+    z.n = y.n
+    return LIS_SUCCESS
+
+
+def lis_vector_pmul(x, y, z):
+    """z := x .* y elementwise (man lis_vector_pmul.3)."""
+    from lis_tpu.core import vector as _v
+    z.value = _v.pmul(x.value, y.value)
+    z.n = x.n
+    return LIS_SUCCESS
+
+
+def lis_vector_pdiv(x, y, z):
+    """z := x ./ y elementwise (man lis_vector_pdiv.3)."""
+    from lis_tpu.core import vector as _v
+    z.value = _v.pdiv(x.value, y.value)
+    z.n = x.n
+    return LIS_SUCCESS
+
+
+def lis_vector_abs(x):
+    """x := |x| in place (man lis_vector_abs.3)."""
+    from lis_tpu.core import vector as _v
+    x.value = _v.abs_(x.value)
+    return LIS_SUCCESS
+
+
+def lis_vector_reciprocal(x):
+    """x := 1 ./ x in place (man lis_vector_reciprocal.3)."""
+    from lis_tpu.core import vector as _v
+    x.value = _v.reciprocal(x.value)
+    return LIS_SUCCESS
+
+
+def lis_vector_shift(sigma, x):
+    """x := x - sigma in place (lis_vector_shift, src/vector/lis_vector_ops.c)."""
+    from lis_tpu.core import vector as _v
+    x.value = _v.shift(sigma, x.value)
+    return LIS_SUCCESS
+
+
+def lis_vector_nhdot(u, v):
+    """Non-Hermitian inner product x^T y (man lis_vector_nhdot.3)."""
+    from lis_tpu.core import vector as _v
+    return float(_v.nhdot(u.value, v.value))
+
+
+def lis_vector_nrm1(v):
+    """1-norm of v (man lis_vector_nrm1.3)."""
+    from lis_tpu.core import vector as _v
+    return float(_v.nrm1(v.value))
+
+
+def lis_vector_nrmi(v):
+    """Infinity-norm of v (man lis_vector_nrmi.3)."""
+    from lis_tpu.core import vector as _v
+    return float(_v.nrmi(v.value))
+
+
+def lis_vector_sum(v):
+    """Sum of all entries (man lis_vector_sum.3)."""
+    from lis_tpu.core import vector as _v
+    return float(_v.vsum(v.value))
+
+
+# ---- full lis.h surface: dense array ops (man lis_array_*.3) ----------------
+# All operate on raw caller-owned buffers; matrices are column-major
+# (Fortran order) like the reference.
+
+def lis_array_swap(n, x, y):
+    """Exchange the first n entries of two raw arrays (man lis_array_swap.3)."""
+    n = int(n)
+    t = np.array(x[:n])
+    x[:n] = y[:n]
+    y[:n] = t
+    return LIS_SUCCESS
+
+
+def lis_array_copy(n, x, y):
+    """y := x for raw arrays (man lis_array_copy.3)."""
+    y[:int(n)] = x[:int(n)]
+    return LIS_SUCCESS
+
+
+def lis_array_axpy(n, alpha, x, y):
+    """y += alpha x for raw arrays (man lis_array_axpy.3)."""
+    n = int(n)
+    y[:n] = np.asarray(y[:n]) + alpha * np.asarray(x[:n])
+    return LIS_SUCCESS
+
+
+def lis_array_axpyz(n, alpha, x, y, z):
+    """z := alpha x + y for raw arrays (man lis_array_axpyz.3)."""
+    n = int(n)
+    z[:n] = alpha * np.asarray(x[:n]) + np.asarray(y[:n])
+    return LIS_SUCCESS
+
+
+def lis_array_scale(n, alpha, x):
+    """x := alpha x for raw arrays (man lis_array_scale.3)."""
+    n = int(n)
+    x[:n] = alpha * np.asarray(x[:n])
+    return LIS_SUCCESS
+
+
+def lis_array_pmul(n, x, y, z):
+    """z := x .* y for raw arrays (man lis_array_pmul.3)."""
+    n = int(n)
+    z[:n] = np.asarray(x[:n]) * np.asarray(y[:n])
+    return LIS_SUCCESS
+
+
+def lis_array_pdiv(n, x, y, z):
+    """z := x ./ y for raw arrays (man lis_array_pdiv.3)."""
+    n = int(n)
+    z[:n] = np.asarray(x[:n]) / np.asarray(y[:n])
+    return LIS_SUCCESS
+
+
+def lis_array_abs(n, x):
+    """x := |x| in place (man lis_array_abs.3)."""
+    n = int(n)
+    x[:n] = np.abs(np.asarray(x[:n]))
+    return LIS_SUCCESS
+
+
+def lis_array_reciprocal(n, x):
+    """x := 1 ./ x in place (man lis_array_reciprocal.3)."""
+    n = int(n)
+    x[:n] = 1.0 / np.asarray(x[:n])
+    return LIS_SUCCESS
+
+
+def lis_array_conjugate(n, x):
+    """x := conj(x) in place (man lis_array_conjugate.3)."""
+    n = int(n)
+    x[:n] = np.conj(np.asarray(x[:n]))
+    return LIS_SUCCESS
+
+
+def lis_array_shift(n, sigma, x):
+    """x := x - sigma in place (man lis_array_shift.3)."""
+    n = int(n)
+    x[:n] = np.asarray(x[:n]) - sigma
+    return LIS_SUCCESS
+
+
+def lis_array_dot(n, x, y):
+    """Hermitian inner product of raw arrays (man lis_array_dot.3)."""
+    n = int(n)
+    return complex_or_float(np.vdot(np.asarray(x[:n]), np.asarray(y[:n])))
+
+
+def lis_array_nhdot(n, x, y):
+    """Non-Hermitian x^T y of raw arrays (man lis_array_nhdot.3)."""
+    n = int(n)
+    return complex_or_float(np.dot(np.asarray(x[:n]), np.asarray(y[:n])))
+
+
+def lis_array_nrm1(n, x):
+    """1-norm of the first n entries (man lis_array_nrm1.3)."""
+    return float(np.sum(np.abs(np.asarray(x[:int(n)]))))
+
+
+def lis_array_nrmi(n, x):
+    """Infinity-norm of the first n entries (man lis_array_nrmi.3)."""
+    return float(np.max(np.abs(np.asarray(x[:int(n)]))))
+
+
+def lis_array_sum(n, x):
+    """Sum of the first n entries (man lis_array_sum.3)."""
+    return complex_or_float(np.sum(np.asarray(x[:int(n)])))
+
+
+def complex_or_float(v):
+    """Return a python complex for complex inputs, else float."""
+    v = np.asarray(v)
+    return complex(v) if np.iscomplexobj(v) else float(v)
+
+
+def _colmajor(a, rows, cols, ld=None):
+    ld = int(ld) if ld is not None else int(rows)
+    return np.asarray(a[:ld * int(cols)]).reshape(
+        ld, int(cols), order="F")[:int(rows), :]
+
+
+def _apply_op(dst, n, res, flag):
+    if flag == LIS_INS_VALUE:
+        dst[:n] = res
+    elif flag == LIS_ADD_VALUE:
+        dst[:n] = np.asarray(dst[:n]) + res
+    else:
+        dst[:n] = np.asarray(dst[:n]) - res
+
+
+def lis_array_matvech(n, a, x, y, flag):
+    """y {=, +=, -=} A^H x for an n×n column-major array
+    (man lis_array_matvech.3)."""
+    n = int(n)
+    res = _colmajor(a, n, n).conj().T @ np.asarray(x[:n])
+    _apply_op(y, n, res, flag)
+    return LIS_SUCCESS
+
+
+def lis_array_matvec_ns(m, n, a, lda, x, y, flag):
+    """y {=, +=, -=} A x for a non-square m×n column-major array with
+    leading dimension lda (man lis_array_matvec_ns.3)."""
+    m, n = int(m), int(n)
+    res = _colmajor(a, m, n, lda) @ np.asarray(x[:n])
+    _apply_op(y, m, res, flag)
+    return LIS_SUCCESS
+
+
+def lis_array_matmat(n, a, b, c, flag):
+    """C {=, +=, -=} A B for n×n column-major arrays (man lis_array_matmat.3)."""
+    n = int(n)
+    res = (_colmajor(a, n, n) @ _colmajor(b, n, n)).reshape(-1, order="F")
+    _apply_op(c, n * n, res, flag)
+    return LIS_SUCCESS
+
+
+def lis_array_matmat_ns(m, n, k, a, lda, b, ldb, c, ldc, flag):
+    """C {=, +=, -=} A B for m×k · k×n column-major arrays with leading
+    dimensions (man lis_array_matmat_ns.3)."""
+    m, n, k, ldc = int(m), int(n), int(k), int(ldc)
+    res = _colmajor(a, m, k, lda) @ _colmajor(b, k, n, ldb)
+    cm = np.asarray(c[:ldc * n]).reshape(ldc, n, order="F")
+    if flag == LIS_INS_VALUE:
+        cm[:m, :] = res
+    elif flag == LIS_ADD_VALUE:
+        cm[:m, :] += res
+    else:
+        cm[:m, :] -= res
+    c[:ldc * n] = cm.reshape(-1, order="F")
+    return LIS_SUCCESS
+
+
+def lis_array_ge(n, a):
+    """Invert an n×n column-major array in place by Gaussian elimination
+    (man lis_array_ge.3)."""
+    from lis_tpu.core import array as _arr
+    n = int(n)
+    a[:n * n] = np.asarray(_arr.invert(_colmajor(a, n, n))).reshape(
+        -1, order="F")
+    return LIS_SUCCESS
+
+
+def lis_array_cgs(n, a, q, r):
+    """Classical Gram-Schmidt QR of an n×n column-major array into q, r
+    (man lis_array_cgs.3)."""
+    from lis_tpu.core import array as _arr
+    n = int(n)
+    import jax.numpy as jnp
+    qm, rm = _arr.cgs(jnp.asarray(_colmajor(a, n, n)))
+    q[:n * n] = np.asarray(qm).reshape(-1, order="F")
+    r[:n * n] = np.asarray(rm).reshape(-1, order="F")
+    return LIS_SUCCESS
+
+
+def lis_array_mgs(n, a, q, r):
+    """Modified Gram-Schmidt QR of an n×n column-major array into q, r
+    (man lis_array_mgs.3)."""
+    from lis_tpu.core import array as _arr
+    n = int(n)
+    import jax.numpy as jnp
+    qm, rm = _arr.mgs(jnp.asarray(_colmajor(a, n, n)))
+    q[:n * n] = np.asarray(qm).reshape(-1, order="F")
+    r[:n * n] = np.asarray(rm).reshape(-1, order="F")
+    return LIS_SUCCESS
+
+
+def lis_array_qr(n, a, q, r, maxiter=100000, tol=1e-12):
+    """Unshifted QR iteration a := R Q until the (2,1) entry decays,
+    writing q/r of the final step; returns (qriter, qrerr)
+    (man lis_array_qr.3; src/array/lis_array.c lis_array_qr)."""
+    n = int(n)
+    am = np.array(_colmajor(a, n, n))
+    it, err = 0, np.inf
+    while it < maxiter:
+        it += 1
+        qm, rm = np.linalg.qr(am)
+        am = rm @ qm
+        err = abs(am[1, 0]) if n > 1 else 0.0
+        if err < tol:
+            break
+    a[:n * n] = am.reshape(-1, order="F")
+    q[:n * n] = qm.reshape(-1, order="F")
+    r[:n * n] = rm.reshape(-1, order="F")
+    return it, float(err)
+
+
+# ---- full lis.h surface: raw-layout matrix adoption (man lis_matrix_set_*.3)
+# Each set_* records the caller's raw arrays in the reference's own packing
+# (column-major blocks, diagonal-major DIA, slot-major ELL, ...); assemble
+# re-lays them out into this library's TPU-first storage for the declared
+# type.  Layouts verified against the reference matvec kernels
+# (src/matvec/lis_matvec_{dia,ell,msr,jad,bsr,vbr}.c).
+
+def _stash_triplets(A, rows, cols, vals, type_id):
+    A._csr = None
+    A._triplets = (np.asarray(rows, dtype=np.int64),
+                   np.asarray(cols, dtype=np.int64),
+                   np.asarray(vals, dtype=np.float64))
+    A.matrix_type = type_id
+    return LIS_SUCCESS
+
+
+def lis_matrix_set_coo(nnz, row, col, value, A):
+    """Adopt caller-owned COO triplets (man lis_matrix_set_coo.3)."""
+    nnz = int(nnz)
+    return _stash_triplets(A, row[:nnz], col[:nnz], value[:nnz],
+                           LIS_MATRIX_COO)
+
+
+def lis_matrix_set_dns(value, A):
+    """Adopt a caller-owned column-major dense array
+    (man lis_matrix_set_dns.3)."""
+    n = A.n
+    d = np.asarray(value[:n * n]).reshape(n, n, order="F")
+    r, c = np.nonzero(d)
+    return _stash_triplets(A, r, c, d[r, c], LIS_MATRIX_DNS)
+
+
+def lis_matrix_set_csc(nnz, ptr, index, value, A):
+    """Adopt caller-owned CSC arrays: column pointers + row indices
+    (man lis_matrix_set_csc.3)."""
+    n, nnz = A.n, int(nnz)
+    p = np.asarray(ptr[:n + 1], dtype=np.int64)
+    rows = np.asarray(index[:nnz], dtype=np.int64)
+    cols = np.repeat(np.arange(n, dtype=np.int64), np.diff(p))
+    return _stash_triplets(A, rows, cols, value[:nnz], LIS_MATRIX_CSC)
+
+
+def lis_matrix_set_dia(nnd, index, value, A):
+    """Adopt diagonal-major DIA arrays: value[j*n+i] on diagonal
+    offset index[j] (man lis_matrix_set_dia.3)."""
+    n, nnd = A.n, int(nnd)
+    offs = np.asarray(index[:nnd], dtype=np.int64)
+    v = np.asarray(value[:nnd * n]).reshape(nnd, n)
+    rows, cols, vals = [], [], []
+    for j, off in enumerate(offs):
+        i = np.arange(max(0, -off), min(n, n - off), dtype=np.int64)
+        rows.append(i)
+        cols.append(i + off)
+        vals.append(v[j, i])
+    return _stash_triplets(A, np.concatenate(rows), np.concatenate(cols),
+                           np.concatenate(vals), LIS_MATRIX_DIA)
+
+
+def lis_matrix_set_ell(maxnzr, index, value, A):
+    """Adopt slot-major ELL arrays: value[j*n+i] with column index[j*n+i];
+    zero-valued padding entries are dropped (man lis_matrix_set_ell.3)."""
+    n, w = A.n, int(maxnzr)
+    idx = np.asarray(index[:w * n], dtype=np.int64).reshape(w, n)
+    v = np.asarray(value[:w * n]).reshape(w, n)
+    rows = np.tile(np.arange(n, dtype=np.int64), w)
+    keep = v.reshape(-1) != 0.0
+    return _stash_triplets(A, rows[keep], idx.reshape(-1)[keep],
+                           v.reshape(-1)[keep], LIS_MATRIX_ELL)
+
+
+def lis_matrix_set_msr(nnz, ndz, index, value, A):
+    """Adopt MSR arrays: value[0:n] diagonal, index[0:n+1] pointers into
+    the shared off-diagonal tail (man lis_matrix_set_msr.3)."""
+    n = A.n
+    p = np.asarray(index[:n + 1], dtype=np.int64)
+    rows = [np.arange(n, dtype=np.int64)]
+    cols = [np.arange(n, dtype=np.int64)]
+    vals = [np.asarray(value[:n])]
+    cnt = np.diff(p)
+    rows.append(np.repeat(np.arange(n, dtype=np.int64), cnt))
+    cols.append(np.asarray(index[int(p[0]):int(p[n])], dtype=np.int64))
+    vals.append(np.asarray(value[int(p[0]):int(p[n])]))
+    keep = np.concatenate(vals) != 0.0
+    keep[:n] = True  # keep explicit diagonal incl. zeros
+    return _stash_triplets(A, np.concatenate(rows)[keep],
+                           np.concatenate(cols)[keep],
+                           np.concatenate(vals)[keep], LIS_MATRIX_MSR)
+
+
+def lis_matrix_set_jad(nnz, maxnzr, perm, ptr, index, value, A):
+    """Adopt jagged-diagonal arrays: perm maps sorted position to original
+    row, ptr bounds each jagged diagonal (man lis_matrix_set_jad.3)."""
+    n, w, nnz = A.n, int(maxnzr), int(nnz)
+    pm = np.asarray(perm[:n], dtype=np.int64)
+    p = np.asarray(ptr[:w + 1], dtype=np.int64)
+    rows, cols, vals = [], [], []
+    for j in range(w):
+        js, je = int(p[j]), int(p[j + 1])
+        rows.append(pm[np.arange(je - js, dtype=np.int64)])
+        cols.append(np.asarray(index[js:je], dtype=np.int64))
+        vals.append(np.asarray(value[js:je]))
+    return _stash_triplets(A, np.concatenate(rows), np.concatenate(cols),
+                           np.concatenate(vals), LIS_MATRIX_JAD)
+
+
+def _block_triplets(bnr, bnc, bptr, bindex, value, nmajor, by_row):
+    """Expand column-major bnr×bnc blocks into (row, col, value) triplets.
+    value[bc*bnr*bnc + j*bnr + i] is entry (i, j) of block bc
+    (lis_matvec_bsr.c:57 loop order)."""
+    bnr, bnc = int(bnr), int(bnc)
+    bs = bnr * bnc
+    p = np.asarray(bptr[:nmajor + 1], dtype=np.int64)
+    bi_major = np.repeat(np.arange(nmajor, dtype=np.int64), np.diff(p))
+    bother = np.asarray(bindex[:int(p[nmajor])], dtype=np.int64)
+    nblk = len(bother)
+    # within-block position k = j*bnr + i  (j outer, i inner)
+    ii = np.tile(np.arange(bnr, dtype=np.int64), bnc)
+    jj = np.repeat(np.arange(bnc, dtype=np.int64), bnr)
+    if by_row:
+        rows = (bi_major[:, None] * bnr + ii[None, :]).reshape(-1)
+        cols = (bother[:, None] * bnc + jj[None, :]).reshape(-1)
+    else:
+        rows = (bother[:, None] * bnr + ii[None, :]).reshape(-1)
+        cols = (bi_major[:, None] * bnc + jj[None, :]).reshape(-1)
+    flat = np.asarray(value[:nblk * bs]).reshape(-1)
+    return rows, cols, flat
+
+
+def lis_matrix_set_bsr(bnr, bnc, bnnz, bptr, bindex, value, A):
+    """Adopt BSR arrays: column-major bnr×bnc blocks, block-row pointers
+    (man lis_matrix_set_bsr.3)."""
+    nr = (A.n + int(bnr) - 1) // int(bnr)
+    rows, cols, vals = _block_triplets(bnr, bnc, bptr, bindex, value, nr,
+                                       by_row=True)
+    keep = (vals != 0.0) & (rows < A.n) & (cols < A.n)
+    A._block = (int(bnr), int(bnc))
+    return _stash_triplets(A, rows[keep], cols[keep], vals[keep],
+                           LIS_MATRIX_BSR)
+
+
+def lis_matrix_set_bsc(bnr, bnc, bnnz, bptr, bindex, value, A):
+    """Adopt BSC arrays: column-major blocks, block-column pointers
+    (man lis_matrix_set_bsc.3)."""
+    nc = (A.n + int(bnc) - 1) // int(bnc)
+    rows, cols, vals = _block_triplets(bnr, bnc, bptr, bindex, value, nc,
+                                       by_row=False)
+    keep = (vals != 0.0) & (rows < A.n) & (cols < A.n)
+    A._block = (int(bnr), int(bnc))
+    return _stash_triplets(A, rows[keep], cols[keep], vals[keep],
+                           LIS_MATRIX_BSC)
+
+
+def lis_matrix_set_vbr(nnz, nr, nc, bnnz, row, col, ptr, bptr, bindex,
+                       value, A):
+    """Adopt VBR arrays: variable row/col partitions, per-block value
+    pointers, column-major within blocks (man lis_matrix_set_vbr.3)."""
+    nr, nc = int(nr), int(nc)
+    rp = np.asarray(row[:nr + 1], dtype=np.int64)
+    cp = np.asarray(col[:nc + 1], dtype=np.int64)
+    bp = np.asarray(bptr[:nr + 1], dtype=np.int64)
+    vp = np.asarray(ptr[:int(bp[nr]) + 1], dtype=np.int64)
+    rows, cols, vals = [], [], []
+    for bi in range(nr):
+        for bc in range(int(bp[bi]), int(bp[bi + 1])):
+            bj = int(bindex[bc])
+            h = int(rp[bi + 1] - rp[bi])
+            w = int(cp[bj + 1] - cp[bj])
+            blk = np.asarray(
+                value[int(vp[bc]):int(vp[bc]) + h * w]).reshape(
+                    w, h)  # column-major: j outer, i inner
+            jj, ii = np.nonzero(blk)
+            rows.append(rp[bi] + ii)
+            cols.append(cp[bj] + jj)
+            vals.append(blk[jj, ii])
+    A._vbr_parts = (rp, cp)
+    return _stash_triplets(A, np.concatenate(rows), np.concatenate(cols),
+                           np.concatenate(vals), LIS_MATRIX_VBR)
+
+
+def lis_matrix_set_blocksize(A, bnr, bnc, row=None, col=None):
+    """Record the block size used when converting to BSR/BSC/VBR
+    (man lis_matrix_set_blocksize.3)."""
+    if row is not None and col is not None:
+        A._vbr_parts = (np.asarray(row, dtype=np.int64),
+                        np.asarray(col, dtype=np.int64))
+    A._block = (int(bnr), int(bnc))
+    return LIS_SUCCESS
+
+
+def lis_matrix_unset(A):
+    """Detach the caller's raw arrays from the handle without touching
+    them — the assembled storage object survives (man lis_matrix_unset.3)."""
+    A._csr = None
+    A._triplets = None
+    return LIS_SUCCESS
+
+
+def lis_matrix_is_assembled(A):
+    """LIS_TRUE(1) once assemble has built storage (man
+    lis_matrix_is_assembled.3)."""
+    return 1 if A.m is not None else 0
+
+
+def lis_matrix_copy(Ain, Aout):
+    """Deep-copy storage into Aout (man lis_matrix_copy.3)."""
+    Aout.n = Ain.n
+    Aout.matrix_type = Ain.matrix_type
+    Aout.m = Ain.m  # storage objects are immutable pytrees: sharing IS copy
+    return LIS_SUCCESS
+
+
+def lis_matrix_set_value_new(flag, i, j, value, A):
+    """set_value without duplicate search — the assembler already
+    accumulates, so this is the same operation (man
+    lis_matrix_set_value_new.3)."""
+    return lis_matrix_set_value(flag, i, j, value, A)
+
+
+def lis_matrix_set_values(flag, n, value, A):
+    """Set a dense n×n row-major block of values (man
+    lis_matrix_set_values.3)."""
+    n = int(n)
+    for i in range(n):
+        for j in range(n):
+            lis_matrix_set_value(flag, i, j, value[i * n + j], A)
+    return LIS_SUCCESS
+
+
+def lis_matrix_set_value_csr(flag, i, j, value, A):
+    """Update a value inside the assembled CSR structure (man
+    lis_matrix_set_value_csr.3)."""
+    return lis_matrix_psd_set_value(flag, i, j, value, A)
+
+
+def lis_matrix_psd_set_value_csr(flag, i, j, value, A):
+    """CSR-specific PSD value update (lis_matrix_psd_set_value_csr,
+    src/matrix/lis_matrix_csr.c)."""
+    return lis_matrix_psd_set_value(flag, i, j, value, A)
+
+
+def lis_matrix_scale(A, b, d, action):
+    """Scale A (and b) by the diagonal: action 1 = row scaling D^-1 A,
+    action 2 = symmetric D^-1/2 A D^-1/2; d receives the scaling vector
+    (lis_matrix_scale, src/matrix/lis_matrix_ops.c)."""
+    import jax.numpy as jnp
+    diag = A.m.get_diagonal()
+    if int(action) == 2:
+        s = jnp.where(diag != 0, 1.0 / jnp.sqrt(jnp.abs(
+            jnp.where(diag != 0, diag, 1.0))), 1.0)
+        A.m = A.m.scale_symm(s)
+    else:
+        s = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1.0), 1.0)
+        A.m = A.m.scale_rows(s)
+    if b is not None:
+        b.value = s * b.value
+    if d is not None:
+        d.value = s
+        d.n = A.n
+    A.is_scaled = True
+    return LIS_SUCCESS
+
+
+def lis_matrix_get_vbr_rowcol(A, *_):
+    """Row/column block partitions recorded for VBR
+    (man lis_matrix_get_vbr_rowcol.3): returns (nr, nc, row, col)."""
+    rp, cp = A._vbr_parts
+    return len(rp) - 1, len(cp) - 1, rp, cp
+
+
+# malloc family: the reference returns raw C buffers for the caller to
+# fill before lis_matrix_set_* — here they are plain numpy arrays
+# (man lis_matrix_malloc_*.3).
+
+def lis_matrix_malloc(A, nnz_row, nnz=None):
+    """Pre-size the assembly workspace — a no-op under managed memory
+    (man lis_matrix_malloc.3)."""
+    return LIS_SUCCESS
+
+
+def _ibuf(k):
+    return np.zeros(int(k), dtype=np.int64)
+
+
+def _dbuf(k):
+    return np.zeros(int(k), dtype=np.float64)
+
+
+def lis_matrix_malloc_csr(n, nnz):
+    """(ptr, index, value) buffers for set_csr (man lis_matrix_malloc_csr.3)."""
+    return _ibuf(n + 1), _ibuf(nnz), _dbuf(nnz)
+
+
+def lis_matrix_malloc_csc(n, nnz):
+    """(ptr, index, value) buffers for set_csc (man lis_matrix_malloc_csc.3)."""
+    return _ibuf(n + 1), _ibuf(nnz), _dbuf(nnz)
+
+
+def lis_matrix_malloc_coo(nnz):
+    """(row, col, value) buffers for set_coo (man lis_matrix_malloc_coo.3)."""
+    return _ibuf(nnz), _ibuf(nnz), _dbuf(nnz)
+
+
+def lis_matrix_malloc_dia(n, nnd):
+    """(index, value) buffers for set_dia (man lis_matrix_malloc_dia.3)."""
+    return _ibuf(nnd), _dbuf(int(n) * int(nnd))
+
+
+def lis_matrix_malloc_ell(n, maxnzr):
+    """(index, value) buffers for set_ell (man lis_matrix_malloc_ell.3)."""
+    return _ibuf(int(n) * int(maxnzr)), _dbuf(int(n) * int(maxnzr))
+
+
+def lis_matrix_malloc_msr(n, nnz, ndz):
+    """(index, value) buffers for set_msr (man lis_matrix_malloc_msr.3)."""
+    k = int(nnz) + int(ndz) + 1
+    return _ibuf(k), _dbuf(k)
+
+
+def lis_matrix_malloc_jad(n, nnz, maxnzr):
+    """(perm, ptr, index, value) buffers for set_jad
+    (man lis_matrix_malloc_jad.3)."""
+    return (_ibuf(n), _ibuf(int(maxnzr) + 1), _ibuf(nnz), _dbuf(nnz))
+
+
+def lis_matrix_malloc_bsr(n, bnr, bnc, bnnz):
+    """(bptr, bindex, value) buffers for set_bsr
+    (man lis_matrix_malloc_bsr.3)."""
+    nr = (int(n) + int(bnr) - 1) // int(bnr)
+    return _ibuf(nr + 1), _ibuf(bnnz), _dbuf(int(bnnz) * int(bnr) * int(bnc))
+
+
+def lis_matrix_malloc_bsc(n, bnr, bnc, bnnz):
+    """(bptr, bindex, value) buffers for set_bsc
+    (man lis_matrix_malloc_bsc.3)."""
+    nc = (int(n) + int(bnc) - 1) // int(bnc)
+    return _ibuf(nc + 1), _ibuf(bnnz), _dbuf(int(bnnz) * int(bnr) * int(bnc))
+
+
+def lis_matrix_malloc_vbr(n, nnz, nr, nc, bnnz):
+    """(row, col, ptr, bptr, bindex, value) buffers for set_vbr
+    (man lis_matrix_malloc_vbr.3)."""
+    return (_ibuf(int(nr) + 1), _ibuf(int(nc) + 1), _ibuf(int(bnnz) + 1),
+            _ibuf(int(nr) + 1), _ibuf(bnnz), _dbuf(nnz))
+
+
+def lis_matrix_malloc_dns(n, gn):
+    """value buffer for set_dns (man lis_matrix_malloc_dns.3)."""
+    return _dbuf(int(n) * int(gn))
+
+
+def lis_is_malloc(p):
+    """LIS_TRUE(1) for any live Python buffer (man lis_is_malloc.3)."""
+    return 1 if p is not None else 0
+
+
+# ---- full lis.h surface: solver/esolver getters + registration --------------
+
+def lis_solve_setup(A, solver):
+    """Bind A for subsequent lis_solve_kernel calls — the setup half of
+    the decoupled workflow (lis_solve_setup, src/solver/lis_solver.c)."""
+    return lis_solver_set_matrix(A, solver)
+
+
+def lis_solver_get_precon(solver):
+    """Numeric id of the preconditioner that ran (man
+    lis_solver_get_precon.3)."""
+    return solver.result.options.precon_id
+
+
+def lis_solver_get_preconname(precon_type):
+    """Preconditioner name for a numeric id (man
+    lis_solver_get_preconname.3)."""
+    from lis_tpu.runtime.options import PRECON_NAMES
+    return PRECON_NAMES[int(precon_type)]
+
+
+def lis_precon_register(name, pcreate, psolve=None, psolveh=None):
+    """Register a user preconditioner under -p <name>
+    (man lis_precon_register.3).  pcreate(A, opts) must return an object
+    with psolve(r) (and psolveh(r) for the BiCG family); alternatively
+    pass psolve/psolveh callables and pcreate as a state builder."""
+    from lis_tpu.precon.base import PRECON_REGISTRY
+
+    if psolve is None:
+        PRECON_REGISTRY[name] = pcreate
+    else:
+        def build(A, opts):
+            return _UserPreconState(pcreate(A, opts), psolve,
+                                    psolveh if psolveh is not None
+                                    else psolve)
+        PRECON_REGISTRY[name] = build
+    _user_precons.append(name)
+    return LIS_SUCCESS
+
+
+class _UserPreconState:
+    """Pytree wrapper for user preconditioners: the state is a leaf so it
+    crosses the jit boundary; the apply callables ride as static aux."""
+
+    def __init__(self, state, psolve_fn, psolveh_fn):
+        self.state = state
+        self._psolve_fn = psolve_fn
+        self._psolveh_fn = psolveh_fn
+
+    def psolve(self, r):
+        return self._psolve_fn(self.state, r)
+
+    def psolveh(self, r):
+        return self._psolveh_fn(self.state, r)
+
+
+def _upc_flatten(p):
+    return (p.state,), (p._psolve_fn, p._psolveh_fn)
+
+
+def _upc_unflatten(aux, children):
+    return _UserPreconState(children[0], aux[0], aux[1])
+
+
+import jax as _jax
+_jax.tree_util.register_pytree_node(_UserPreconState, _upc_flatten,
+                                    _upc_unflatten)
+
+
+_user_precons: list = []
+
+
+def lis_precon_register_free():
+    """Remove every user-registered preconditioner
+    (man lis_precon_register_free.3)."""
+    from lis_tpu.precon.base import PRECON_REGISTRY
+    while _user_precons:
+        PRECON_REGISTRY.pop(_user_precons.pop(), None)
+    return LIS_SUCCESS
+
+
+def lis_esolver_get_time(esolver):
+    """Wall-clock time of the last esolve (man lis_esolver_get_time.3)."""
+    return getattr(esolver, "time", 0.0)
+
+
+def lis_esolver_get_rhistory(esolver, v=None):
+    """Residual history of the last esolve (man lis_esolver_get_rhistory.3)."""
+    import jax.numpy as jnp
+    rh = esolver.result.rhistory
+    if v is not None:
+        v.value = jnp.asarray(rh)
+        v.n = len(rh)
+        return LIS_SUCCESS
+    return rh
+
+
+def lis_esolver_get_evectors(esolver, M):
+    """All computed eigenvectors as the columns of a dense matrix handle
+    (man lis_esolver_get_evectors.3; EsolveResult stores modes as rows)."""
+    from lis_tpu.matrix.dns import DNSMatrix
+    ev = np.asarray(esolver.result.evectors)
+    if ev.ndim == 1:
+        ev = ev[None, :]
+    M.n = ev.shape[1]
+    M.matrix_type = LIS_MATRIX_DNS
+    M.m = DNSMatrix.from_dense(ev.T)
+    return LIS_SUCCESS
+
+
+def lis_esolver_get_iters(esolver, v=None):
+    """Per-mode iteration counts (man lis_esolver_get_iters.3)."""
+    import jax.numpy as jnp
+    it = np.asarray(esolver.result.iters_all)
+    if v is not None:
+        v.value = jnp.asarray(it)
+        v.n = len(it)
+        return LIS_SUCCESS
+    return it
+
+
+def lis_esolver_get_residualnorms(esolver, v=None):
+    """Per-mode relative residuals (man lis_esolver_get_residualnorms.3)."""
+    import jax.numpy as jnp
+    rs = np.asarray(esolver.result.resids_all)
+    if v is not None:
+        v.value = jnp.asarray(rs)
+        v.n = len(rs)
+        return LIS_SUCCESS
+    return rs
+
+
+def lis_esolver_get_specific_evalue(esolver, mode):
+    """Eigenvalue of the requested mode (man
+    lis_esolver_get_specific_evalue.3)."""
+    return float(np.asarray(esolver.result.evalues)[int(mode)])
+
+
+def lis_esolver_get_specific_evector(esolver, mode, x):
+    """Eigenvector of the requested mode into x (man
+    lis_esolver_get_specific_evector.3)."""
+    import jax.numpy as jnp
+    ev = np.asarray(esolver.result.evectors)
+    if ev.ndim == 1:
+        ev = ev[None, :]
+    x.value = jnp.asarray(ev[int(mode)])
+    x.n = ev.shape[1]
+    return LIS_SUCCESS
+
+
+def lis_esolver_get_specific_iter(esolver, mode):
+    """Iteration count of the requested mode (man
+    lis_esolver_get_specific_iter.3)."""
+    return int(np.asarray(esolver.result.iters_all)[int(mode)])
+
+
+def lis_esolver_get_specific_residualnorm(esolver, mode):
+    """Relative residual of the requested mode (man
+    lis_esolver_get_specific_residualnorm.3)."""
+    return float(np.asarray(esolver.result.resids_all)[int(mode)])
+
+
+def lis_iesolver_destroy(esolver):
+    """Release an inner eigensolver handle (man lis_iesolver_destroy.3)."""
+    return LIS_SUCCESS
+
+
+# ---- full lis.h surface: utilities ------------------------------------------
+
+def lis_printf(comm, mess, *args):
+    """Rank-0 printf (man lis_printf.3; single-process here, so: print)."""
+    print((mess % args) if args else mess, end="")
+    return LIS_SUCCESS
+
+
+def lis_debug_trace_func(flag, func):
+    """Emit a LIS_DEBUG_FUNC_IN/OUT trace line when tracing is enabled
+    (man lis_debug_trace_func.3; utils/trace.py carries the state)."""
+    from lis_tpu.utils.trace import debug_trace_enabled
+    if debug_trace_enabled():
+        print(f"{'IN ' if flag else 'OUT'}: {func}")
+    return LIS_SUCCESS

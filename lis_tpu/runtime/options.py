@@ -117,6 +117,11 @@ class SolverOptions:
 
     @property
     def precon_id(self) -> int:
+        # user-registered preconditioners number from the end of the
+        # built-in table (LIS_PRECON_TYPE_USERDEF = LIS_PRECON_TYPE_LEN,
+        # include/lis.h:250)
+        if self.precon not in PRECON_IDS:
+            return len(PRECON_NAMES)
         return PRECON_IDS[self.precon]
 
     @classmethod
@@ -190,6 +195,14 @@ def _set_name(attr, table):
             setattr(o, attr, names[int(v)])
         else:
             if v not in table:
+                if attr == "precon":
+                    # user preconditioners registered at runtime
+                    # (lis_precon_register, reference lis_precon.c:411)
+                    # are addressable by -p <name> like built-ins
+                    from lis_tpu.precon.base import PRECON_REGISTRY
+                    if v in PRECON_REGISTRY:
+                        setattr(o, attr, v)
+                        return
                 raise ValueError(f"unknown value {v!r} for -{attr}")
             setattr(o, attr, v)
     return act
