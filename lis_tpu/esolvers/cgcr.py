@@ -62,7 +62,7 @@ def ecg(A, B, x0, opts):
     iters = int(iters)
     status = (C.LIS_SUCCESS if float(resid) < opts.tol
               else C.LIS_MAXITER)
-    return _result(float(lam) + sigma, x, iters, float(resid), status,
+    return _result(float(jnp.real(lam)) + sigma, x, iters, float(resid), status,
                    np.asarray(rh)[1:iters + 1])
 
 
@@ -153,7 +153,7 @@ def ecr(A, B, x0, opts):
     iters = int(iters)
     status = (C.LIS_SUCCESS if float(resid) < opts.tol
               else C.LIS_MAXITER)
-    return _result(float(lam) + sigma, x, iters, float(resid), status,
+    return _result(float(jnp.real(lam)) + sigma, x, iters, float(resid), status,
                    np.asarray(rh)[1:iters + 1])
 
 

@@ -89,7 +89,7 @@ def epi(A, B, x0, opts):
         z = A.matvec(x)
         if B is not None:
             z = _bsolve(B, z, opts)
-        evalue = float(v.dot(x, z))
+        evalue = complex(v.dot(x, z)).real
         znrm = v.nrm2(z)
         x = z / znrm
         # residual: ||Ax - λx|| with the new normalized x
@@ -227,7 +227,8 @@ def _egpi_runner(solver_name, inner_tol, inner_maxiter, axis_name=None):
 
         big = jnp.asarray(jnp.inf, dt)
         it, x, ev, resid, rh = _jax.lax.while_loop(
-            cond, step, (jnp.asarray(1), x, jnp.zeros((), dt), big, rh0))
+            cond, step, (jnp.asarray(1), x, jnp.zeros((), x0.dtype), big,
+                         rh0))
         return it - 1, x, ev, resid, rh
 
     return run
@@ -240,7 +241,7 @@ def _egpi_jit(A, B, x0, opts):
                                   opts.tol)
     iters = int(iters)
     status = C.LIS_SUCCESS if float(resid) <= opts.tol else C.LIS_MAXITER
-    return _result(float(ev), x, iters, float(resid), status,
+    return _result(float(jnp.real(ev)), x, iters, float(resid), status,
                    np.asarray(rh)[1:iters + 1])
 
 
@@ -254,7 +255,7 @@ def _egii_jit(A, B, x0, opts):
                                   opts.maxiter, opts.tol)
     iters = int(iters)
     status = C.LIS_SUCCESS if float(resid) <= opts.tol else C.LIS_MAXITER
-    return _result(float(ev), x, iters, float(resid), status,
+    return _result(float(jnp.real(ev)), x, iters, float(resid), status,
                    np.asarray(rh)[1:iters + 1])
 
 
@@ -273,7 +274,7 @@ def _egrqi_jit(A, B, x0, opts):
         status = C.LIS_BREAKDOWN
     else:
         status = C.LIS_MAXITER
-    return _result(float(ev), x, iters, resid, status,
+    return _result(float(jnp.real(ev)), x, iters, resid, status,
                    np.asarray(rh)[1:iters + 1])
 
 
@@ -344,7 +345,7 @@ def eii(A, B, x0, opts):
     for it in range(1, opts.maxiter + 1):
         rhs = x if B is None else B.matvec(x)
         y = _shift_solve(A, B, sigma, rhs, opts)
-        theta = float(v.dot(x, y))        # ≈ 1/(λ - σ)
+        theta = complex(v.dot(x, y)).real        # ≈ 1/(λ - σ)
         ynrm = v.nrm2(y)
         x = y / ynrm
         evalue = sigma + 1.0 / theta
@@ -396,7 +397,8 @@ def _eii_runner(solver_name, inner_tol, inner_maxiter, axis_name=None):
 
         big = jnp.asarray(jnp.inf, dt)
         it, x, ev, resid, rh = _jax.lax.while_loop(
-            cond, step, (jnp.asarray(1), x, jnp.zeros((), dt), big, rh0))
+            cond, step, (jnp.asarray(1), x, jnp.zeros((), x0.dtype), big,
+                         rh0))
         return it - 1, x, ev, resid, rh
 
     return run
@@ -414,7 +416,7 @@ def _eii_jit(A, x0, opts):
                                   opts.maxiter, opts.tol)
     iters = int(iters)
     status = C.LIS_SUCCESS if float(resid) <= opts.tol else C.LIS_MAXITER
-    return _result(float(ev), x, iters, float(resid), status,
+    return _result(float(jnp.real(ev)), x, iters, float(resid), status,
                    np.asarray(rh)[1:iters + 1])
 
 
@@ -512,7 +514,8 @@ def _egii_runner(solver_name, inner_tol, inner_maxiter, axis_name=None):
 
         big = jnp.asarray(jnp.inf, dt)
         it, x, ev, resid, rh = _jax.lax.while_loop(
-            cond, step, (jnp.asarray(1), x, jnp.zeros((), dt), big, rh0))
+            cond, step, (jnp.asarray(1), x, jnp.zeros((), x0.dtype), big,
+                         rh0))
         return it - 1, x, ev, resid, rh
 
     return run
@@ -652,7 +655,7 @@ def _erqi_jit(A, x0, opts):
         status = C.LIS_BREAKDOWN
     else:
         status = C.LIS_MAXITER
-    return _result(float(ev), x, iters, resid, status,
+    return _result(float(jnp.real(ev)), x, iters, resid, status,
                    np.asarray(rh)[1:iters + 1])
 
 
@@ -666,7 +669,7 @@ def erqi(A, B, x0, opts):
         return _egrqi_jit(A, B, x0, opts)
     x = x0 / v.nrm2(x0)
     bx = x if B is None else B.matvec(x)
-    sigma = float(v.dot(x, A.matvec(x)) / v.dot(x, bx))
+    sigma = complex(v.dot(x, A.matvec(x)) / v.dot(x, bx)).real
     evalue, resid = sigma, np.inf
     rh = []
     status = C.LIS_MAXITER
@@ -684,7 +687,7 @@ def erqi(A, B, x0, opts):
             break
         x = y / ynrm
         bx = x if B is None else B.matvec(x)
-        evalue = float(v.dot(x, A.matvec(x)) / v.dot(x, bx))
+        evalue = complex(v.dot(x, A.matvec(x)) / v.dot(x, bx)).real
         new_resid = float(v.nrm2(A.matvec(x) - evalue * bx) /
                           (abs(evalue) if evalue != 0 else 1.0))
         # safeguard for inexact inner solves: move the shift only while the

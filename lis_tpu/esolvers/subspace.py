@@ -90,7 +90,7 @@ def _refine_pair(A, B, lam, x, opts):
                                      _jnp.asarray(float(lam)), 50, opts.tol)
         res = float(res)
         if np.isfinite(res) and res < resid:
-            return float(ev), xr, res
+            return complex(ev).real, xr, res
         return lam, x, resid
     sigma = lam
     for _ in range(min(max(opts.maxiter, 10), 50)):
@@ -106,7 +106,7 @@ def _refine_pair(A, B, lam, x, opts):
             break
         x = y / nrm
         bx = x if B is None else B.matvec(x)
-        lam = float(v.dot(x, A.matvec(x)) / v.dot(x, bx))
+        lam = complex(v.dot(x, A.matvec(x)) / v.dot(x, bx)).real
         resid = _pair_resid(A, B, lam, x)
     return lam, x, resid
 
@@ -135,7 +135,7 @@ def eli(A, B, x0, opts):
     qm1 = jnp.zeros_like(q)
     for j in range(m):
         w = op(Q[-1])
-        alpha = float(v.dot(Q[-1], w))
+        alpha = complex(v.dot(Q[-1], w)).real
         w = w - alpha * Q[-1] - beta * qm1
         # full reorthogonalisation (keeps parity with small-tol reference runs)
         for qq in Q:
@@ -184,12 +184,13 @@ def eai(A, B, x0, opts):
 
     q = x0 / v.nrm2(x0)
     Q = [q]
-    H = np.zeros((m + 1, m))
+    H = np.zeros((m + 1, m), dtype=np.asarray(x0).dtype)
     k = m
     for j in range(m):
         w = op(Q[j])
         for i in range(j + 1):
-            H[i, j] = float(v.dot(Q[i], w))
+            H[i, j] = complex(v.dot(Q[i], w)) \
+                if np.iscomplexobj(H) else float(v.dot(Q[i], w))
             w = w - H[i, j] * Q[i]
         hn = float(v.nrm2(w))
         H[j + 1, j] = hn
@@ -248,7 +249,10 @@ def esi(A, B, x0, opts):
         it = opts.maxiter
         for k in range(1, opts.maxiter + 1):
             for vk in vs:
-                vj = vj - v.dot(vj, vk) * vk
+                # project OUT vk: coefficient is <vk, vj> (conjugate on
+                # vk's side — dot(vj, vk) is its conjugate and deflates
+                # the wrong component for complex operands)
+                vj = vj - v.dot(vk, vj) * vk
             if inner == "pi":
                 rnew = A.matvec(vj) if B is None else _bsolve(
                     B, A.matvec(vj), opts)
@@ -258,7 +262,7 @@ def esi(A, B, x0, opts):
             nrm = float(v.nrm2(rnew))
             if not np.isfinite(nrm) or nrm == 0.0:
                 break
-            theta = float(v.dot(vj, rnew))
+            theta = complex(v.dot(vj, rnew)).real
             resid = float(v.nrm2(rnew - theta * vj) /
                           (abs(theta) if theta != 0 else 1.0))
             vj = rnew / nrm

@@ -96,7 +96,7 @@ def _factor_ilut(ptr, index, value, n, drop, rate):
       magnitude (no tolerance filter), diagonal always kept."""
     import heapq
     rows_val = []
-    diag = np.zeros(n)
+    diag = np.zeros(n, dtype=value.dtype)
     nnz_tot = int(ptr[n]) if len(ptr) > n else len(value)
     lfil = max(int((nnz_tot / (2.0 * max(n, 1))) * rate), 1)
     for i in range(n):
@@ -168,8 +168,9 @@ def _factor_iluc(ptr, index, value, n, drop, rate):
         for p in range(ptr[i], ptr[i + 1]):
             vp = value[p]
             c = int(index[p])
-            rownrm[i] += vp * vp
-            colnrm[c] += vp * vp
+            a2 = abs(vp) ** 2          # == vp*vp for real, |vp|^2 complex
+            rownrm[i] += a2
+            colnrm[c] += a2
             nnz_col[c] += 1
             if c < i:
                 Acols[c].append((i, vp))
@@ -218,7 +219,9 @@ def _factor_iluc(ptr, index, value, n, drop, rate):
 def _plans_from_rows(rows_val, n, shape):
     li, lv, lp = [], [], [0]
     ui, uv, up = [], [], [0]
-    udiag = np.zeros(n)
+    dtype = np.result_type(*(np.asarray(v) for row in rows_val
+                             for v in row.values()))         if any(rows_val) else np.float64
+    udiag = np.zeros(n, dtype=dtype)
     for i in range(n):
         for j in sorted(rows_val[i]):
             v = rows_val[i][j]
@@ -247,7 +250,7 @@ def _plans_from_combined_csr(ptr, index, value, n, shape):
     rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(ptr))
     lower = index < rows
     upper = ~lower
-    udiag = np.zeros(n)
+    udiag = np.zeros(n, dtype=value.dtype)
     isd = index == rows
     np.add.at(udiag, rows[isd], value[isd])
 

@@ -411,6 +411,12 @@ def _lattice_levels(raw_levels, smoother):
 @register_precon("saamg")
 def create_saamg(A, opts):
     ptr, index, value = A.to_csr_arrays()
+    if np.iscomplexobj(value):
+        # parity with the reference: its SA-AMG is the real-only F90
+        # module (src/fortran/amg/, no _COMPLEX variant)
+        raise NotImplementedError(
+            "saamg does not support complex operators "
+            "(the reference's F90 AMG is real-only)")
     A_sp = sp.csr_matrix((value, index, ptr), shape=A.shape)
     theta = getattr(opts, "saamg_theta", 0.05)
     smoother = getattr(opts, "saamg_smoother", "sgs")

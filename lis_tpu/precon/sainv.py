@@ -50,7 +50,7 @@ def _factor_sainv_py(ptr, index, value, n, tol):
 
     Zc = [dict([(i, 1.0)]) for i in range(n)]
     Wc = [dict([(i, 1.0)]) for i in range(n)]
-    dinv = np.ones(n)
+    dinv = np.ones(n, dtype=value.dtype)
 
     def update_col(C, j, i, coef):
         cj = C[j]

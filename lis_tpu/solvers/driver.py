@@ -304,6 +304,13 @@ def solve(A: SparseMatrix, b, x0=None, options=None, M=None,
             if hasattr(a, "dtype") and a.dtype == jnp.float64 else a, t)
 
     if opts.precision in ("quad", "switch", "df", "switch_df"):
+        if jnp.iscomplexobj(b):
+            # parity: the reference's LIS_QUAD machinery is real-only
+            # (the error-free transforms in src/precision/ operate on
+            # double scalars; _COMPLEX has no quad registry)
+            raise NotImplementedError(
+                f"-f {opts.precision} does not support complex operands "
+                "(the reference's quad precision is real-only)")
         # DD paths: f64 pairs for quad/switch; f32 pairs ("double-float",
         # the TPU-native extended precision — both limbs at native VPU
         # speed, unit roundoff 2^-48) for df/switch_df.

@@ -27,7 +27,9 @@ def minres(A, b, x0, M, spec: SolverSpec, aux=None) -> SolverOutput:
 
     state = dict(it=jnp.asarray(1), flag=jnp.asarray(RUNNING), x=x0,
                  v1=zero, v2=v2, w0=zero, w1=zero,
-                 beta2=r0_euc, eta=r0_euc,
+                 # eta is LIS_SCALAR in the reference (complex under
+                 # _COMPLEX, lis_solver_minres.c:131); beta2/beta3 stay real
+                 beta2=r0_euc, eta=r0_euc.astype(b.dtype),
                  gamma1=jnp.asarray(1.0, b.dtype),
                  gamma2=jnp.asarray(1.0, b.dtype),
                  sigma1=jnp.asarray(0.0, b.dtype),
