@@ -213,7 +213,7 @@ def lis_vector_set_value(flag, i, value, v):
 
 def lis_vector_get_value(v, i):
     """Read v[i] (man lis_vector_get_value.3)."""
-    return float(v.value[int(i)])
+    return complex_or_float(np.asarray(v.value[int(i)]))
 
 
 def lis_vector_get_values(v, start, count):
@@ -227,8 +227,10 @@ def lis_vector_nrm2(v):
 
 
 def lis_vector_dot(u, v):
-    """Hermitian inner product <u, v> (man lis_vector_dot.3)."""
-    return float(np.dot(np.asarray(u.value), np.asarray(v.value)))
+    """Hermitian inner product <u, v> — conj on u for complex
+    (man lis_vector_dot.3)."""
+    return complex_or_float(np.vdot(np.asarray(u.value),
+                                    np.asarray(v.value)))
 
 
 def lis_vector_axpy(alpha, x, y):
@@ -382,8 +384,7 @@ def lis_solver_set_matrix(A, solver):
 def _psd_build(solver, precon):
     from lis_tpu.runtime.options import SolverOptions
     from lis_tpu.precon.base import PRECON_REGISTRY, NonePrecon, create_precon
-    from lis_tpu.solvers import driver as _drv  # registers precon modules
-    del _drv
+    from lis_tpu.solvers.driver import transform_operator
     opts = SolverOptions.from_string(solver.options or None)
     A = getattr(solver, "A", None)
     if A is None or A.m is None:
@@ -394,10 +395,14 @@ def _psd_build(solver, precon):
     else:
         if opts.precon not in PRECON_REGISTRY:
             return LIS_ERR_NOT_IMPLEMENTED
-        precon.M = create_precon(opts.precon, A.m, opts)
+        # factor the operator lis_solve_kernel will actually iterate on
+        # (same scaling upgrades + storage conversion) — factors built on
+        # the raw matrix would mismatch e.g. I+S's forced Jacobi scaling
+        Ak = transform_operator(A.m, opts)
+        precon.M = create_precon(opts.precon, Ak, opts)
         if opts.adds:
             from lis_tpu.precon.ads import wrap_additive_schwarz
-            precon.M = wrap_additive_schwarz(A.m, precon.M, opts)
+            precon.M = wrap_additive_schwarz(Ak, precon.M, opts)
     return LIS_SUCCESS
 
 
@@ -616,10 +621,11 @@ def lis_esolver_output_rhistory(esolver, filename):
 # ---- matrix extras (lis.h:865-914) -------------------------------------------
 
 def lis_matrix_get_range(A):
-    """1-based [is, ie) row range, single-comm semantics
-    (src/matrix/lis_matrix.c lis_matrix_get_range; the Fortran interface
-    shifts to 1-based — test/test2f.F90 loops ii = is-1 .. ie-2)."""
-    return 1, A.n + 1
+    """0-based [is, ie) row range, single-comm semantics — matching the
+    reference's C lis_matrix_get_range (src/matrix/lis_matrix.c); the
+    1-based shift belongs to the Fortran binding layer (lisf_matrix.c),
+    applied in interop.fapi."""
+    return 0, A.n
 
 
 def lis_matrix_get_nnz(A):
@@ -856,7 +862,7 @@ def lis_vector_shift(sigma, x):
 def lis_vector_nhdot(u, v):
     """Non-Hermitian inner product x^T y (man lis_vector_nhdot.3)."""
     from lis_tpu.core import vector as _v
-    return float(_v.nhdot(u.value, v.value))
+    return complex_or_float(np.asarray(_v.nhdot(u.value, v.value)))
 
 
 def lis_vector_nrm1(v):
@@ -874,7 +880,7 @@ def lis_vector_nrmi(v):
 def lis_vector_sum(v):
     """Sum of all entries (man lis_vector_sum.3)."""
     from lis_tpu.core import vector as _v
-    return float(_v.vsum(v.value))
+    return complex_or_float(np.asarray(_v.vsum(v.value)))
 
 
 # ---- full lis.h surface: dense array ops (man lis_array_*.3) ----------------
@@ -1112,9 +1118,11 @@ def lis_array_qr(n, a, q, r, maxiter=100000, tol=1e-12):
 
 def _stash_triplets(A, rows, cols, vals, type_id):
     A._csr = None
+    # keep the caller's scalar dtype (LIS_SCALAR is complex under the
+    # complex build — a float64 cast would silently drop the imag part)
     A._triplets = (np.asarray(rows, dtype=np.int64),
                    np.asarray(cols, dtype=np.int64),
-                   np.asarray(vals, dtype=np.float64))
+                   np.asarray(vals))
     A.matrix_type = type_id
     return LIS_SUCCESS
 
@@ -1473,10 +1481,16 @@ def lis_solver_get_precon(solver):
 
 
 def lis_solver_get_preconname(precon_type):
-    """Preconditioner name for a numeric id (man
-    lis_solver_get_preconname.3)."""
+    """Preconditioner name for a numeric id, including user-registered
+    ids above the built-in table (man lis_solver_get_preconname.3)."""
     from lis_tpu.runtime.options import PRECON_NAMES
-    return PRECON_NAMES[int(precon_type)]
+    pid = int(precon_type)
+    if pid >= len(PRECON_NAMES):
+        from lis_tpu.precon.base import user_precon_name
+        name = user_precon_name(pid)
+        if name is not None:
+            return name
+    return PRECON_NAMES[pid]
 
 
 def lis_precon_register(name, pcreate, psolve=None, psolveh=None):

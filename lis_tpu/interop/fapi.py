@@ -215,11 +215,12 @@ def matrix_get_gn(h: int) -> int:
 
 
 def matrix_get_range_is(h: int) -> int:
-    return int(c.lis_matrix_get_range(_get(h))[0])
+    # Fortran binding semantics: 1-based (lisf_matrix.c shifts +1)
+    return int(c.lis_matrix_get_range(_get(h))[0]) + 1
 
 
 def matrix_get_range_ie(h: int) -> int:
-    return int(c.lis_matrix_get_range(_get(h))[1])
+    return int(c.lis_matrix_get_range(_get(h))[1]) + 1
 
 
 def matrix_get_nnz(h: int) -> int:

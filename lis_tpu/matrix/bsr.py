@@ -193,10 +193,12 @@ class BSRMatrix(SparseMatrix):
         xp = self._pad_x(x)
         y = None
         for slab, c0 in zip(self.slabs, self.c0s):
-            xw = self._xwindows(xp.astype(slab.dtype)
-                                if xp.dtype != slab.dtype else xp,
+            # promote to the result dtype — never truncate a complex x
+            dt = jnp.result_type(xp.dtype, slab.dtype)
+            xw = self._xwindows(xp.astype(dt) if xp.dtype != dt else xp,
                                 c0, slab.shape[1])
-            t = jnp.einsum("twij,twj->ti", slab, xw)
+            t = jnp.einsum("twij,twj->ti", slab.astype(dt)
+                           if slab.dtype != dt else slab, xw)
             y = t if y is None else y + t
         if self.has_spill or y is None:
             xb = xp.reshape(self.nc, self.bnc)
@@ -217,9 +219,11 @@ class BSRMatrix(SparseMatrix):
         for slab, c0 in zip(self.slabs, self.c0s):
             sl = jnp.conj(slab) if jnp.iscomplexobj(slab) else slab
             Wb = slab.shape[1]
-            z = jnp.einsum("twij,ti->twj", sl,
-                           xb.astype(sl.dtype)
-                           if xb.dtype != sl.dtype else xb)   # (nr, Wb, bnc)
+            dt = jnp.result_type(xb.dtype, sl.dtype)
+            z = jnp.einsum("twij,ti->twj",
+                           sl.astype(dt) if sl.dtype != dt else sl,
+                           xb.astype(dt)
+                           if xb.dtype != dt else xb)   # (nr, Wb, bnc)
             lo, hi = self._bounds(c0, Wb)
             base = (c0 + lo) * self.bnc
             yo = jnp.zeros((lo + self.nc + hi) * self.bnc, dtype=z.dtype)

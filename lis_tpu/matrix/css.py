@@ -138,12 +138,14 @@ class CSSMatrix(SparseMatrix):
         iota = jnp.arange(self.W, dtype=self.lidx.dtype)
         sel = jnp.sum(
             jnp.where(self.lidx[:, :, None] == iota,
-                      xc[:, None, :].astype(self.val.dtype), 0), axis=-1)
+                      xc[:, None, :], 0), axis=-1)
         return self.val * sel
 
     def matvec(self, x):
-        contrib = self._select(x.astype(self.val.dtype)
-                               if x.dtype != self.val.dtype else x)
+        # promote to the RESULT dtype (never demote x: a complex vector
+        # against a real matrix must stay complex)
+        dt = jnp.result_type(x.dtype, self.val.dtype)
+        contrib = self._select(x.astype(dt) if x.dtype != dt else x)
         y = jnp.zeros(self.nrows + 1, dtype=contrib.dtype)
         y = y.at[self.rowf].add(contrib.reshape(-1))
         y = y[: self.nrows]

@@ -19,6 +19,24 @@ from lis_tpu.utils.trace import traced
 
 PRECON_REGISTRY: dict[str, Callable] = {}
 
+# user-registered preconditioners get stable numeric ids above the
+# built-in table (LIS_PRECON_TYPE_USERDEF = LIS_PRECON_TYPE_LEN,
+# include/lis.h:250) so get_precon/get_preconname round-trip
+_USER_PRECON_IDS: dict[str, int] = {}
+
+
+def user_precon_id(name: str, base: int) -> int:
+    if name not in _USER_PRECON_IDS:
+        _USER_PRECON_IDS[name] = base + len(_USER_PRECON_IDS)
+    return _USER_PRECON_IDS[name]
+
+
+def user_precon_name(pid: int):
+    for n, i in _USER_PRECON_IDS.items():
+        if i == pid:
+            return n
+    return None
+
 
 def register_precon(name: str):
     """Register a creation function ``create(A, opts) -> precon pytree``."""

@@ -219,8 +219,12 @@ def _factor_iluc(ptr, index, value, n, drop, rate):
 def _plans_from_rows(rows_val, n, shape):
     li, lv, lp = [], [], [0]
     ui, uv, up = [], [], [0]
-    dtype = np.result_type(*(np.asarray(v) for row in rows_val
-                             for v in row.values()))         if any(rows_val) else np.float64
+    # cheap complex sniff (short-circuits on the first complex entry —
+    # an O(nnz) np.result_type over 0-d arrays costs seconds at 100k rows)
+    dtype = (np.complex128
+             if any(isinstance(v, complex) or np.iscomplexobj(v)
+                    for row in rows_val for v in row.values())
+             else np.float64)
     udiag = np.zeros(n, dtype=dtype)
     for i in range(n):
         for j in sorted(rows_val[i]):

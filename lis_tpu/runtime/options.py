@@ -121,7 +121,8 @@ class SolverOptions:
         # built-in table (LIS_PRECON_TYPE_USERDEF = LIS_PRECON_TYPE_LEN,
         # include/lis.h:250)
         if self.precon not in PRECON_IDS:
-            return len(PRECON_NAMES)
+            from lis_tpu.precon.base import user_precon_id
+            return user_precon_id(self.precon, len(PRECON_NAMES))
         return PRECON_IDS[self.precon]
 
     @classmethod

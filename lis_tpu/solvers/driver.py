@@ -189,6 +189,58 @@ def _make_spec(opts: SolverOptions, axis_name=None) -> SolverSpec:
                       axis_name=axis_name)
 
 
+def _effective_scale(opts) -> int:
+    """The scale mode solve() will actually run (lis_solve_kernel
+    :613-721): CG+Jacobi auto-upgrades -scale 1 to symmetric scaling
+    (lis_solver.c:702-705), and I+S FORCES Jacobi scaling — the
+    truncated-U approximate inverse assumes a unit diagonal (measured
+    508 vs 26 BiCGSTAB iterations on testmat.mtx without it)."""
+    scale = opts.scale
+    if scale == 1 and opts.solver == "cg" and opts.precon == "jacobi":
+        scale = 2
+    if opts.precon == "is" and scale == 0:
+        scale = 1
+    return scale
+
+
+def _scale_operator(A, scale):
+    """Scale A per mode; returns (A', svec) where svec also multiplies b
+    (and divides x0 for the symmetric mode)."""
+    if scale == 1:
+        d = A.get_diagonal()
+        s = jnp.where(d != 0, 1.0 / jnp.where(d != 0, d, 1), 1.0)
+        return A.scale_rows(s), s
+    if scale == 2:
+        d = A.get_diagonal()
+        s = jnp.where(d > 0, 1.0 / jnp.sqrt(jnp.where(d > 0, d, 1)),
+                      jnp.where(d != 0,
+                                1.0 / jnp.sqrt(jnp.abs(
+                                    jnp.where(d != 0, d, 1))),
+                                1.0))
+        return A.scale_symm(s), s
+    return A, None
+
+
+def _convert_storage(A, opts):
+    if opts.storage:
+        return convert_matrix(A, _STORAGE_BY_ID[opts.storage],
+                              **({"bnr": opts.storage_block}
+                                 if opts.storage in (7, 8) else {}))
+    if opts.auto_storage:
+        return auto_storage(A)
+    return A
+
+
+def transform_operator(A, opts):
+    """The exact operator solve() hands the Krylov kernel: effective
+    scaling + storage conversion.  The PSD workflow builds external
+    preconditioners on THIS operator so the factors match what
+    lis_solve_kernel solves (the reference builds psd factors inside the
+    same scaled kernel pipeline, lis_precon.c psd hooks)."""
+    A, _ = _scale_operator(A, _effective_scale(opts))
+    return _convert_storage(A, opts)
+
+
 @traced
 def solve(A: SparseMatrix, b, x0=None, options=None, M=None,
           **overrides) -> SolveResult:
@@ -233,41 +285,19 @@ def solve(A: SparseMatrix, b, x0=None, options=None, M=None,
         x0 = jnp.asarray(x0)
 
     # ---- scaling (lis_solve_kernel :613-721) -------------------------------
-    scale = opts.scale
-    if scale == 1 and opts.solver == "cg" and opts.precon == "jacobi":
-        # CG + Jacobi is auto-upgraded to symmetric diagonal scaling
-        # (lis_solver.c:702-705), which subsumes the preconditioner.
-        scale = 2
-    if opts.precon == "is" and scale == 0:
-        # the reference FORCES Jacobi scaling for I+S (lis_solver.c:613-626):
-        # the truncated-U approximate inverse assumes a unit diagonal —
-        # without it the preconditioner is weak-to-harmful (measured 508
-        # vs 26 BiCGSTAB iterations on testmat.mtx)
-        scale = 1
+    scale = _effective_scale(opts)
+    A, svec = _scale_operator(A, scale)
     dscale = None
     if scale == 1:
-        d = A.get_diagonal()
-        dinv = jnp.where(d != 0, 1.0 / jnp.where(d != 0, d, 1), 1.0)
-        A = A.scale_rows(dinv)
-        b = dinv * b
+        b = svec * b
     elif scale == 2:
-        d = A.get_diagonal()
-        dscale = jnp.where(d > 0, 1.0 / jnp.sqrt(jnp.where(d > 0, d, 1)),
-                           jnp.where(d != 0,
-                                     1.0 / jnp.sqrt(jnp.abs(jnp.where(d != 0, d, 1))),
-                                     1.0))
-        A = A.scale_symm(dscale)
-        b = dscale * b
+        dscale = svec
+        b = svec * b
         if not opts.initx_zeros:
             x0 = x0 / dscale
 
     # ---- storage conversion (-storage N) -----------------------------------
-    if opts.storage:
-        A = convert_matrix(A, _STORAGE_BY_ID[opts.storage],
-                           **({"bnr": opts.storage_block}
-                              if opts.storage in (7, 8) else {}))
-    elif opts.auto_storage:
-        A = auto_storage(A)
+    A = _convert_storage(A, opts)
 
     # ---- explicit transpose for the BiCG family (-use_at) ------------------
     if opts.use_at:

@@ -532,3 +532,96 @@ def test_user_precon_register_compat():
     lis.lis_precon_register_free()
     from lis_tpu.precon.base import PRECON_REGISTRY
     assert "mydiag" not in PRECON_REGISTRY
+
+
+def test_psd_matches_direct_solve_with_scaling():
+    """PSD factors must be built on the same scaled operator
+    lis_solve_kernel iterates on: -p is forces Jacobi scaling
+    (lis_solver.c:613-626), so a PSD solve must converge like the direct
+    lis_solve, not like IS-on-unscaled (508 vs 26 iterations class of
+    mismatch)."""
+    n = 60
+    A = _handle(n)
+    rng = np.random.RandomState(3)
+    d = rng.uniform(5.0, 50.0, n)          # strongly non-unit diagonal
+    for i in range(n):
+        lis.lis_matrix_set_value(lis.LIS_INS_VALUE, i, i, d[i], A)
+        if i:
+            lis.lis_matrix_set_value(lis.LIS_INS_VALUE, i, i - 1, -1.0, A)
+            lis.lis_matrix_set_value(lis.LIS_INS_VALUE, i - 1, i, -1.0, A)
+    lis.lis_matrix_assemble(A)
+    b = lis.lis_vector_create(0)
+    lis.lis_vector_set_size(b, 0, n)
+    lis.lis_vector_set_all(1.0, b)
+
+    for optstr in ("-i bicgstab -p is -tol 1e-10",
+                   "-i gmres -p ilu -tol 1e-10"):
+        s1 = lis.lis_solver_create()
+        lis.lis_solver_set_option(optstr, s1)
+        x1 = lis.lis_vector_duplicate(b)
+        assert lis.lis_solve(A, b, x1, s1) == lis.LIS_SUCCESS
+
+        s2 = lis.lis_solver_create()
+        lis.lis_solver_set_option(optstr, s2)
+        lis.lis_solver_set_matrix(A, s2)
+        p = lis.lis_precon_psd_create(s2)
+        x2 = lis.lis_vector_duplicate(b)
+        assert lis.lis_solve_kernel(A, b, x2, s2, p) == lis.LIS_SUCCESS
+        assert abs(lis.lis_solver_get_iter(s2)
+                   - lis.lis_solver_get_iter(s1)) <= 1, optstr
+
+
+def test_vector_dot_is_hermitian_complex():
+    """lis_vector_dot conjugates u (man lis_vector_dot.3): <u,u> = ||u||^2
+    even for purely imaginary u; nhdot is the unconjugated product."""
+    import jax.numpy as jnp
+    u = lis.lis_vector_create(0)
+    u.n = 3
+    u.value = jnp.asarray(np.array([1j, 2j, 0.0]))
+    assert lis.lis_vector_dot(u, u) == 5.0
+    assert lis.lis_vector_nhdot(u, u) == -5.0
+    assert lis.lis_vector_sum(u) == 3j
+    assert lis.lis_vector_get_value(u, 1) == 2j
+
+
+def test_set_coo_preserves_complex():
+    """lis_matrix_set_* adopt LIS_SCALAR (complex) arrays without
+    truncation."""
+    import scipy.sparse as sp
+    d = _tri5_dense() + 1j * np.eye(6)
+    A = _handle(mtype=lis.LIS_MATRIX_COO)
+    coo = sp.coo_matrix(d)
+    lis.lis_matrix_set_coo(coo.nnz, coo.row, coo.col, coo.data, A)
+    lis.lis_matrix_assemble(A)
+    np.testing.assert_allclose(np.asarray(A.m.to_dense()), d)
+
+
+def test_get_preconname_user_registered():
+    """get_precon/get_preconname round-trip for a user preconditioner
+    (ids number from LIS_PRECON_TYPE_USERDEF)."""
+    n = 20
+    A = _handle(n)
+    for i in range(n):
+        lis.lis_matrix_set_value(lis.LIS_INS_VALUE, i, i, 4.0, A)
+    lis.lis_matrix_assemble(A)
+    lis.lis_precon_register("udiag2", lambda m, o: 1.0 / m.get_diagonal(),
+                            lambda st, r: st * r)
+    from lis_tpu import solve
+    res = solve(A.m, np.ones(n), options="-i cg -p udiag2 -tol 1e-10")
+    assert res.status == lis.LIS_SUCCESS
+    pid = res.options.precon_id
+    assert lis.lis_solver_get_preconname(pid) == "udiag2"
+    lis.lis_precon_register_free()
+
+
+def test_matrix_get_range_is_zero_based():
+    """compat (C-parity) returns the reference C semantics is=0, ie=n;
+    the +1 Fortran shift lives in the binding layer (lisf_matrix.c
+    analogue: interop.fapi)."""
+    A = _handle(10)
+    assert lis.lis_matrix_get_range(A) == (0, 10)
+    from lis_tpu.interop import fapi
+    h = fapi.matrix_create(0)
+    fapi.matrix_set_size(h, 0, 10)
+    assert fapi.matrix_get_range_is(h) == 1
+    assert fapi.matrix_get_range_ie(h) == 11

@@ -176,3 +176,21 @@ def test_complex_generalized_esolvers(hermitian, e):
                                        "-etol 1e-8")
     assert r.status == lis_tpu.LIS_SUCCESS, (e, r)
     assert np.min(np.abs(w - r.evalue)) < 1e-6, (e, r.evalue)
+
+
+@pytest.mark.parametrize("fmt", ["css", "bsr"])
+def test_real_matrix_complex_vector_not_truncated(fmt):
+    """A REAL matrix in the windowed formats times a COMPLEX vector must
+    promote, not silently truncate the imaginary part (css/bsr slabs
+    cast x to the slab dtype before the fix)."""
+    n = 64
+    rng = np.random.RandomState(9)
+    a = sp.random(n, n, density=0.15, random_state=rng, format="csr") \
+        + sp.eye(n) * 4.0
+    a = a.tocsr()
+    a.sort_indices()
+    m = convert_matrix(_csr(a), fmt)
+    x = rng.randn(n) + 1j * rng.randn(n)
+    np.testing.assert_allclose(np.asarray(m.matvec(x)), a @ x, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(m.matvech(x)),
+                               a.T.conj() @ x, atol=1e-11)
