@@ -446,7 +446,7 @@ def make_dist_saamg(A, mesh: Mesh, opts):
         raise ValueError("saamg: operator too small to build a hierarchy; "
                          "use -p jacobi or a direct solve")
 
-    A0, P0 = raw[0]
+    A0, P0, _ = raw[0]      # dist SAAMG runs the symmetric variant
     n1 = P0.shape[1]
 
     # block-local SGS plans of the level-0 diagonal blocks
@@ -491,7 +491,7 @@ def make_dist_saamg(A, mesh: Mesh, opts):
     lvl = 1
     mids = []
     while lvl < len(raw) and raw[lvl][0].shape[0] > shard_rows * p:
-        Al, Pl = raw[lvl]
+        Al, Pl, _Rl = raw[lvl]
         n_l = Al.shape[0]
         nloc_l = -(-n_l // p)
         av, ac, ar = _slab_triplets(Al, p, nloc_l)
@@ -504,7 +504,7 @@ def make_dist_saamg(A, mesh: Mesh, opts):
         lvl += 1
 
     clevels = []
-    for (Al, Pl) in raw[lvl:]:
+    for (Al, Pl, _Rl) in raw[lvl:]:
         f, b = _sgs_plans(Al)
         Al.sort_indices()
         Pl.sort_indices()

@@ -39,10 +39,12 @@ class AMGLevel:
     dinv: object = None       # 1/diag for the weighted-Jacobi smoother
     Ls: object = None         # strict-lower DIA (relaxed-sweep SGS)
     Us: object = None         # strict-upper DIA
+    R: object = None          # Petrov-Galerkin restriction (-saamg_unsym:
+                              # smoothed with A^T; None -> use P^T)
 
 jax.tree_util.register_pytree_node(
     AMGLevel,
-    lambda l: ((l.A, l.P, l.fwd, l.bwd, l.dinv, l.Ls, l.Us), None),
+    lambda l: ((l.A, l.P, l.fwd, l.bwd, l.dinv, l.Ls, l.Us, l.R), None),
     lambda aux, c: AMGLevel(*c))
 
 
@@ -91,7 +93,8 @@ class SAAMGPrecon:
         x = self._presmooth(level, b)
         # coarse-grid correction
         r = b - level.A.matvec(x)
-        rc = level.P.matvech(r)
+        rc = (level.R.matvec(r) if level.R is not None
+              else level.P.matvech(r))
         ec = self._cycle(lev + 1, rc)
         x = x + level.P.matvec(ec)
         return self._postsmooth(level, x, b)
@@ -323,8 +326,15 @@ def build_hierarchy_lattice(A_csr: sp.csr_matrix, fdims,
 
 
 def build_hierarchy(A_csr: sp.csr_matrix, theta: float = 0.05,
-                    max_levels: int = 10, coarse_size: int = 32):
-    """Aggregation + smoothed prolongator + Galerkin RAP per level."""
+                    max_levels: int = 10, coarse_size: int = 32,
+                    unsym: bool = False):
+    """Aggregation + smoothed prolongator + Galerkin RAP per level.
+
+    unsym=True is the -saamg_unsym variant (reference
+    data_creation_unsym_ssi_amg + smooth_aggregate_unsym/RAP_unsym,
+    src/fortran/amg/lis_m_data_creation_AMGCG.F90:158): strength on the
+    symmetrised graph, restriction smoothed with A^T (Petrov-Galerkin
+    R A P coarse operators) instead of P^T."""
     levels = []
     A = A_csr.tocsr()
     while A.shape[0] > coarse_size and len(levels) < max_levels - 1:
@@ -333,8 +343,9 @@ def build_hierarchy(A_csr: sp.csr_matrix, theta: float = 0.05,
         # 1/26 ~ 0.038 vs the 0.05 default) leaves every node isolated
         # and aggregation stalls — relax theta until coarsening happens
         th = theta
+        Astr = (0.5 * (abs(A) + abs(A.T.tocsr()))).tocsr() if unsym else A
         while True:
-            S = _strength(A, th)
+            S = _strength(Astr, th)
             agg = _aggregate(S)
             nc = int(agg.max()) + 1
             if nc < A.shape[0] or th < 1e-4:
@@ -350,9 +361,16 @@ def build_hierarchy(A_csr: sp.csr_matrix, theta: float = 0.05,
         # Jacobi smoothing: P = (I - ω D⁻¹ A) Pt, ω = 2/3
         dinv = 1.0 / np.where(A.diagonal() != 0, A.diagonal(), 1.0)
         P = (Pt - (2.0 / 3.0) * sp.diags(dinv) @ (A @ Pt)).tocsr()
-        Ac = (P.T @ A @ P).tocsr()
+        if unsym:
+            # restriction smoothed with A^T: R = ((I - w D^-1 A^T) Pt)^T
+            W = (Pt - (2.0 / 3.0) * sp.diags(dinv) @ (A.T.tocsr() @ Pt))
+            R = W.T.tocsr()
+            Ac = (R @ A @ P).tocsr()
+        else:
+            R = None
+            Ac = (P.T @ A @ P).tocsr()
         Ac.sort_indices()
-        levels.append((A, P))
+        levels.append((A, P, R))
         A = Ac
     return levels, A
 
@@ -422,7 +440,8 @@ def create_saamg(A, opts):
     smoother = getattr(opts, "saamg_smoother", "sgs")
 
     fdims = detect_lattice(A_sp)
-    if fdims is not None and getattr(opts, "saamg_lattice", True):
+    if fdims is not None and getattr(opts, "saamg_lattice", True) \
+            and not getattr(opts, "saamg_unsym", False):
         raw_levels, A_coarse = build_hierarchy_lattice(A_sp, fdims)
         if raw_levels and A_coarse.shape[0] <= 4096:
             levels = _lattice_levels(raw_levels, smoother)
@@ -430,7 +449,8 @@ def create_saamg(A, opts):
             return SAAMGPrecon(levels=tuple(levels), coarse_inv=coarse_inv,
                                smoother=smoother)
 
-    raw_levels, A_coarse = build_hierarchy(A_sp, theta=theta)
+    unsym = bool(getattr(opts, "saamg_unsym", False))
+    raw_levels, A_coarse = build_hierarchy(A_sp, theta=theta, unsym=unsym)
 
     def _fast_op(m):
         """Level operator through auto_storage (DIA/HDI/BES when the
@@ -465,16 +485,21 @@ def create_saamg(A, opts):
                                          m.shape)
 
     levels = []
-    for (Al, Pl) in raw_levels:
+    for (Al, Pl, Rl) in raw_levels:
         fwd, bwd = _sgs_plans(Al)
         Al.sort_indices()
         Pl.sort_indices()
         d = Al.diagonal()
         with np.errstate(divide="ignore"):
             dinv = np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 1.0)
+        Rf = None
+        if Rl is not None:
+            Rl.sort_indices()
+            Rf = CSRMatrix.from_csr_arrays(Rl.indptr, Rl.indices, Rl.data,
+                                           Rl.shape)
         levels.append(AMGLevel(
             A=_fast_op(Al), P=_fast_prolongator(Pl),
-            fwd=fwd, bwd=bwd, dinv=jnp.asarray(dinv)))
+            fwd=fwd, bwd=bwd, dinv=jnp.asarray(dinv), R=Rf))
     if A_coarse.shape[0] > 4096:
         raise ValueError(
             f"saamg: hierarchy failed to coarsen (coarsest level "
