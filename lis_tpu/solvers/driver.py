@@ -196,11 +196,23 @@ def _effective_scale(opts) -> int:
     truncated-U approximate inverse assumes a unit diagonal (measured
     508 vs 26 BiCGSTAB iterations on testmat.mtx without it)."""
     scale = opts.scale
+    if _is_bscale(opts):
+        # the BSR block branch (lis_solve_kernel :659) is checked before
+        # the scalar branch's CG upgrade — block scaling stays block
+        return scale
     if scale == 1 and opts.solver == "cg" and opts.precon == "jacobi":
         scale = 2
     if opts.precon == "is" and scale == 0:
         scale = 1
     return scale
+
+
+def _is_bscale(opts) -> bool:
+    """True when the reference would take the block-Jacobi scaling path:
+    an explicit -scale 1 with -storage bsr (lis_solve_kernel :659-691).
+    The I+S-forced implicit scaling stays scalar regardless of storage
+    (it happens in the :610 branch, before the storage check)."""
+    return opts.scale == 1 and opts.storage == 7
 
 
 def _scale_operator(A, scale):
@@ -221,6 +233,46 @@ def _scale_operator(A, scale):
     return A, None
 
 
+def _bscale_operator(A, bs: int):
+    """Block-Jacobi scaling for the ``-scale 1 -storage bsr`` path
+    (lis_solve_kernel :659-691: convert to BSR, split, invert the block
+    diagonal via lis_matrix_diag_inverse, then lis_matrix_bscale_bsr
+    A <- D_b^-1 A and b <- D_b^-1 b).  Done at CSR level before the BSR
+    conversion — left-scaling by the block diagonal mixes only rows
+    within a block, so it commutes with the uniform-block conversion and
+    preserves the block sparsity pattern.
+
+    Returns (A', binv) with binv (nb, bs, bs); the caller applies binv
+    to b."""
+    import scipy.sparse as sp
+    from lis_tpu.matrix.csr import CSRMatrix
+    from lis_tpu.precon.jacobi import _diag_blocks
+    blocks = _diag_blocks(A, bs)
+    binv = np.linalg.inv(blocks)
+    ptr, index, value = (np.asarray(t) for t in A.to_csr_arrays())
+    n, m = A.shape
+    nb = binv.shape[0]
+    a = sp.csr_matrix((value, index, ptr), shape=(n, m))
+    a.resize((nb * bs, m))
+    d = sp.bsr_matrix(
+        (binv, np.arange(nb), np.arange(nb + 1)),
+        shape=(nb * bs, nb * bs))
+    scaled = (d @ a).tocsr()
+    scaled.resize((n, m))
+    scaled.sort_indices()
+    A2 = CSRMatrix.from_csr_arrays(scaled.indptr, scaled.indices,
+                                   scaled.data, (n, m))
+    return A2, jnp.asarray(binv)
+
+
+def _block_matvec(binv, r):
+    nb, bs, _ = binv.shape
+    pad = nb * bs - r.shape[0]
+    rp = jnp.pad(r, (0, pad)) if pad else r
+    z = jnp.einsum("kij,kj->ki", binv, rp.reshape(nb, bs))
+    return z.reshape(-1)[: r.shape[0]]
+
+
 def _convert_storage(A, opts):
     if opts.storage:
         return convert_matrix(A, _STORAGE_BY_ID[opts.storage],
@@ -237,7 +289,10 @@ def transform_operator(A, opts):
     preconditioners on THIS operator so the factors match what
     lis_solve_kernel solves (the reference builds psd factors inside the
     same scaled kernel pipeline, lis_precon.c psd hooks)."""
-    A, _ = _scale_operator(A, _effective_scale(opts))
+    if _is_bscale(opts):
+        A, _ = _bscale_operator(A, opts.storage_block or 2)
+    else:
+        A, _ = _scale_operator(A, _effective_scale(opts))
     return _convert_storage(A, opts)
 
 
@@ -285,16 +340,32 @@ def solve(A: SparseMatrix, b, x0=None, options=None, M=None,
         x0 = jnp.asarray(x0)
 
     # ---- scaling (lis_solve_kernel :613-721) -------------------------------
+    # NOTE on ordering vs the reference: lis_solve creates the
+    # preconditioner BEFORE lis_solve_kernel scales A and b
+    # (lis_solver.c:385→441), so reference preconditioners factor the
+    # UNSCALED matrix while the iteration runs the scaled one.  For
+    # Jacobi/ILU/ILUT the resulting preconditioned operator is invariant
+    # under row scaling, so iteration counts match either way (verified
+    # against the rebuilt binary).  SSOR is not invariant under that
+    # mixed pairing: the reference's -scale + -p ssor combo degrades
+    # itself (22 vs 12 BiCGSTAB iterations on testmat); we precondition
+    # the operator actually iterated and keep the unscaled counts.
     scale = _effective_scale(opts)
-    A, svec = _scale_operator(A, scale)
     dscale = None
-    if scale == 1:
-        b = svec * b
-    elif scale == 2:
-        dscale = svec
-        b = svec * b
-        if not opts.initx_zeros:
-            x0 = x0 / dscale
+    if _is_bscale(opts):
+        # block-Jacobi scaling (lis_solve_kernel :659-691): A <- D_b^-1 A,
+        # b <- D_b^-1 b with D_b the BSR block diagonal; x is unchanged
+        A, binv = _bscale_operator(A, opts.storage_block or 2)
+        b = _block_matvec(binv, b)
+    else:
+        A, svec = _scale_operator(A, scale)
+        if scale == 1:
+            b = svec * b
+        elif scale == 2:
+            dscale = svec
+            b = svec * b
+            if not opts.initx_zeros:
+                x0 = x0 / dscale
 
     # ---- storage conversion (-storage N) -----------------------------------
     A = _convert_storage(A, opts)

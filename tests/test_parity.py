@@ -121,6 +121,44 @@ def test_block_ilu_parity(testmat, s, bnr, fill, expected):
                                             expected)
 
 
+# block-Jacobi scaling (-scale 1 -storage bsr), ground truth from the built
+# reference: lsolve testmat.mtx 1 -i <s> -scale 1 -storage 7 -storage_block <b>
+# (lis_solve_kernel :659-691 converts to BSR, inverts the block diagonal and
+# bscales A and b; CG's scale upgrade is bypassed on this branch)
+BSCALE_REFERENCE = [
+    ("bicg", 2, 24), ("cg", 2, 62), ("bicgstab", 2, 17), ("gmres", 3, 38),
+]
+
+
+@pytest.mark.parametrize("s,bnr,expected", BSCALE_REFERENCE)
+def test_block_scale_parity(testmat, s, bnr, expected):
+    b = np.ones(testmat.nrows)
+    res = solve(testmat, b,
+                options=f"-i {s} -scale 1 -storage bsr -storage_block {bnr} "
+                        "-tol 1e-12 -maxiter 1000")
+    assert res.status == lis_tpu.LIS_SUCCESS, (s, bnr, res)
+    assert abs(res.iters - expected) <= 5, (s, bnr, res.iters, expected)
+    assert res.true_resid < 1e-10
+
+
+def test_scaled_ssor_not_degraded(testmat):
+    """The reference creates preconditioners BEFORE lis_solve_kernel
+    scales A and b (lis_solver.c:385→441), so its -scale 1 -p ssor combo
+    preconditions with the unscaled split while iterating the scaled
+    system and degrades itself (22 vs 12 BiCGSTAB iterations on
+    testmat).  We factor the operator actually iterated: scaled SSOR
+    keeps the unscaled iteration count.  Jacobi/ILU/ILUT preconditioned
+    operators are invariant under row scaling, so those combos match the
+    reference either way (test_precon_iteration_parity covers them)."""
+    b = np.ones(testmat.nrows)
+    r0 = solve(testmat, b, options="-i bicgstab -p ssor -tol 1e-12 "
+                                   "-auto_storage false")
+    r1 = solve(testmat, b, options="-i bicgstab -p ssor -scale 1 -tol 1e-12 "
+                                   "-auto_storage false")
+    assert abs(r1.iters - r0.iters) <= 2, (r0.iters, r1.iters)
+    assert r1.iters <= 22  # strictly better than the reference's 22
+
+
 # eigensolver parity, ground truth from the built reference:
 # etest1 testmat.mtx -e <n> -etol 1e-8 (round 2)
 ESOLVER_REFERENCE = {
