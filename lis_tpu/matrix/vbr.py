@@ -18,6 +18,41 @@ import numpy as np
 from lis_tpu.matrix.base import SparseMatrix, matrix_format, static, host
 
 
+def auto_rowcol(ptr, index, n) -> tuple:
+    """The reference's automatic VBR partition
+    (lis_matrix_get_vbr_rowcol, src/matrix/lis_matrix_vbr.c:262): mark a
+    boundary wherever any row's contiguous column run starts or ends, so
+    blocks are the maximal column intervals no row's run crosses (the
+    same partition is used for rows and columns)."""
+    ptr = np.asarray(ptr)
+    index = np.asarray(index, dtype=np.int64)
+    if len(index):  # run detection needs sorted columns per row
+        rows = np.repeat(np.arange(len(ptr) - 1, dtype=np.int64),
+                         np.diff(ptr))
+        index = index[np.lexsort((index, rows))]
+    iw = np.zeros(n + 2, dtype=bool)
+    if len(index):
+        nz_rows = np.diff(ptr) > 0
+        first = ptr[:-1][nz_rows]
+        last = ptr[1:][nz_rows] - 1
+        # run starts: first entry of each row + any entry whose left
+        # neighbour (within the row) is not index-1
+        starts = np.ones(len(index), dtype=bool)
+        starts[1:] = index[1:] != index[:-1] + 1
+        starts[first] = True
+        # run ends: last entry of each row + any entry whose right
+        # neighbour is not index+1
+        ends = np.ones(len(index), dtype=bool)
+        ends[:-1] = index[:-1] != index[1:] - 1
+        ends[last] = True
+        iw[index[starts]] = True
+        iw[index[ends] + 1] = True
+    iw[0] = False
+    bounds = np.flatnonzero(iw)
+    return (0,) + tuple(int(b) for b in bounds) + \
+        ((n,) if (len(bounds) == 0 or bounds[-1] != n) else ())
+
+
 @matrix_format("vbr")
 class VBRMatrix(SparseMatrix):
     # CSR compute view
@@ -36,9 +71,18 @@ class VBRMatrix(SparseMatrix):
 
     @classmethod
     def from_csr_arrays(cls, ptr, index, value, shape, row_part=None,
-                        col_part=None, block: int = 2) -> "VBRMatrix":
+                        col_part=None, block: int | None = None
+                        ) -> "VBRMatrix":
+        """``block=None`` (the default) auto-detects the partition from the
+        sparsity pattern the way the reference's conversion does
+        (lis_matrix_get_vbr_rowcol, lis_matrix_vbr.c:262); an explicit
+        ``block`` gives a uniform partition instead."""
         ptr, index, value = host(ptr), host(index), host(value)
         n, m = shape
+        if row_part is None and col_part is None and block is None and n == m:
+            row_part = col_part = auto_rowcol(ptr, index, n)
+        if block is None:
+            block = 2
         if row_part is None:
             row_part = tuple(range(0, n, block)) + (n,)
         if col_part is None:

@@ -364,6 +364,10 @@ def create_iluk(A, opts):
     fill = getattr(opts, "ilu_fill", 0)
     if getattr(A, "format_name", None) == "bsr":
         return _create_bilu(A, fill)
+    if getattr(A, "format_name", None) == "vbr":
+        vb = _create_vbilu(A, fill)
+        if vb is not None:
+            return vb
     if getattr(A, "format_name", None) == "dia" and fill == 0:
         is_complex = any(jnp.iscomplexobj(v) for v in A.value)
         if not is_complex:
@@ -580,6 +584,128 @@ def _create_bilu(A, fill):
         upper_t=make_plan(LH.indptr, LH.indices, LH.data, ones,
                           lower=False),
         dinv=jnp.asarray(Dinv), n=A.nrows, bnr=A.bnr)
+
+
+@precon_pytree
+class VBlockILUPrecon:
+    """Variable-block ILU(k) for VBR operators: M = (I+L̂)·D·(I+Û) with
+    blocks sized by the VBR partition, Û = D⁻¹U.  Reference:
+    lis_symbolic_fact_vbr / lis_numerical_fact_vbr / lis_psolve_iluk_vbr
+    (lis_precon_iluk.c:2220-2905).  The unit factors expand to scalar
+    level-scheduled triangular solves; the block-diagonal D⁻¹ (variable
+    block sizes, so no single batched einsum) applies as diagonal
+    streams of its scalar expansion — bandwidth ≤ 2·max_block−1.
+    (The reference leaves lis_psolveh_iluk_vbr unimplemented — BiCG on
+    VBR+ILU errors out there; the transposed apply here is complete.)"""
+    lower: TriSolvePlan       # L̂ expanded (unit lower)
+    upper: TriSolvePlan       # Û = D⁻¹U expanded (unit upper)
+    lower_t: TriSolvePlan     # Ûᴴ (unit lower)
+    upper_t: TriSolvePlan     # L̂ᴴ (unit upper)
+    dL: object                # strict-lower DIA streams of expanded D⁻¹
+    dU: object                # strict-upper DIA streams of expanded D⁻¹
+    dd: jax.Array             # diagonal of expanded D⁻¹
+
+    def _dinv(self, x):
+        return self.dL.matvec(x) + self.dU.matvec(x) + self.dd * x
+
+    def _dinvh(self, x):
+        dd = jnp.conj(self.dd) if jnp.iscomplexobj(self.dd) else self.dd
+        return self.dL.matvech(x) + self.dU.matvech(x) + dd * x
+
+    def psolve(self, r):
+        return trisolve(self.upper, self._dinv(trisolve(self.lower, r)))
+
+    def psolveh(self, r):
+        # M⁻ᴴ = (I+L̂)⁻ᴴ D⁻ᴴ (I+Û)⁻ᴴ
+        return trisolve(self.upper_t, self._dinvh(trisolve(self.lower_t, r)))
+
+
+def _create_vbilu(A, fill):
+    """Build the VBR block ILU(k); returns None when the VBR partition is
+    not square-conformal (row/col partitions differ) or is all 1×1 (the
+    scalar CSR path is identical and cheaper) — the caller falls back."""
+    part = tuple(A.row_part)
+    if part != tuple(A.col_part) or A.shape[0] != A.shape[1]:
+        return None
+    sizes = np.diff(np.asarray(part))
+    if not len(sizes) or sizes.max() <= 1:
+        return None
+    nr = len(part) - 1
+    p, i, v = (np.asarray(t) for t in A.to_csr_arrays())
+    a = sp.csr_matrix((v, i, p), shape=A.shape)
+    bptr = np.asarray(A.bptr)
+    bindex = np.asarray(A.bindex)
+
+    patt = _bilu_symbolic(bptr, bindex, nr, fill)
+    dtype = np.complex128 if np.iscomplexobj(v) else np.float64
+    stored = [{} for _ in range(nr)]
+    for bi in range(nr):
+        r0, r1 = part[bi], part[bi + 1]
+        for q in range(bptr[bi], bptr[bi + 1]):
+            bj = int(bindex[q])
+            stored[bi][bj] = a[r0:r1, part[bj]:part[bj + 1]] \
+                .toarray().astype(dtype)
+    # block IKJ at variable sizes (mirrors _factor_bilu)
+    Dinv = []
+    Lrows, Urows = [], []
+    for bi in range(nr):
+        row = {c: np.zeros((sizes[bi], sizes[c]), dtype=dtype)
+               for c in patt[bi]}
+        row.update(stored[bi])
+        for j in (c for c in patt[bi] if c < bi):
+            Lij = row[j] @ Dinv[j]
+            row[j] = Lij
+            for k, Ujk in Urows[j].items():
+                tgt = row.get(k)
+                if tgt is not None:
+                    tgt -= Lij @ Ujk
+        d = row.get(bi)
+        if d is None:
+            d = np.eye(sizes[bi], dtype=dtype)
+        try:
+            Dinv.append(np.linalg.inv(d))
+        except np.linalg.LinAlgError:
+            Dinv.append(np.linalg.pinv(d))
+        Urows.append({k: blk for k, blk in row.items() if k > bi})
+        Lrows.append({k: blk for k, blk in row.items() if k < bi})
+
+    n = A.shape[0]
+
+    def expand(rows_of_blocks):
+        rr, cc, vv = [], [], []
+        for bi, row in enumerate(rows_of_blocks):
+            for bj, blk in row.items():
+                r0, c0 = part[bi], part[bj]
+                ri, ci = np.nonzero(blk)
+                rr.append(ri + r0)
+                cc.append(ci + c0)
+                vv.append(blk[ri, ci])
+        if not rr:
+            return sp.csr_matrix((n, n), dtype=dtype)
+        m = sp.coo_matrix((np.concatenate(vv),
+                           (np.concatenate(rr), np.concatenate(cc))),
+                          shape=(n, n)).tocsr()
+        m.sort_indices()
+        return m
+
+    Ut_rows = [{k: Dinv[t] @ blk for k, blk in Urows[t].items()}
+               for t in range(nr)]
+    L = expand(Lrows)
+    U = expand(Ut_rows)
+    Dx = expand([{bi: Dinv[bi]} for bi in range(nr)])
+    dLo, dUp, dd = _dia_from_csr(Dx.indptr, Dx.indices, Dx.data, n)
+    ones = np.ones(n, dtype=dtype)
+    LH = L.conj().T.tocsr()
+    UH = U.conj().T.tocsr()
+    LH.sort_indices()
+    UH.sort_indices()
+    return VBlockILUPrecon(
+        lower=make_plan(L.indptr, L.indices, L.data, ones, lower=True),
+        upper=make_plan(U.indptr, U.indices, U.data, ones, lower=False),
+        lower_t=make_plan(UH.indptr, UH.indices, UH.data, ones, lower=True),
+        upper_t=make_plan(LH.indptr, LH.indices, LH.data, ones,
+                          lower=False),
+        dL=dLo, dU=dUp, dd=jnp.asarray(dd))
 
 
 def _maybe_dia_apply(fp, fi, fv, A, opts, max_nnd=512):

@@ -71,6 +71,14 @@ def auto_storage(A):
     most 4x (and nnd <= 512) so memory stays bounded."""
     if A.format_name in ("dia", "hdi"):
         return A
+    if A.format_name in ("bsr", "vbr"):
+        # a user-assembled block format is a semantic choice, not just a
+        # layout: -p ilu runs the BLOCK factorization and -scale 1 the
+        # block-Jacobi scaling on these (lis_precon_iluk.c:1289/:2220,
+        # lis_solve_kernel :659-691).  Re-routing would silently swap
+        # those for the scalar paths; keep the user's format like the
+        # reference does (it never converts without -storage).
+        return A
     cached = getattr(A, "_auto_dia", None)
     if cached is not None:
         return cached if cached is not False else A

@@ -121,6 +121,39 @@ def test_block_ilu_parity(testmat, s, bnr, fill, expected):
                                             expected)
 
 
+# variable-block ILU(k) on VBR, ground truth from the built reference:
+# lsolve testmat.mtx 1 -i <s> -p ilu -ilu_fill <f> -storage 9
+# (automatic partition via lis_matrix_get_vbr_rowcol).  BiCG is absent:
+# the reference's lis_psolveh_iluk_vbr is unimplemented and errors out.
+VBILU_REFERENCE = [
+    ("gmres", 0, 17), ("gmres", 1, 13),
+    ("bicgstab", 0, 11), ("bicgstab", 1, 8),
+]
+
+
+@pytest.mark.parametrize("s,fill,expected", VBILU_REFERENCE)
+def test_vbr_block_ilu_parity(testmat, s, fill, expected):
+    """-p ilu on a VBR-stored matrix runs the variable-block factorization
+    (lis_precon_iluk.c:2220/:2619) with the reference's automatic
+    sparsity-pattern partition (lis_matrix_vbr.c:262)."""
+    b = np.ones(testmat.nrows)
+    res = solve(testmat, b,
+                options=f"-i {s} -p ilu -ilu_fill {fill} -storage vbr "
+                        "-tol 1e-12 -maxiter 1000")
+    assert res.status == lis_tpu.LIS_SUCCESS, (s, fill, res)
+    assert abs(res.iters - expected) <= 2, (s, fill, res.iters, expected)
+
+
+def test_vbr_block_ilu_bicg_transpose_apply(testmat):
+    """BiCG needs M⁻ᴴ; the reference errors out on VBR (psolveh
+    unimplemented) — here the transposed apply is complete."""
+    b = np.ones(testmat.nrows)
+    res = solve(testmat, b, options="-i bicg -p ilu -storage vbr "
+                                    "-tol 1e-12 -maxiter 1000")
+    assert res.status == lis_tpu.LIS_SUCCESS
+    assert res.resid < 1e-12
+
+
 # block-Jacobi scaling (-scale 1 -storage bsr), ground truth from the built
 # reference: lsolve testmat.mtx 1 -i <s> -scale 1 -storage 7 -storage_block <b>
 # (lis_solve_kernel :659-691 converts to BSR, inverts the block diagonal and

@@ -360,3 +360,114 @@ def test_saamg_unsym_petrov_galerkin():
     np.testing.assert_allclose((R0 @ A0 @ P0).toarray(),
                                raw[1][0].toarray() if len(raw) > 1
                                else (R0 @ A0 @ P0).toarray(), rtol=1e-12)
+
+
+def test_vbr_auto_partition_runs_dont_cross():
+    """The automatic VBR partition (lis_matrix_get_vbr_rowcol,
+    lis_matrix_vbr.c:262) must place boundaries so no row's contiguous
+    column run crosses a block edge, and must recover the exact block
+    structure of a block-tridiagonal matrix with mixed block sizes."""
+    import scipy.sparse as sp
+    from lis_tpu.matrix.vbr import auto_rowcol
+
+    sizes = [2, 3, 1, 4, 2]
+    part = np.cumsum([0] + sizes)
+    n = part[-1]
+    rng = np.random.default_rng(5)
+    blocks = {}
+    for bi in range(len(sizes)):
+        for bj in (bi - 1, bi, bi + 1):
+            if 0 <= bj < len(sizes):
+                blocks[(bi, bj)] = rng.standard_normal(
+                    (sizes[bi], sizes[bj])) + (4.0 * np.eye(
+                        sizes[bi], sizes[bj]) if bi == bj else 0.0)
+    a = sp.lil_matrix((n, n))
+    for (bi, bj), blk in blocks.items():
+        a[part[bi]:part[bi + 1], part[bj]:part[bj + 1]] = blk
+    a = a.tocsr()
+    got = auto_rowcol(a.indptr, a.indices, n)
+    assert got == tuple(int(t) for t in part)
+    # exact characterization on an irregular pattern: the interior
+    # boundaries are precisely the union over rows of every contiguous
+    # run's start column and (end column + 1) — no more, no fewer
+    # (lis_matrix_vbr.c:280-299; note a long run CAN be split by another
+    # row's marks, which VBR tolerates: the run's entries just land in
+    # several dense blocks)
+    r = random_sparse(40, density=0.12, seed=11)
+    p, i, v = (np.asarray(t) for t in r.to_csr_arrays())
+    bounds = auto_rowcol(p, i, 40)
+    marks = set()
+    for row in range(40):
+        cols = np.sort(i[p[row]:p[row + 1]])
+        for s in np.split(cols, np.flatnonzero(np.diff(cols) != 1) + 1):
+            if len(s):
+                marks.add(int(s[0]))
+                marks.add(int(s[-1]) + 1)
+    marks.discard(0)
+    assert set(bounds) - {0, 40} == marks - {40}, (bounds, sorted(marks))
+
+
+def test_vbr_block_ilu_exact_at_full_fill():
+    """With enough fill the variable-block ILU is an exact block LDU:
+    M⁻¹r == A⁻¹r, and the transposed apply equals M⁻ᴴ."""
+    import jax.numpy as jnp
+    from lis_tpu.matrix.convert import convert_matrix
+    from lis_tpu.precon.ilu import create_iluk
+    from lis_tpu.runtime.options import SolverOptions
+
+    a = random_sparse(24, density=0.25, seed=9)
+    dense = a.to_dense() + 8.0 * np.eye(24)
+    import scipy.sparse as sp
+    s = sp.csr_matrix(dense)
+    from lis_tpu.matrix.vbr import VBRMatrix
+    m = VBRMatrix.from_csr_arrays(s.indptr, s.indices, s.data, s.shape,
+                                  block=3)
+    pc = create_iluk(m, SolverOptions(ilu_fill=24))
+    r = np.random.default_rng(1).standard_normal(24)
+    np.testing.assert_allclose(np.asarray(pc.psolve(jnp.asarray(r))),
+                               np.linalg.solve(dense, r), rtol=1e-9,
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(pc.psolveh(jnp.asarray(r))),
+                               np.linalg.solve(dense.T, r), rtol=1e-9,
+                               atol=1e-9)
+
+
+def test_vbr_block_ilu_psolveh_is_adjoint_of_psolve():
+    """At any fill level: materialise M⁻¹ column-by-column via psolve and
+    check psolveh applies its (conjugate) transpose."""
+    import jax.numpy as jnp
+    from lis_tpu.precon.ilu import create_iluk
+    from lis_tpu.runtime.options import SolverOptions
+    import scipy.sparse as sp
+    from lis_tpu.matrix.vbr import VBRMatrix
+
+    a = random_sparse(18, density=0.3, seed=2)
+    dense = a.to_dense() + 6.0 * np.eye(18)
+    s = sp.csr_matrix(dense)
+    m = VBRMatrix.from_csr_arrays(s.indptr, s.indices, s.data, s.shape,
+                                  row_part=(0, 2, 5, 9, 10, 14, 18),
+                                  col_part=(0, 2, 5, 9, 10, 14, 18))
+    pc = create_iluk(m, SolverOptions(ilu_fill=0))
+    minv = np.stack([np.asarray(pc.psolve(jnp.asarray(e)))
+                     for e in np.eye(18)], axis=1)
+    r = np.random.default_rng(3).standard_normal(18)
+    np.testing.assert_allclose(np.asarray(pc.psolveh(jnp.asarray(r))),
+                               minv.T @ r, rtol=1e-10, atol=1e-10)
+
+
+def test_user_block_format_not_rerouted():
+    """A user-assembled BSR/VBR matrix keeps its block semantics through
+    solve(): auto_storage must not silently reroute it to a scalar format
+    (which would swap block ILU for scalar ILU — the reference never
+    converts without -storage).  Iteration counts must match the explicit
+    -storage path exactly."""
+    from lis_tpu.matrix.convert import convert_matrix
+    a = poisson2d(12, 12)
+    b = np.ones(a.nrows)
+    for fmt, opt in (("vbr", "-storage vbr"),
+                     ("bsr", "-storage bsr -storage_block 2")):
+        pre = solve(convert_matrix(a, fmt) if fmt == "vbr"
+                    else convert_matrix(a, fmt, bnr=2), b,
+                    options="-i bicgstab -p ilu -tol 1e-11")
+        exp = solve(a, b, options=f"-i bicgstab -p ilu {opt} -tol 1e-11")
+        assert pre.iters == exp.iters, (fmt, pre.iters, exp.iters)
