@@ -2,8 +2,9 @@
 
 HB files are fixed-column Fortran-formatted: a 4-5 line header describing
 line counts and formats, then column pointers, row indices, and values.  The
-reference reads RUA/RSA (real unsymmetric/symmetric assembled); we support
-the same plus pattern matrices.
+reference reads RUA (and CUA under --enable-complex, lis_input_hb.c:234);
+we support those plus symmetric/Hermitian (RSA/CSA/CHA) expansion and
+pattern matrices.
 """
 
 from __future__ import annotations
@@ -38,8 +39,10 @@ def _read_fixed(lines, nlines, count, width, conv):
 
 
 def read_harwell_boeing(path: str, matrix_type: str = "csr", **kw):
-    """Read a Harwell-Boeing (RUA/RSA) file into a matrix of matrix_type
-    (reference lis_input_hb, src/system/lis_input_hb.c)."""
+    """Read a Harwell-Boeing (RUA/RSA, and CUA under the complex build the
+    way the reference's _COMPLEX branch does, lis_input_hb.c:234) into a
+    matrix of matrix_type (reference lis_input_hb, src/system/lis_input_hb.c).
+    Symmetric (S) and Hermitian (H) variants are expanded to full storage."""
     with open(path) as f:
         lines = iter(f.readlines())
     next(lines)                                    # title line
@@ -61,15 +64,20 @@ def read_harwell_boeing(path: str, matrix_type: str = "csr", **kw):
     index = _read_fixed(lines, indcrd, nnzero, iw, int) - 1
     if mxtype[0] == "P" or valcrd == 0:
         value = np.ones(nnzero)
+    elif mxtype[0] == "C":                         # complex: (re, im) pairs
+        vc, vw = _parse_fortran_format(valfmt)
+        raw = _read_fixed(lines, valcrd, 2 * nnzero, vw, float)
+        value = raw[0::2] + 1j * raw[1::2]
     else:
         vc, vw = _parse_fortran_format(valfmt)
         value = _read_fixed(lines, valcrd, nnzero, vw, float)
 
     csc = CSCMatrix.from_csc_arrays(ptr, index, value, (nrow, ncol))
-    if mxtype[1] == "S":                           # symmetric: mirror lower
+    if mxtype[1] in ("S", "H"):                    # symmetric: mirror lower
         import scipy.sparse as sp
         a = sp.csc_matrix((value, index, ptr), shape=(nrow, ncol))
-        full = a + a.T - sp.diags(a.diagonal())
+        at = a.conj().T if mxtype[1] == "H" else a.T
+        full = a + at - sp.diags(a.diagonal())
         full = full.tocsc()
         full.sort_indices()
         csc = CSCMatrix.from_csc_arrays(full.indptr, full.indices, full.data,
@@ -91,9 +99,17 @@ def write_harwell_boeing(path: str, matrix, title: str = "lis_tpu matrix",
     a.sort_indices()
     ptr = a.indptr.astype(np.int64) + 1            # 1-based
     index = a.indices.astype(np.int64) + 1
-    value = np.asarray(a.data, dtype=np.float64)
+    is_complex = np.iscomplexobj(a.data)
     nrow, ncol = matrix.shape
-    nnz = len(value)
+    nnz = a.indptr[-1]
+    if is_complex:                                 # CUA: (re, im) pairs
+        value = np.empty(2 * nnz, dtype=np.float64)
+        value[0::2] = np.asarray(a.data).real
+        value[1::2] = np.asarray(a.data).imag
+        mxtype = "CUA"
+    else:
+        value = np.asarray(a.data, dtype=np.float64)
+        mxtype = "RUA"
 
     def lines_of(vals, per_line, fmt):
         out = []
@@ -109,7 +125,7 @@ def write_harwell_boeing(path: str, matrix, title: str = "lis_tpu matrix",
         tot = len(plines) + len(ilines) + len(vlines)
         f.write(f"{tot:14d}{len(plines):14d}{len(ilines):14d}"
                 f"{len(vlines):14d}{0:14d}\n")
-        f.write(f"{'RUA':<14.14}{nrow:14d}{ncol:14d}{nnz:14d}{0:14d}\n")
+        f.write(f"{mxtype:<14.14}{nrow:14d}{ncol:14d}{nnz:14d}{0:14d}\n")
         f.write(f"{'(10I8)':<16.16}{'(10I8)':<16.16}{'(3E25.16)':<20.20}"
                 f"{'':<20.20}\n")
         for ln in plines + ilines + vlines:

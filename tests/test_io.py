@@ -249,3 +249,60 @@ def test_lis_vector_binary_roundtrip_both_endians(tmp_path):
         assert head == (b"#LIS B vec" if fmt == "lisb" else b"#LIS L vec")
         v2 = lis_input_vector(str(p))
         np.testing.assert_array_equal(np.asarray(v2, dtype=np.float64), v)
+
+
+def test_hb_complex_cua_roundtrip(tmp_path):
+    """CUA (complex unsymmetric assembled) HB files round-trip — the
+    reference's --enable-complex branch accepts mxtype 'c'
+    (lis_input_hb.c:234); values are stored as (re, im) pairs."""
+    from lis_tpu.io.hb import write_harwell_boeing, read_harwell_boeing
+    from lis_tpu.matrix.csr import CSRMatrix
+    rng = np.random.default_rng(4)
+    dense = np.where(rng.random((12, 12)) < 0.25,
+                     rng.standard_normal((12, 12))
+                     + 1j * rng.standard_normal((12, 12)), 0.0)
+    dense += 5.0 * np.eye(12)
+    a = CSRMatrix.from_dense(dense)
+    p = tmp_path / "m.cua"
+    write_harwell_boeing(str(p), a)
+    assert open(p).readlines()[2].startswith("CUA")
+    a2 = read_harwell_boeing(str(p))
+    np.testing.assert_allclose(np.asarray(a2.to_dense()), dense, rtol=1e-14)
+
+
+def test_hb_hermitian_expansion(tmp_path):
+    """A CHA-typed file (Hermitian, lower triangle stored) expands to the
+    full matrix with conjugated mirror entries."""
+    from lis_tpu.io.hb import read_harwell_boeing
+    import scipy.sparse as sp
+    rng = np.random.default_rng(6)
+    dense = np.where(rng.random((8, 8)) < 0.3,
+                     rng.standard_normal((8, 8))
+                     + 1j * rng.standard_normal((8, 8)), 0.0)
+    herm = np.tril(dense, -1) + np.tril(dense, -1).conj().T \
+        + np.diag(6.0 + np.arange(8.0))
+    low = sp.csc_matrix(np.tril(herm))            # stored lower triangle
+    low.sort_indices()
+    ptr, idx, val = low.indptr + 1, low.indices + 1, low.data
+    vals = np.empty(2 * len(val))
+    vals[0::2], vals[1::2] = val.real, val.imag
+
+    def lines_of(vs, per, fmt):
+        return ["".join(fmt % v for v in vs[k:k + per])
+                for k in range(0, len(vs), per)]
+
+    pl = lines_of(ptr, 10, "%8d")
+    il = lines_of(idx, 10, "%8d")
+    vl = lines_of(vals, 3, "%25.16E")
+    p = tmp_path / "m.cha"
+    with open(p, "w") as f:
+        f.write(f"{'herm test':<72.72}{'T':<8.8}\n")
+        f.write(f"{len(pl)+len(il)+len(vl):14d}{len(pl):14d}"
+                f"{len(il):14d}{len(vl):14d}{0:14d}\n")
+        f.write(f"{'CHA':<14.14}{8:14d}{8:14d}{low.nnz:14d}{0:14d}\n")
+        f.write(f"{'(10I8)':<16.16}{'(10I8)':<16.16}{'(3E25.16)':<20.20}"
+                f"{'':<20.20}\n")
+        for ln in pl + il + vl:
+            f.write(ln + "\n")
+    a = read_harwell_boeing(str(p))
+    np.testing.assert_allclose(np.asarray(a.to_dense()), herm, rtol=1e-14)
