@@ -147,16 +147,30 @@ def lis_matrix_assemble(A):
     kw = {}
     if name in ("bsr", "bsc") and getattr(A, "_block", None):
         kw["bnr"] = A._block[0]
+    if name == "vbr" and getattr(A, "_vbr_parts", None) is not None:
+        rp, cp = A._vbr_parts
+        kw["row_part"] = tuple(int(t) for t in rp)
+        kw["col_part"] = tuple(int(t) for t in cp)
     A.m = convert_matrix(m, name, **kw) if name != "csr" else (
         m if isinstance(m, CSRMatrix) else convert_matrix(m, "csr"))
     return LIS_SUCCESS
 
 
 def lis_matrix_convert(Ain, Aout):
-    """Convert Ain's storage into Aout's declared type (man lis_matrix_convert.3)."""
+    """Convert Ain's storage into Aout's declared type, honoring a
+    block size / VBR partition declared on Aout via
+    lis_matrix_set_blocksize (man lis_matrix_convert.3)."""
     from lis_tpu.matrix.convert import convert_matrix
+    name = _TYPE_NAMES.get(Aout.matrix_type, "csr")
+    kw = {}
+    if name in ("bsr", "bsc") and getattr(Aout, "_block", None):
+        kw["bnr"] = Aout._block[0]
+    if name == "vbr" and getattr(Aout, "_vbr_parts", None) is not None:
+        rp, cp = Aout._vbr_parts
+        kw["row_part"] = tuple(int(t) for t in rp)
+        kw["col_part"] = tuple(int(t) for t in cp)
     Aout.n = Ain.n
-    Aout.m = convert_matrix(Ain.m, _TYPE_NAMES.get(Aout.matrix_type, "csr"))
+    Aout.m = convert_matrix(Ain.m, name, **kw)
     return LIS_SUCCESS
 
 

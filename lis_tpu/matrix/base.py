@@ -120,6 +120,13 @@ class SparseMatrix:
         np.add.at(d, rows[isd], value[isd])
         return jnp.asarray(d)
 
+    def _rebuild_kwargs(self) -> dict:
+        """Structure parameters a same-format rebuild must preserve
+        (block sizes, partitions).  Default: none.  Overridden by the
+        block formats so scale/shift/axpy round-trips don't silently
+        replace a user-chosen block structure with the default one."""
+        return {}
+
     def scale_rows(self, d):
         """Return a same-format matrix with rows scaled by vector d."""
         from lis_tpu.matrix.convert import convert_matrix
@@ -130,7 +137,8 @@ class SparseMatrix:
         out = CSRMatrix.from_csr_arrays(ptr, index, value, self.shape)
         if self.format_name not in _MATRIX_REGISTRY:
             return out          # composite formats (e.g. mbes): CSR result
-        return convert_matrix(out, self.format_name)
+        return convert_matrix(out, self.format_name,
+                              **self._rebuild_kwargs())
 
     def scale_symm(self, dsqrt_inv):
         """D^-1/2 A D^-1/2 (symmetric diagonal scaling, -scale 2)."""
@@ -143,7 +151,8 @@ class SparseMatrix:
         out = CSRMatrix.from_csr_arrays(ptr, index, value, self.shape)
         if self.format_name not in _MATRIX_REGISTRY:
             return out          # composite formats (e.g. mbes): CSR result
-        return convert_matrix(out, self.format_name)
+        return convert_matrix(out, self.format_name,
+                              **self._rebuild_kwargs())
 
     def shift_diagonal(self, sigma):
         """A - sigma I (lis_matrix_shift_diagonal,
@@ -158,7 +167,8 @@ class SparseMatrix:
         out = CSRMatrix.from_csr_arrays(a.indptr, a.indices, a.data, self.shape)
         if self.format_name not in _MATRIX_REGISTRY:
             return out          # composite formats (e.g. mbes): CSR result
-        return convert_matrix(out, self.format_name)
+        return convert_matrix(out, self.format_name,
+                              **self._rebuild_kwargs())
 
     def axpy(self, alpha, other):
         """B := B + alpha*A on matching nonzero structure
@@ -175,7 +185,8 @@ class SparseMatrix:
         out = CSRMatrix.from_csr_arrays(c.indptr, c.indices, c.data, self.shape)
         if self.format_name not in _MATRIX_REGISTRY:
             return out          # composite formats (e.g. mbes): CSR result
-        return convert_matrix(out, self.format_name)
+        return convert_matrix(out, self.format_name,
+                              **self._rebuild_kwargs())
 
 
 def host(x) -> np.ndarray:

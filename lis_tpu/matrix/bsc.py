@@ -27,6 +27,9 @@ class BSCMatrix(SparseMatrix):
     nr: int = static()
     nc: int = static()
 
+    def _rebuild_kwargs(self):
+        return {"bnr": self.bnr, "bnc": self.bnc}
+
     @classmethod
     def from_csr_arrays(cls, ptr, index, value, shape, bnr: int = 2,
                         bnc: int | None = None) -> "BSCMatrix":

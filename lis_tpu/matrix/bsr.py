@@ -91,6 +91,9 @@ class BSRMatrix(SparseMatrix):
     c0s: tuple = static(default=())  # per-window start offsets (blocks)
     has_spill: bool = static(default=True)  # any blocks outside the windows
 
+    def _rebuild_kwargs(self):
+        return {"bnr": self.bnr, "bnc": self.bnc}
+
     @classmethod
     def from_csr_arrays(cls, ptr, index, value, shape, bnr: int = 2,
                         bnc: int | None = None, w_max: int = 64,

@@ -69,6 +69,10 @@ class VBRMatrix(SparseMatrix):
     bptr: tuple = static()         # block-row pointers into bindex
     bindex: tuple = static()       # block-column index per stored block
 
+    def _rebuild_kwargs(self):
+        return {"row_part": tuple(self.row_part),
+                "col_part": tuple(self.col_part)}
+
     @classmethod
     def from_csr_arrays(cls, ptr, index, value, shape, row_part=None,
                         col_part=None, block: int | None = None

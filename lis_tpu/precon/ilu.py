@@ -572,18 +572,26 @@ def _create_bilu(A, fill):
                for t in range(A.nr)]
     L = _blocks_to_strict_csr(Lrows, A.nr, A.bnr, dtype)
     U = _blocks_to_strict_csr(Ut_rows, A.nr, A.bnr, dtype)
-    ones = np.ones(N, dtype=dtype)
+    lo, up, lo_t, up_t = _unit_factor_plans(L, U)
+    return BlockILUPrecon(
+        lower=lo, upper=up, lower_t=lo_t, upper_t=up_t,
+        dinv=jnp.asarray(Dinv), n=A.nrows, bnr=A.bnr)
+
+
+def _unit_factor_plans(L, U):
+    """Level-scheduled solve plans for the unit factors (I+L), (I+Û) and
+    their conjugate transposes, from strict-triangular CSR parts —
+    shared by the uniform-block and variable-block builders."""
+    n = L.shape[0]
+    ones = np.ones(n, dtype=L.dtype)
     LH = L.conj().T.tocsr()
     UH = U.conj().T.tocsr()
     LH.sort_indices()
     UH.sort_indices()
-    return BlockILUPrecon(
-        lower=make_plan(L.indptr, L.indices, L.data, ones, lower=True),
-        upper=make_plan(U.indptr, U.indices, U.data, ones, lower=False),
-        lower_t=make_plan(UH.indptr, UH.indices, UH.data, ones, lower=True),
-        upper_t=make_plan(LH.indptr, LH.indices, LH.data, ones,
-                          lower=False),
-        dinv=jnp.asarray(Dinv), n=A.nrows, bnr=A.bnr)
+    return (make_plan(L.indptr, L.indices, L.data, ones, lower=True),
+            make_plan(U.indptr, U.indices, U.data, ones, lower=False),
+            make_plan(UH.indptr, UH.indices, UH.data, ones, lower=True),
+            make_plan(LH.indptr, LH.indices, LH.data, ones, lower=False))
 
 
 @precon_pytree
@@ -592,9 +600,11 @@ class VBlockILUPrecon:
     blocks sized by the VBR partition, Û = D⁻¹U.  Reference:
     lis_symbolic_fact_vbr / lis_numerical_fact_vbr / lis_psolve_iluk_vbr
     (lis_precon_iluk.c:2220-2905).  The unit factors expand to scalar
-    level-scheduled triangular solves; the block-diagonal D⁻¹ (variable
-    block sizes, so no single batched einsum) applies as diagonal
-    streams of its scalar expansion — bandwidth ≤ 2·max_block−1.
+    level-scheduled triangular solves.  The block-diagonal D⁻¹ (variable
+    block sizes, so no single aligned batched einsum) applies as diagonal
+    streams of its scalar expansion when max_block is small (bandwidth
+    ≤ 2·max_block−1), and as a padded gather/einsum/scatter when a large
+    block would blow the stream count up.
     (The reference leaves lis_psolveh_iluk_vbr unimplemented — BiCG on
     VBR+ILU errors out there; the transposed apply here is complete.)"""
     lower: TriSolvePlan       # L̂ expanded (unit lower)
@@ -603,12 +613,26 @@ class VBlockILUPrecon:
     upper_t: TriSolvePlan     # L̂ᴴ (unit upper)
     dL: object                # strict-lower DIA streams of expanded D⁻¹
     dU: object                # strict-upper DIA streams of expanded D⁻¹
-    dd: jax.Array             # diagonal of expanded D⁻¹
+    dd: object                # diagonal of expanded D⁻¹
+    pbinv: object = None      # (nbl, mb, mb) padded D⁻¹ blocks (large mb)
+    pidx: object = None       # (nbl, mb) global row per slot; n = padding
+
+    def _pad_apply(self, binv, x):
+        xp = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
+        z = jnp.einsum("kij,kj->ki", binv, xp[self.pidx])
+        return jnp.zeros(x.shape[0] + 1,
+                         z.dtype).at[self.pidx].add(z)[:-1]
 
     def _dinv(self, x):
+        if self.pbinv is not None:
+            return self._pad_apply(self.pbinv, x)
         return self.dL.matvec(x) + self.dU.matvec(x) + self.dd * x
 
     def _dinvh(self, x):
+        if self.pbinv is not None:
+            b = jnp.conj(self.pbinv) if jnp.iscomplexobj(self.pbinv) \
+                else self.pbinv
+            return self._pad_apply(jnp.swapaxes(b, 1, 2), x)
         dd = jnp.conj(self.dd) if jnp.iscomplexobj(self.dd) else self.dd
         return self.dL.matvech(x) + self.dU.matvech(x) + dd * x
 
@@ -692,20 +716,26 @@ def _create_vbilu(A, fill):
                for t in range(nr)]
     L = expand(Lrows)
     U = expand(Ut_rows)
-    Dx = expand([{bi: Dinv[bi]} for bi in range(nr)])
-    dLo, dUp, dd = _dia_from_csr(Dx.indptr, Dx.indices, Dx.data, n)
-    ones = np.ones(n, dtype=dtype)
-    LH = L.conj().T.tocsr()
-    UH = U.conj().T.tocsr()
-    LH.sort_indices()
-    UH.sort_indices()
-    return VBlockILUPrecon(
-        lower=make_plan(L.indptr, L.indices, L.data, ones, lower=True),
-        upper=make_plan(U.indptr, U.indices, U.data, ones, lower=False),
-        lower_t=make_plan(UH.indptr, UH.indices, UH.data, ones, lower=True),
-        upper_t=make_plan(LH.indptr, LH.indices, LH.data, ones,
-                          lower=False),
-        dL=dLo, dU=dUp, dd=jnp.asarray(dd))
+    lo, up, lo_t, up_t = _unit_factor_plans(L, U)
+    mb = int(sizes.max())
+    if mb <= 64:
+        # small blocks: 2·mb−1 DIA streams of the scalar expansion
+        Dx = expand([{bi: Dinv[bi]} for bi in range(nr)])
+        dLo, dUp, dd = _dia_from_csr(Dx.indptr, Dx.indices, Dx.data, n)
+        return VBlockILUPrecon(lower=lo, upper=up, lower_t=lo_t,
+                               upper_t=up_t, dL=dLo, dU=dUp,
+                               dd=jnp.asarray(dd))
+    # a large block would cost 2·mb−1 length-n streams; pad the blocks
+    # to mb and batch one einsum instead (memory nr·mb² ≤ n·mb)
+    pidx = np.full((nr, mb), n, np.int32)
+    pbinv = np.zeros((nr, mb, mb), dtype=dtype)
+    for k in range(nr):
+        pidx[k, :sizes[k]] = np.arange(part[k], part[k + 1])
+        pbinv[k, :sizes[k], :sizes[k]] = Dinv[k]
+    return VBlockILUPrecon(lower=lo, upper=up, lower_t=lo_t, upper_t=up_t,
+                           dL=None, dU=None, dd=None,
+                           pbinv=jnp.asarray(pbinv),
+                           pidx=jnp.asarray(pidx))
 
 
 def _maybe_dia_apply(fp, fi, fv, A, opts, max_nnd=512):

@@ -51,6 +51,28 @@ class BlockJacobiPrecon:
         return z.reshape(-1)[: r.shape[0]]
 
 
+def inv_blocks(blocks, singular="pinv"):
+    """Invert (nb, bs, bs) diagonal blocks without raising on a singular
+    block, so a matrix that is nonsingular overall never crashes block
+    scaling / block Jacobi on one bad diagonal block.  ``singular``
+    picks the fallback: "pinv" for preconditioning (only convergence is
+    affected) or "eye" for SCALING, where a pseudo-inverse would make
+    the scaled system D⁺A singular and change the solution — identity
+    leaves those rows unscaled instead."""
+    try:
+        return np.linalg.inv(blocks)
+    except np.linalg.LinAlgError:
+        out = np.empty_like(blocks)
+        bs = blocks.shape[1]
+        for k in range(blocks.shape[0]):
+            try:
+                out[k] = np.linalg.inv(blocks[k])
+            except np.linalg.LinAlgError:
+                out[k] = (np.linalg.pinv(blocks[k]) if singular == "pinv"
+                          else np.eye(bs, dtype=blocks.dtype))
+        return out
+
+
 @register_precon("jacobi")
 def create_jacobi(A, opts):
     d = A.get_diagonal()
@@ -64,7 +86,7 @@ def create_bjacobi(A, opts):
     (for BSR matrices, the matrix's own block size)."""
     bs = getattr(A, "bnr", None) or getattr(opts, "storage_block", 2) or 2
     dense_blocks = _diag_blocks(A, bs)
-    binv = jnp.asarray(np.linalg.inv(dense_blocks))
+    binv = jnp.asarray(inv_blocks(dense_blocks))
     return BlockJacobiPrecon(binv=binv, n=A.nrows)
 
 

@@ -41,10 +41,13 @@ class AMGLevel:
     Us: object = None         # strict-upper DIA
     R: object = None          # Petrov-Galerkin restriction (-saamg_unsym:
                               # smoothed with A^T; None -> use P^T)
+    fwdh: object = None       # (D+L(Aᵀ)) = (D+U)ᵀ plan — the unsym
+    bwdh: object = None       # (D+U(Aᵀ)) = (D+L)ᵀ plan   adjoint cycle
 
 jax.tree_util.register_pytree_node(
     AMGLevel,
-    lambda l: ((l.A, l.P, l.fwd, l.bwd, l.dinv, l.Ls, l.Us, l.R), None),
+    lambda l: ((l.A, l.P, l.fwd, l.bwd, l.dinv, l.Ls, l.Us, l.R,
+                l.fwdh, l.bwdh), None),
     lambda aux, c: AMGLevel(*c))
 
 
@@ -99,13 +102,60 @@ class SAAMGPrecon:
         x = x + level.P.matvec(ec)
         return self._postsmooth(level, x, b)
 
+    # ---- adjoint cycle (the -saamg_unsym Petrov-Galerkin hierarchy makes
+    # M nonsymmetric, so BiCG-family psolveh must apply M^-T exactly).
+    # Because Post_x = I - F A (post-smoothing is two corrections of the
+    # same smoother F the pre-smoother applies), the adjoint of the
+    # V-cycle is ITSELF a V-cycle of identical shape on the transposed
+    # hierarchy: A -> Aᵀ, prolongator -> Rᵀ, restriction -> Pᵀ, and the
+    # SGS half-sweeps swap triangles ((D+L(Aᵀ)) = (D+U)ᵀ etc.).
+    def _gs_h(self, level, b, lower, nsweeps=2):
+        if level.Ls is not None:
+            # transpose of the truncated Neumann sweeps: Σ D⁻¹(-TᵀD⁻¹)^j
+            T = level.Ls if lower else level.Us
+            z = b
+            for _ in range(nsweeps):
+                z = b - T.matvech(level.dinv * z)
+            return level.dinv * z
+        return trisolve(level.fwdh if lower else level.bwdh, b)
+
+    def _presmooth_h(self, level, b):
+        if self.smoother == "jacobi":
+            w = 2.0 / 3.0
+            x = w * level.dinv * b
+            return x + w * level.dinv * (b - level.A.matvech(x))
+        x = self._gs_h(level, b, lower=True)
+        return x + self._gs_h(level, b - level.A.matvech(x), lower=False)
+
+    def _postsmooth_h(self, level, x, b):
+        if self.smoother == "jacobi":
+            w = 2.0 / 3.0
+            x = x + w * level.dinv * (b - level.A.matvech(x))
+            return x + w * level.dinv * (b - level.A.matvech(x))
+        x = x + self._gs_h(level, b - level.A.matvech(x), lower=True)
+        return x + self._gs_h(level, b - level.A.matvech(x), lower=False)
+
+    def _cycle_h(self, lev: int, b):
+        if lev == len(self.levels):
+            return self.coarse_inv.T @ b
+        level = self.levels[lev]
+        x = self._presmooth_h(level, b)
+        r = b - level.A.matvech(x)
+        rc = level.P.matvech(r)                     # restriction = Pᵀ
+        ec = self._cycle_h(lev + 1, rc)
+        x = x + level.R.matvech(ec)                 # prolongation = Rᵀ
+        return self._postsmooth_h(level, x, b)
+
     def psolve(self, r):
         return self._cycle(0, r)
 
     def psolveh(self, r):
-        # the SA-AMG hierarchy is built for the (near-)symmetric case
-        # (the reference's unsym variant changes setup, not the transpose
-        # apply); V-cycle reused.
+        # symmetric-Galerkin hierarchy (R = Pᵀ, symmetric A): M is
+        # symmetric because Post_x = I - F A with the same smoother F
+        # pre and post, so the forward cycle IS the adjoint.  The
+        # Petrov-Galerkin hierarchy runs the exact transposed cycle.
+        if any(l.R is not None for l in self.levels):
+            return self._cycle_h(0, r)
         return self._cycle(0, r)
 
 jax.tree_util.register_pytree_node(
@@ -493,13 +543,17 @@ def create_saamg(A, opts):
         with np.errstate(divide="ignore"):
             dinv = np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 1.0)
         Rf = None
+        fwdh = bwdh = None
         if Rl is not None:
             Rl.sort_indices()
             Rf = CSRMatrix.from_csr_arrays(Rl.indptr, Rl.indices, Rl.data,
                                            Rl.shape)
+            # plans for the adjoint cycle: lower/upper triangles of Aᵀ
+            fwdh, bwdh = _sgs_plans(Al.T.tocsr())
         levels.append(AMGLevel(
             A=_fast_op(Al), P=_fast_prolongator(Pl),
-            fwd=fwd, bwd=bwd, dinv=jnp.asarray(dinv), R=Rf))
+            fwd=fwd, bwd=bwd, dinv=jnp.asarray(dinv), R=Rf,
+            fwdh=fwdh, bwdh=bwdh))
     if A_coarse.shape[0] > 4096:
         raise ValueError(
             f"saamg: hierarchy failed to coarsen (coarsest level "

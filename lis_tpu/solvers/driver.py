@@ -73,11 +73,12 @@ def auto_storage(A):
         return A
     if A.format_name in ("bsr", "vbr"):
         # a user-assembled block format is a semantic choice, not just a
-        # layout: -p ilu runs the BLOCK factorization and -scale 1 the
-        # block-Jacobi scaling on these (lis_precon_iluk.c:1289/:2220,
-        # lis_solve_kernel :659-691).  Re-routing would silently swap
-        # those for the scalar paths; keep the user's format like the
-        # reference does (it never converts without -storage).
+        # layout: -p ilu runs the BLOCK factorization on these
+        # (lis_precon_iluk.c:1289/:2220).  Re-routing would silently
+        # swap it for scalar ILU; keep the user's format like the
+        # reference does (it never converts without -storage — the
+        # block-Jacobi scaling branch, by contrast, keys on the -storage
+        # OPTION there too, lis_solve_kernel :659).
         return A
     cached = getattr(A, "_auto_dia", None)
     if cached is not None:
@@ -254,9 +255,9 @@ def _bscale_operator(A, bs: int):
     to b."""
     import scipy.sparse as sp
     from lis_tpu.matrix.csr import CSRMatrix
-    from lis_tpu.precon.jacobi import _diag_blocks
+    from lis_tpu.precon.jacobi import _diag_blocks, inv_blocks
     blocks = _diag_blocks(A, bs)
-    binv = np.linalg.inv(blocks)
+    binv = inv_blocks(blocks, singular="eye")
     ptr, index, value = (np.asarray(t) for t in A.to_csr_arrays())
     n, m = A.shape
     nb = binv.shape[0]
@@ -274,11 +275,9 @@ def _bscale_operator(A, bs: int):
 
 
 def _block_matvec(binv, r):
-    nb, bs, _ = binv.shape
-    pad = nb * bs - r.shape[0]
-    rp = jnp.pad(r, (0, pad)) if pad else r
-    z = jnp.einsum("kij,kj->ki", binv, rp.reshape(nb, bs))
-    return z.reshape(-1)[: r.shape[0]]
+    # the padded batched block apply lives on BlockJacobiPrecon
+    from lis_tpu.precon.jacobi import BlockJacobiPrecon
+    return BlockJacobiPrecon(binv=binv, n=r.shape[0]).psolve(r)
 
 
 def _convert_storage(A, opts):

@@ -471,3 +471,153 @@ def test_user_block_format_not_rerouted():
                     options="-i bicgstab -p ilu -tol 1e-11")
         exp = solve(a, b, options=f"-i bicgstab -p ilu {opt} -tol 1e-11")
         assert pre.iters == exp.iters, (fmt, pre.iters, exp.iters)
+
+
+def test_saamg_unsym_psolveh_is_adjoint():
+    """The Petrov-Galerkin hierarchy (R != P^T) makes M nonsymmetric;
+    psolveh must still apply M^-T exactly (BiCG's dual recursion needs
+    it).  Adjoint identity: <M^-1 u, v> == <u, M^-H v>."""
+    import scipy.sparse as sp
+    import jax.numpy as jnp
+    from lis_tpu.precon.saamg import create_saamg
+    from lis_tpu.runtime.options import SolverOptions
+    from lis_tpu.matrix.csr import CSRMatrix
+
+    nx = 16
+    n, h = nx * nx, 1.0 / (nx + 1)
+    A = sp.lil_matrix((n, n))
+    for j in range(nx):
+        for i in range(nx):
+            k = j * nx + i
+            A[k, k] = 4.0 + 20.0 * h
+            if i > 0:
+                A[k, k - 1] = -1.0 - 20.0 * h
+            if i < nx - 1:
+                A[k, k + 1] = -1.0
+            if j > 0:
+                A[k, k - nx] = -1.0
+            if j < nx - 1:
+                A[k, k + nx] = -1.0
+    a = A.tocsr()
+    m = CSRMatrix.from_csr_arrays(a.indptr, a.indices, a.data, a.shape)
+    pc = create_saamg(m, SolverOptions(saamg_unsym=True))
+    assert any(l.R is not None for l in pc.levels)
+    rng = np.random.default_rng(1)
+    u, v = rng.standard_normal(n), rng.standard_normal(n)
+    lhs = float(np.dot(np.asarray(pc.psolve(jnp.asarray(u))), v))
+    rhs = float(np.dot(u, np.asarray(pc.psolveh(jnp.asarray(v)))))
+    assert abs(lhs - rhs) < 1e-10 * max(abs(lhs), 1.0), (lhs, rhs)
+    # and BiCG converges with the unsym hierarchy
+    res = solve(m, np.ones(n), options="-i bicg -p saamg "
+                                       "-saamg_unsym true -tol 1e-10")
+    assert res.status == lis_tpu.LIS_SUCCESS
+    assert float(res.true_resid) < 1e-9
+
+
+def test_block_structure_survives_scale_and_shift():
+    """scale_rows/scale_symm/shift_diagonal rebuild in the same format —
+    they must preserve a user-chosen BSR block size and VBR partition
+    instead of silently reverting to defaults (which would change the
+    block ILU that factors them)."""
+    from lis_tpu.matrix.convert import convert_matrix
+    from lis_tpu.matrix.vbr import VBRMatrix
+    import scipy.sparse as sp
+    import jax.numpy as jnp
+
+    a = poisson2d(6, 6)
+    bsr = convert_matrix(a, "bsr", bnr=3)
+    d = jnp.arange(1.0, 37.0)
+    for m2 in (bsr.scale_rows(d), bsr.scale_symm(d),
+               bsr.shift_diagonal(0.5)):
+        assert m2.bnr == 3, m2.bnr
+
+    p, i, v = (np.asarray(t) for t in a.to_csr_arrays())
+    part = (0, 4, 9, 17, 20, 30, 36)
+    vbr = VBRMatrix.from_csr_arrays(p, i, v, a.shape,
+                                    row_part=part, col_part=part)
+    for m2 in (vbr.scale_rows(d), vbr.scale_symm(d),
+               vbr.shift_diagonal(0.5)):
+        assert tuple(m2.row_part) == part, m2.row_part
+
+
+def test_bscale_singular_diagonal_block():
+    """-scale 1 -storage bsr on a matrix whose diagonal block is singular
+    (but the matrix itself is not) must solve, not crash: the block
+    inversion falls back to the pseudo-inverse like the block-ILU paths."""
+    import scipy.sparse as sp
+    from lis_tpu.matrix.csr import CSRMatrix
+    dense = np.array([[1.0, 1.0, 0.0, 2.0],
+                      [1.0, 1.0, 3.0, 0.0],
+                      [0.0, 2.0, 5.0, 1.0],
+                      [1.0, 0.0, 1.0, 4.0]])   # top-left 2x2 singular
+    assert abs(np.linalg.det(dense)) > 1e-9
+    a = CSRMatrix.from_dense(dense)
+    b = dense @ np.array([1.0, -2.0, 3.0, 0.5])
+    res = solve(a, b, options="-i gmres -scale 1 -storage bsr "
+                              "-storage_block 2 -tol 1e-12")
+    assert res.status == lis_tpu.LIS_SUCCESS
+    np.testing.assert_allclose(np.asarray(res.x),
+                               [1.0, -2.0, 3.0, 0.5], atol=1e-8)
+
+
+def test_compat_set_vbr_partition_honored():
+    """lis_matrix_set_vbr declares the partition; assemble must keep it
+    (the reference's block factorizations run on the declared blocks)."""
+    import lis_tpu.compat as lis
+    import scipy.sparse as sp
+    a = poisson2d(4, 4)
+    p, i, v = (np.asarray(t) for t in a.to_csr_arrays())
+    s = sp.csr_matrix((v, i, p), shape=a.shape)
+    part = np.array([0, 3, 7, 12, 16], dtype=np.int64)
+    nr = len(part) - 1
+    # build VBR arrays for set_vbr (column-major blocks)
+    bptr, bindex, vptr, vals = [0], [], [0], []
+    for bi in range(nr):
+        for bj in range(nr):
+            blk = s[part[bi]:part[bi + 1], part[bj]:part[bj + 1]].toarray()
+            if np.any(blk):
+                bindex.append(bj)
+                vals.append(blk.T.ravel())     # column-major
+                vptr.append(vptr[-1] + blk.size)
+        bptr.append(len(bindex))
+    value = np.concatenate(vals)
+    A = lis.lis_matrix_create()
+    lis.lis_matrix_set_size(A, 0, 16)
+    lis.lis_matrix_set_vbr(s.nnz, nr, nr, len(bindex), part, part,
+                           np.asarray(vptr), np.asarray(bptr),
+                           np.asarray(bindex), value, A)
+    lis.lis_matrix_set_type(A, lis.LIS_MATRIX_VBR)
+    lis.lis_matrix_assemble(A)
+    assert tuple(A.m.row_part) == tuple(int(t) for t in part)
+    np.testing.assert_allclose(np.asarray(A.m.to_dense()), s.toarray(),
+                               rtol=1e-14)
+
+
+def test_vbr_block_ilu_large_block_padded_path():
+    """A VBR partition with a block wider than 64 routes D^-1 through the
+    padded gather/einsum apply instead of 2*mb-1 DIA streams; results
+    must match the dense solve at full fill and stay adjoint-consistent."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from lis_tpu.matrix.vbr import VBRMatrix
+    from lis_tpu.precon.ilu import create_iluk
+    from lis_tpu.runtime.options import SolverOptions
+
+    n = 100
+    rng = np.random.default_rng(7)
+    dense = np.where(rng.random((n, n)) < 0.05,
+                     rng.standard_normal((n, n)), 0.0) + 20.0 * np.eye(n)
+    s = sp.csr_matrix(dense)
+    part = (0, 80, 90, 100)                   # one 80-wide block
+    m = VBRMatrix.from_csr_arrays(s.indptr, s.indices, s.data, s.shape,
+                                  row_part=part, col_part=part)
+    pc = create_iluk(m, SolverOptions(ilu_fill=3))
+    assert pc.pbinv is not None               # padded path engaged
+    r = rng.standard_normal(n)
+    x = np.asarray(pc.psolve(jnp.asarray(r)))
+    np.testing.assert_allclose(x, np.linalg.solve(dense, r), rtol=1e-8,
+                               atol=1e-8)
+    u, v = rng.standard_normal(n), rng.standard_normal(n)
+    lhs = float(np.asarray(pc.psolve(jnp.asarray(u))) @ v)
+    rhs = float(u @ np.asarray(pc.psolveh(jnp.asarray(v))))
+    assert abs(lhs - rhs) < 1e-9 * max(abs(lhs), 1.0)
