@@ -558,11 +558,14 @@ def dist_solve(A: DistCSRMatrix, b, mesh: Mesh, options=None, M=None,
             "matrix.reorder.rcm_permutation/permute_symmetric BEFORE "
             "distribute_matrix (ignored here)", RuntimeWarning,
             stacklevel=2)
-    if opts.storage:
+    if opts.storage and not (opts.storage == 7 and opts.precon == "ilu"):
         import warnings
         warnings.warn(
             "-storage is ignored under dist_solve: the sharded layout is "
-            "chosen by distribute_matrix", RuntimeWarning, stacklevel=2)
+            "chosen by distribute_matrix (exception: '-storage bsr -p "
+            "ilu' selects the per-shard BLOCK ILU factorization, like "
+            "the reference's per-rank BSR conversion)",
+            RuntimeWarning, stacklevel=2)
 
     # ---- scaling (lis_solve_kernel :613-721, distributed) ------------------
     # host-roundtrip scaling: correct for every sharded type (setup-only

@@ -100,11 +100,20 @@ def stack_precons(precons: list, mesh: Mesh):
 def make_dist_block_precon(A, mesh: Mesh, opts, name=None):
     """Block-Jacobi version of any local preconditioner (the reference's
     MPI semantics for ILU/SSOR/SAINV/I+S): factor each shard's diagonal
-    block with the standard registry create function and stack."""
+    block with the standard registry create function and stack.
+
+    ``-p ilu -storage bsr`` selects the BLOCK factorization for the
+    local blocks, like the reference's per-rank BSR conversion before
+    lis_precon_create (lis_solver.c:741 + lis_precon_iluk.c:1289); the
+    sharded *operator* layout is still chosen by distribute_matrix."""
     from lis_tpu.precon.base import PRECON_REGISTRY
     create = PRECON_REGISTRY[name or opts.precon]
-    return stack_precons_nested(
-        [create(b, opts) for b in local_diag_blocks(A)], mesh)
+    blocks = local_diag_blocks(A)
+    if (name or opts.precon) == "ilu" and getattr(opts, "storage", 0) == 7:
+        from lis_tpu.matrix.convert import convert_matrix
+        bnr = getattr(opts, "storage_block", 2) or 2
+        blocks = [convert_matrix(b, "bsr", bnr=bnr) for b in blocks]
+    return stack_precons_nested([create(b, opts) for b in blocks], mesh)
 
 
 def _pad_stack_csr(mats, mesh: Mesh):

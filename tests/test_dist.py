@@ -705,3 +705,31 @@ def test_dist_complex_solve_matches_single(mesh):
     x8 = np.asarray(r8.x)[:n]
     assert np.iscomplexobj(x8)
     assert np.linalg.norm(a @ x8 - b) / np.linalg.norm(b) < 1e-9
+
+
+def test_dist_block_ilu_storage_bsr(mesh, prob):
+    """'-p ilu -storage bsr' under dist_solve runs the per-shard BLOCK
+    factorization (the reference's per-rank BSR conversion +
+    lis_precon_iluk.c:1289 under MPI): it must converge to the true
+    solution, engage a BlockILUPrecon, and differ from the scalar local
+    ILU only in iteration count, not in the answer."""
+    import warnings
+    from lis_tpu.parallel.dist import distribute_matrix, dist_solve
+    from lis_tpu.parallel.dist_precon import make_dist_block_precon
+    from lis_tpu.precon.ilu import BlockILUPrecon
+    from lis_tpu.runtime.options import SolverOptions
+    a, b, ad = prob
+    Ad = distribute_matrix(a, mesh)
+    M = make_dist_block_precon(Ad, mesh,
+                               SolverOptions(precon="ilu", storage=7,
+                                             storage_block=2))
+    assert isinstance(M, BlockILUPrecon)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")        # must NOT warn for this combo
+        d = dist_solve(Ad, b, mesh,
+                       options="-i bicgstab -p ilu -storage bsr "
+                               "-storage_block 2 -tol 1e-10")
+    assert d.status == lis_tpu.LIS_SUCCESS
+    assert _tr(ad, b, d.x) < 1e-8
+    ds = dist_solve(Ad, b, mesh, options="-i bicgstab -p ilu -tol 1e-10")
+    assert abs(d.iters - ds.iters) <= max(3, ds.iters // 2)
