@@ -546,6 +546,21 @@ def dist_solve(A: DistCSRMatrix, b, mesh: Mesh, options=None, M=None,
         opts = SolverOptions.from_string(options, **overrides)
     spec = _make_spec(opts, axis_name=AXIS)
 
+    # ---- block-Jacobi scaling (-scale 1 -storage bsr) -----------------------
+    # the reference's BSR block branch (lis_solve_kernel :659-691) under
+    # MPI; done host-side on the global operator and b BEFORE
+    # distribution (setup-only cost, like the scalar dist scaling below)
+    bscale = (opts.scale == 1 and opts.storage == 7
+              and opts.precon != "is")
+    if bscale:
+        from lis_tpu.solvers.driver import _bscale_operator, _block_matvec
+        g = undistribute_csr(A)
+        gs, binv = _bscale_operator(g, opts.storage_block or 2)
+        b = np.asarray(_block_matvec(binv, jnp.asarray(
+            np.asarray(b)[: A.gn])))
+        A = distribute_matrix(gs, mesh) if not isinstance(A, DistCSRMatrix) \
+            else distribute_csr(gs, mesh, halo=A.halo)
+
     b = distribute_vector(b, mesh, A.gn_pad)
     x0 = jnp.zeros_like(b) if x0 is None else distribute_vector(
         x0, mesh, A.gn_pad)
@@ -558,12 +573,14 @@ def dist_solve(A: DistCSRMatrix, b, mesh: Mesh, options=None, M=None,
             "matrix.reorder.rcm_permutation/permute_symmetric BEFORE "
             "distribute_matrix (ignored here)", RuntimeWarning,
             stacklevel=2)
-    if opts.storage and not (opts.storage == 7 and opts.precon == "ilu"):
+    if opts.storage and not (opts.storage == 7
+                             and (opts.precon == "ilu" or bscale)):
         import warnings
         warnings.warn(
             "-storage is ignored under dist_solve: the sharded layout is "
-            "chosen by distribute_matrix (exception: '-storage bsr -p "
-            "ilu' selects the per-shard BLOCK ILU factorization, like "
+            "chosen by distribute_matrix (exceptions: '-storage bsr -p "
+            "ilu' selects the per-shard BLOCK ILU factorization, "
+            "'-storage bsr -scale 1' the block-Jacobi scaling, like "
             "the reference's per-rank BSR conversion)",
             RuntimeWarning, stacklevel=2)
 
@@ -571,10 +588,10 @@ def dist_solve(A: DistCSRMatrix, b, mesh: Mesh, options=None, M=None,
     # host-roundtrip scaling: correct for every sharded type (setup-only
     # cost); mirrors the single-chip driver incl. the CG+jacobi upgrade
     # and the forced Jacobi scaling for -p is
-    scale = opts.scale
+    scale = 0 if bscale else opts.scale
     if scale == 1 and opts.solver == "cg" and opts.precon == "jacobi":
         scale = 2
-    if opts.precon == "is" and scale == 0:
+    if opts.precon == "is" and scale == 0 and not bscale:
         scale = 1
     dscale = None
     if scale:
@@ -593,8 +610,12 @@ def dist_solve(A: DistCSRMatrix, b, mesh: Mesh, options=None, M=None,
                               1.0)
             gs = g.scale_symm(jnp.asarray(ds[: A.gn]))
             fac = ds
+            # pad with 1, not 0: x0 divides by dscale and the padding
+            # tail would otherwise produce 0/0 = nan, poisoning every
+            # psum (found at gn=324 on an 8-device mesh, gn_pad=328)
             dscale = jnp.asarray(
-                np.pad(ds[: A.gn], (0, A.gn_pad - A.gn)))
+                np.pad(ds[: A.gn], (0, A.gn_pad - A.gn),
+                       constant_values=1.0))
         A = distribute_matrix(gs, mesh) if not isinstance(A, DistCSRMatrix) \
             else distribute_csr(gs, mesh, halo=A.halo)
         b = b * distribute_vector(fac, mesh, A.gn_pad).astype(b.dtype)

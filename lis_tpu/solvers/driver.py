@@ -219,9 +219,9 @@ def _effective_scale(opts) -> int:
 def _is_bscale(opts) -> bool:
     """True when the reference would take the block-Jacobi scaling path:
     an explicit -scale 1 with -storage bsr (lis_solve_kernel :659-691).
-    The I+S-forced implicit scaling stays scalar regardless of storage
-    (it happens in the :610 branch, before the storage check)."""
-    return opts.scale == 1 and opts.storage == 7
+    The I+S branch is checked FIRST there (:613), so -p is always
+    scalar-Jacobi-scales regardless of storage."""
+    return opts.scale == 1 and opts.storage == 7 and opts.precon != "is"
 
 
 def _scale_operator(A, scale):

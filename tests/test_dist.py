@@ -733,3 +733,42 @@ def test_dist_block_ilu_storage_bsr(mesh, prob):
     assert _tr(ad, b, d.x) < 1e-8
     ds = dist_solve(Ad, b, mesh, options="-i bicgstab -p ilu -tol 1e-10")
     assert abs(d.iters - ds.iters) <= max(3, ds.iters // 2)
+
+
+def test_dist_block_scale_storage_bsr(mesh, prob):
+    """'-scale 1 -storage bsr' under dist_solve runs the reference's MPI
+    block-Jacobi scaling branch (lis_solve_kernel :659-691): same
+    iteration counts as the single-device block-scale path, no -storage
+    warning, true solution recovered."""
+    import warnings
+    from lis_tpu.parallel.dist import distribute_matrix, dist_solve
+    a, b, ad = prob
+    Ad = distribute_matrix(a, mesh)
+    s = solve(a, b, options="-i bicgstab -scale 1 -storage bsr "
+                            "-storage_block 2 -tol 1e-10")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        d = dist_solve(Ad, b, mesh,
+                       options="-i bicgstab -scale 1 -storage bsr "
+                               "-storage_block 2 -tol 1e-10")
+    assert d.status == lis_tpu.LIS_SUCCESS
+    assert abs(d.iters - s.iters) <= 2, (d.iters, s.iters)
+    assert _tr(ad, b, d.x) < 1e-8
+
+
+def test_dist_scale2_padded_global_size(mesh):
+    """-scale 2 when gn doesn't divide the mesh (padded shards): the
+    symmetric-scale unscale vector must treat padding rows as identity —
+    a zero pad made x0/dscale produce 0/0 = nan and poisoned every psum
+    (gn=324 on 8 devices)."""
+    from lis_tpu.parallel.dist import distribute_matrix, dist_solve
+    a = poisson2d(18, 18)
+    n = a.nrows
+    assert n % 8 != 0                      # the padded case by construction
+    xtrue = np.linspace(1, 2, n)
+    b = np.asarray(a.to_dense()) @ xtrue
+    Ad = distribute_matrix(a, mesh)
+    d = dist_solve(Ad, b, mesh, options="-i cg -scale 2 -tol 1e-10")
+    assert d.status == lis_tpu.LIS_SUCCESS
+    assert np.abs(np.asarray(d.x)[:n] - xtrue).max() < 1e-7
+    assert np.isfinite(d.true_resid) and d.true_resid < 1e-8
