@@ -22,6 +22,8 @@ from __future__ import annotations
 import sys
 import time
 
+import numpy as np
+
 
 def _bench_dist_matvec(A, mesh, iters):
     import jax
@@ -102,14 +104,18 @@ def main(argv=None):
             base = (mflops, nd)
         # ideal throughput scales linearly with mesh width in both modes
         eff = mflops / (base[0] * nd / base[1])
-        # per-device comm volume per matvec (elements moved over the
-        # mesh): ring slabs for neighbor halos, the export table for
+        # per-device comm volume for the matvec actually timed above
+        # (elements moved over the mesh): two neighbor x slabs for ring
+        # halos (matrix slabs are exchanged once at distribute time, and
+        # the timed op is matvec, not matvech), the export table for
         # comm-table halos, the whole padded vector for all-gather
-        esz = 8
-        if getattr(Ad, "hw", 0) and hasattr(Ad, "offsets"):
-            comm = 2 * Ad.hw * (len(Ad.offsets) + 1)   # value + x slabs
-        elif getattr(Ad, "hw", 0):
-            comm = 2 * Ad.hw
+        import jax as _jax
+        dts = [l.dtype for l in _jax.tree.leaves(Ad)
+               if hasattr(l, "dtype") and np.issubdtype(l.dtype,
+                                                        np.inexact)]
+        esz = max((np.dtype(d).itemsize for d in dts), default=8)
+        if getattr(Ad, "hw", 0):
+            comm = 2 * Ad.hw                           # two x slabs
         elif hasattr(Ad, "comm_elems"):
             comm = Ad.comm_elems
         elif getattr(Ad, "halo", "") == "gather":

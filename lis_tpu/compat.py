@@ -600,10 +600,16 @@ def lis_input_vector(v, filename):
 
 
 def lis_output_vector(v, fmt, filename):
-    """Write a vector in the requested format (man lis_output_vector.3)."""
+    """Write a vector in the requested format (man lis_output_vector.3):
+    LIS_FMT_PLAIN(1), LIS_FMT_MM(2), LIS_FMT_LIS(3, the '#LIS A vec'
+    ascii flavor), LIS_FMT_LIS_BINARY(4, host-endian binary flavor)."""
+    import sys as _sys
     from lis_tpu.io import lis_output_vector as _outv
-    _outv(filename, np.asarray(v.value),
-          fmt="plain" if fmt in (0, "plain") else "mm")
+    name = {0: "plain", "plain": "plain", 1: "plain",
+            3: "lis", "lis": "lis",
+            4: "lisb" if _sys.byteorder == "big" else "lisl",
+            "lisb": "lisb", "lisl": "lisl"}.get(fmt, "mm")
+    _outv(filename, np.asarray(v.value), fmt=name)
     return LIS_SUCCESS
 
 

@@ -52,9 +52,7 @@ def _bsolve(B, rhs, opts):
         # needs host arrays the adapter can't provide
         from lis_tpu.solvers.base import SOLVER_FNS, SolverSpec
         from lis_tpu.precon.base import NonePrecon
-        name = (opts.inner.solver
-                if opts.inner.solver in ("cg", "bicgstab", "cgs", "bicg",
-                                         "minres") else "bicgstab")
+        name = _jit_inner_name(opts)
         spec = SolverSpec(solver=name, tol=max(opts.tol * 1e-2, 1e-14),
                           maxiter=opts.inner.maxiter, conv_cond=0)
         rhs = jnp.asarray(rhs)
@@ -170,10 +168,20 @@ _jax.tree_util.register_pytree_node(
     lambda aux, c: _GenOp(c[0], c[1], *aux))
 
 
+_JIT_INNER_SOLVERS = ("cg", "bicgstab", "cgs", "bicg", "minres")
+
+
+def _jit_inner_name(opts):
+    """Inner solver used by the COMPILED nested-Krylov paths: the
+    requested -i when it is one of the jit-supported simple kinds, else
+    bicgstab.  One definition — the single- and multi-device eigensolvers
+    all route through this so the fallback can't drift between them."""
+    s = opts.inner.solver
+    return s if s in _JIT_INNER_SOLVERS else "bicgstab"
+
+
 def _gen_inner_key(opts):
-    name = (opts.inner.solver
-            if opts.inner.solver in ("cg", "bicgstab", "cgs", "bicg",
-                                     "minres") else "bicgstab")
+    name = _jit_inner_name(opts)
     return (name, opts.inner.tol, opts.inner.maxiter)
 
 
@@ -185,8 +193,7 @@ def _jit_inner_ok(opts):
     return (opts.inner.precon == "none"
             and getattr(opts, "precision", "double") == "double"
             and opts.inner.precision == "double"
-            and opts.inner.solver in ("cg", "bicgstab", "cgs", "bicg",
-                                      "minres"))
+            and opts.inner.solver in _JIT_INNER_SOLVERS)
 
 
 @_lru_cache(maxsize=32)
@@ -246,9 +253,7 @@ def _egpi_jit(A, B, x0, opts):
 
 
 def _egii_jit(A, B, x0, opts):
-    name = (opts.inner.solver
-            if opts.inner.solver in ("cg", "bicgstab", "cgs", "bicg",
-                                     "minres") else "bicgstab")
+    name = _jit_inner_name(opts)
     run = _egii_runner(name, opts.inner.tol, opts.inner.maxiter)
     iters, x, ev, resid, rh = run(A, B, jnp.asarray(x0),
                                   jnp.asarray(float(opts.rval)),
@@ -260,9 +265,7 @@ def _egii_jit(A, B, x0, opts):
 
 
 def _egrqi_jit(A, B, x0, opts):
-    name = (opts.inner.solver
-            if opts.inner.solver in ("cg", "bicgstab", "cgs", "bicg",
-                                     "minres") else "bicgstab")
+    name = _jit_inner_name(opts)
     run = _egrqi_runner(name, opts.inner.tol, opts.inner.maxiter)
     iters, x, ev, resid, rh, dead = run(A, B, jnp.asarray(x0),
                                         opts.maxiter, opts.tol)
@@ -289,9 +292,7 @@ def _shift_solve(A, B, sigma, rhs, opts):
         from lis_tpu.solvers.base import SOLVER_FNS, SolverSpec
         from lis_tpu.precon.base import NonePrecon
         As = _Shifted(A, jnp.asarray(float(sigma))) if sigma != 0.0 else A
-        name = (opts.inner.solver
-                if opts.inner.solver in ("cg", "bicgstab", "cgs", "bicg",
-                                         "minres") else "bicgstab")
+        name = _jit_inner_name(opts)
         spec = SolverSpec(solver=name, tol=opts.inner.tol,
                           maxiter=opts.inner.maxiter, conv_cond=0)
         out = SOLVER_FNS[name](As, rhs, jnp.zeros_like(rhs), NonePrecon(),
@@ -304,9 +305,7 @@ def _shift_solve(A, B, sigma, rhs, opts):
         from lis_tpu.solvers.base import SOLVER_FNS, SolverSpec
         from lis_tpu.precon.base import NonePrecon
         As = _ShiftedPencil(A, B, jnp.asarray(float(sigma)))
-        name = (opts.inner.solver
-                if opts.inner.solver in ("cg", "bicgstab", "cgs", "bicg",
-                                         "minres") else "bicgstab")
+        name = _jit_inner_name(opts)
         spec = SolverSpec(solver=name, tol=opts.inner.tol,
                           maxiter=opts.inner.maxiter, conv_cond=0)
         rhs = jnp.asarray(rhs)
@@ -407,9 +406,7 @@ def _eii_runner(solver_name, inner_tol, inner_maxiter, axis_name=None):
 def _eii_jit(A, x0, opts):
     sigma = opts.rval
     As = A.shift_diagonal(sigma) if sigma != 0.0 else A
-    name = (opts.inner.solver
-            if opts.inner.solver in ("cg", "bicgstab", "cgs", "bicg",
-                                     "minres") else "bicgstab")
+    name = _jit_inner_name(opts)
     run = _eii_runner(name, opts.inner.tol, opts.inner.maxiter)
     iters, x, ev, resid, rh = run(As, A, jnp.asarray(x0),
                                   jnp.asarray(float(sigma)),
@@ -641,9 +638,7 @@ def _erqi_runner(solver_name, inner_tol, inner_maxiter, axis_name=None):
 
 
 def _erqi_jit(A, x0, opts):
-    name = (opts.inner.solver
-            if opts.inner.solver in ("cg", "bicgstab", "cgs", "bicg",
-                                     "minres") else "bicgstab")
+    name = _jit_inner_name(opts)
     run = _erqi_runner(name, opts.inner.tol, opts.inner.maxiter)
     iters, x, ev, resid, rh, dead = run(A, jnp.asarray(x0), opts.maxiter,
                                         opts.tol)

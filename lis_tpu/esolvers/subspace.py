@@ -80,10 +80,8 @@ def _refine_pair(A, B, lam, x, opts):
         return lam, x, resid
     if B is None:
         import jax.numpy as _jnp
-        from lis_tpu.esolvers.power import _eii_runner
-        name = (opts.inner.solver
-                if opts.inner.solver in ("cg", "bicgstab", "cgs", "bicg",
-                                         "minres") else "bicgstab")
+        from lis_tpu.esolvers.power import _eii_runner, _jit_inner_name
+        name = _jit_inner_name(opts)
         run = _eii_runner(name, opts.inner.tol, opts.inner.maxiter)
         As = A.shift_diagonal(lam)
         iters, xr, ev, res, rh = run(As, A, _jnp.asarray(x),

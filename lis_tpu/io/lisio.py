@@ -93,6 +93,7 @@ def write_lis_vector(path: str, vec, mode: str = "A", nprocs: int = 1):
     if mode not in _VEC_MAGIC:
         raise ValueError(f"lis vector mode must be A, B or L, got {mode!r}")
     secs = _sections(vec, nprocs)
+    is_complex = np.iscomplexobj(np.asarray(vec))
     if mode == "A":
         with open(path, "w") as f:
             f.write("#LIS A vec\n")
@@ -100,7 +101,12 @@ def write_lis_vector(path: str, vec, mode: str = "A", nprocs: int = 1):
             for pe, part in secs:
                 f.write(f"# {pe} {len(part)}\n")
                 for i, val in enumerate(part):
-                    f.write("%28.20e " % float(val))
+                    if is_complex:
+                        # the reference's _COMPLEX build writes (re, im)
+                        # pairs per entry (lis_output.c:519)
+                        f.write("%28.20e %28.20e " % (val.real, val.imag))
+                    else:
+                        f.write("%28.20e " % float(val))
                     if (i + 1) % 3 == 0:
                         f.write("\n")
                 if len(part) % 3 != 0:
@@ -111,8 +117,13 @@ def write_lis_vector(path: str, vec, mode: str = "A", nprocs: int = 1):
         f.write(_VEC_MAGIC[mode] + b"\n")
         f.write(struct.pack(end + "q", nprocs))
         for pe, part in secs:
-            f.write(struct.pack(end + "qq", pe, len(part)))
-            f.write(np.asarray(part, dtype=end + "f8").tobytes())
+            # complex sections (our extension — the reference's binary
+            # branch is NOT_IMPLEMENTED) store the count negated and
+            # c16 payloads
+            f.write(struct.pack(end + "qq", pe,
+                                -len(part) if is_complex else len(part)))
+            f.write(np.asarray(part, dtype=end + ("c16" if is_complex
+                                                  else "f8")).tobytes())
 
 
 def read_lis_vector(path: str):
@@ -127,25 +138,38 @@ def read_lis_vector(path: str):
     mode = chr(head[5])
     if mode == "A":
         parts = {}
+        declared = {}
         with open(path) as f:
             f.readline()
             nprocs = int(f.readline().split()[0])
-            pe = n = None
+            pe = None
             vals: list[float] = []
             for line in f:
                 if line.startswith("#"):
                     if pe is not None:
                         parts[pe] = vals
                     _, pe_s, n_s = line.split()
-                    pe, n, vals = int(pe_s), int(n_s), []
+                    pe, vals = int(pe_s), []
+                    declared[pe] = int(n_s)
                 else:
                     vals.extend(float(t) for t in line.split())
             if pe is not None:
                 parts[pe] = vals
         if len(parts) != nprocs:
             raise ValueError(f"expected {nprocs} PE sections, got {len(parts)}")
-        flat = [v for p in sorted(parts) for v in parts[p]]
-        return jnp.asarray(np.array(flat))
+        out = []
+        for p in sorted(parts):
+            vals, n = parts[p], declared[p]
+            if len(vals) == n:                      # real section
+                out.append(np.asarray(vals))
+            elif len(vals) == 2 * n:                # (re, im) pairs
+                a = np.asarray(vals)
+                out.append(a[0::2] + 1j * a[1::2])
+            else:
+                raise ValueError(
+                    f"LIS vector section pe={p} declares n={n} but holds "
+                    f"{len(vals)} values — truncated or corrupt file")
+        return jnp.asarray(np.concatenate(out))
     if mode not in ("B", "L"):
         raise ValueError(f"unknown LIS vector mode {mode!r}")
     end = ">" if mode == "B" else "<"
@@ -154,9 +178,22 @@ def read_lis_vector(path: str):
         (nprocs,) = struct.unpack(end + "q", f.read(8))
         chunks = {}
         for _ in range(nprocs):
-            pe, n = struct.unpack(end + "qq", f.read(16))
-            chunks[pe] = np.frombuffer(f.read(8 * n), dtype=end + "f8")
+            hdr = f.read(16)
+            if len(hdr) < 16:
+                raise ValueError("LIS binary vector file truncated "
+                                 "(missing section header)")
+            pe, n = struct.unpack(end + "qq", hdr)
+            cplx = n < 0                            # negated count = c16
+            n = -n if cplx else n
+            esz = 16 if cplx else 8
+            raw = f.read(esz * n)
+            if len(raw) < esz * n:
+                raise ValueError(
+                    f"LIS binary vector section pe={pe} declares n={n} "
+                    f"but holds {len(raw) // esz} values — truncated file")
+            chunks[pe] = np.frombuffer(raw,
+                                       dtype=end + ("c16" if cplx else "f8"))
     flat = np.concatenate([chunks[p] for p in sorted(chunks)])
     if (end == ">") != (sys.byteorder == "big"):
-        flat = flat.astype("=f8")  # byte-swap to host order
+        flat = flat.astype("=c16" if np.iscomplexobj(flat) else "=f8")
     return jnp.asarray(flat)

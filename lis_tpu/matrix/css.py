@@ -53,6 +53,23 @@ class CSSMatrix(SparseMatrix):
     W: int = static()
 
     @classmethod
+    def profile(cls, index, ncols, W: int = W_DEFAULT,
+                e_quantile: float = 0.995):
+        """Acceptance statistics WITHOUT building the matrix: the
+        (fill_blowup, rem_frac) a from_csr_arrays call with the same
+        parameters would produce, from one O(nnz) bincount — lets
+        auto_storage reject cheaply instead of constructing both the
+        grid and the transpose grid first."""
+        index = np.asarray(index)
+        nnz = max(len(index), 1)
+        nc = -(-ncols // W)
+        counts = np.bincount(index // W, minlength=nc)
+        E = max(int(np.quantile(counts, e_quantile)) if len(counts) else 1,
+                1)
+        spill = int(np.maximum(counts - E, 0).sum())
+        return nc * E / nnz, spill / nnz
+
+    @classmethod
     def from_csr_arrays(cls, ptr, index, value, shape, W: int = W_DEFAULT,
                         e_quantile: float = 0.995, transpose: bool = True):
         import scipy.sparse as sp

@@ -104,9 +104,8 @@ def _leaf_specs(tree):
 
 
 def _inner_name(opts):
-    return (opts.inner.solver
-            if opts.inner.solver in ("cg", "bicgstab", "cgs", "bicg",
-                                     "minres") else "bicgstab")
+    from lis_tpu.esolvers.power import _jit_inner_name
+    return _jit_inner_name(opts)
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))

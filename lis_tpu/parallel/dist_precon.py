@@ -473,23 +473,7 @@ def make_dist_saamg(A, mesh: Mesh, opts):
     bwd = _stack_plans(bwds, mesh)
 
     # local row slabs of the smoothed prolongator, padded per shard
-    Pc = P0.tocoo()
-    shard_of = Pc.row // nl
-    counts = np.bincount(shard_of, minlength=p)
-    mnnz = max(int(counts.max()), 1)
-    val = np.zeros((p, mnnz))
-    col = np.zeros((p, mnnz), dtype=np.int32)
-    row = np.full((p, mnnz), nl - 1, dtype=np.int32)
-    order = np.argsort(shard_of, kind="stable")
-    pos = np.concatenate([[0], np.cumsum(counts)])
-    lrow = Pc.row - shard_of * nl
-    srt = np.lexsort((Pc.col, lrow, shard_of))
-    for k in range(p):
-        sel = srt[pos[k]:pos[k + 1]]
-        cnt = len(sel)
-        val[k, :cnt] = Pc.data[sel]
-        col[k, :cnt] = Pc.col[sel]
-        row[k, :cnt] = lrow[sel]
+    val, col, row = _slab_triplets(P0, p, nl)
     put = lambda a: jax.device_put(jnp.asarray(a.reshape(-1)), sh)
 
     # coarse hierarchy: shard levels while they still hold real memory

@@ -111,8 +111,13 @@ class SAAMGPrecon:
     # SGS half-sweeps swap triangles ((D+L(Aᵀ)) = (D+U)ᵀ etc.).
     def _gs_h(self, level, b, lower, nsweeps=2):
         if level.Ls is not None:
-            # transpose of the truncated Neumann sweeps: Σ D⁻¹(-TᵀD⁻¹)^j
-            T = level.Ls if lower else level.Us
+            # transpose of the truncated Neumann sweeps: Σ D⁻¹(-TᵀD⁻¹)^j.
+            # The adjoint swaps triangles: the "lower" solve of the
+            # transposed cycle is G_Uᵀ, built from Us (matching the plan
+            # branch's fwdh = (D+L(Aᵀ)) = (D+U)ᵀ).  Unreached today —
+            # Ls/Us exist only on lattice levels and the lattice path is
+            # disabled for -saamg_unsym — but kept adjoint-correct.
+            T = level.Us if lower else level.Ls
             z = b
             for _ in range(nsweeps):
                 z = b - T.matvech(level.dinv * z)

@@ -121,12 +121,12 @@ def auto_storage(A):
             # Accept when the per-chunk padding stays modest
             from lis_tpu.matrix.css import CSSMatrix
             try:
-                css = CSSMatrix.from_csr_arrays(*A.to_csr_arrays(),
-                                                A.shape)
-                rem_frac = (css.rem.nnz / max(css.nnz, 1)
-                            if css.rem is not None else 0.0)
-                if css.fill_blowup <= 4.0 and rem_frac <= 0.05:
-                    out = css
+                ptr, idx, val = A.to_csr_arrays()
+                # cheap O(nnz) acceptance check BEFORE paying for the
+                # grid + transpose-grid construction
+                blowup, rem_frac = CSSMatrix.profile(idx, A.shape[1])
+                if blowup <= 4.0 and rem_frac <= 0.05:
+                    out = CSSMatrix.from_csr_arrays(ptr, idx, val, A.shape)
             except Exception:
                 pass
         if out is None:

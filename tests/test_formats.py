@@ -255,3 +255,17 @@ def test_multibes_auto_routing_two_bands():
         assert np.abs(np.asarray(r.x) - xs).max() < bound, f
     r = solve(A, b, options="-i bicgstab -p jacobi -tol 1e-10 -scale 1")
     assert r.status == lis_tpu.LIS_SUCCESS
+
+
+def test_css_profile_matches_built_matrix():
+    """CSSMatrix.profile predicts from one bincount exactly the
+    fill_blowup / rem_frac the full construction produces (auto_storage
+    rejects on the cheap numbers, so they must agree)."""
+    from lis_tpu.matrix.css import CSSMatrix
+    a = random_sparse(300, density=0.02, seed=8)
+    ptr, idx, val = (np.asarray(t) for t in a.to_csr_arrays())
+    blowup, rem_frac = CSSMatrix.profile(idx, 300)
+    m = CSSMatrix.from_csr_arrays(ptr, idx, val, a.shape)
+    got_rem = m.rem.nnz / max(m.nnz, 1) if m.rem is not None else 0.0
+    assert abs(blowup - m.fill_blowup) < 1e-12, (blowup, m.fill_blowup)
+    assert abs(rem_frac - got_rem) < 1e-12, (rem_frac, got_rem)

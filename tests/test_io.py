@@ -306,3 +306,61 @@ def test_hb_hermitian_expansion(tmp_path):
             f.write(ln + "\n")
     a = read_harwell_boeing(str(p))
     np.testing.assert_allclose(np.asarray(a.to_dense()), herm, rtol=1e-14)
+
+
+def test_lis_vector_complex_roundtrip(tmp_path):
+    """Complex vectors round-trip through all three LIS vector flavors —
+    the ascii mode writes (re, im) pairs like the reference's _COMPLEX
+    build (lis_output.c:519); the binary flavors negate the section
+    count to mark c16 payloads."""
+    from lis_tpu.io.lisio import write_lis_vector, read_lis_vector
+    rng = np.random.default_rng(12)
+    v = rng.standard_normal(23) + 1j * rng.standard_normal(23)
+    for mode, tol in (("A", 1e-19), ("B", 0.0), ("L", 0.0)):
+        p = tmp_path / f"v{mode}.vec"
+        write_lis_vector(str(p), v, mode=mode, nprocs=3)
+        back = np.asarray(read_lis_vector(str(p)))
+        assert np.iscomplexobj(back)
+        np.testing.assert_allclose(back, v, atol=tol, rtol=1e-18)
+
+
+def test_lis_vector_truncated_rejected(tmp_path):
+    """A LIS vector file whose section holds fewer values than declared
+    must raise, not silently load short (lis_input would fail too)."""
+    import pytest
+    from lis_tpu.io.lisio import write_lis_vector, read_lis_vector
+    v = np.arange(12.0)
+    p = tmp_path / "v.vec"
+    write_lis_vector(str(p), v, mode="A")
+    lines = open(p).readlines()
+    open(p, "w").writelines(lines[:-2])         # drop the last value rows
+    with pytest.raises(ValueError, match="truncated"):
+        read_lis_vector(str(p))
+    pb = tmp_path / "v.bvec"
+    write_lis_vector(str(pb), v, mode="L")
+    raw = open(pb, "rb").read()
+    open(pb, "wb").write(raw[:-16])             # drop last two f8 values
+    with pytest.raises(ValueError, match="truncated"):
+        read_lis_vector(str(pb))
+
+
+def test_compat_output_vector_lis_format(tmp_path):
+    """lis_output_vector with LIS_FMT_LIS (3) writes the '#LIS A vec'
+    flavor (previously silently fell back to MatrixMarket), and the
+    binary id (4) writes the host-endian binary flavor."""
+    import lis_tpu.compat as lis
+    from lis_tpu.io.lisio import read_lis_vector
+    v = lis.lis_vector_create()
+    lis.lis_vector_set_size(v, 0, 7)
+    for i in range(7):
+        lis.lis_vector_set_value(lis.LIS_INS_VALUE, i, float(i) + 0.5, v)
+    p3 = tmp_path / "v.lis"
+    lis.lis_output_vector(v, 3, str(p3))
+    assert open(p3).readline().startswith("#LIS A vec")
+    np.testing.assert_allclose(np.asarray(read_lis_vector(str(p3))),
+                               np.arange(7) + 0.5)
+    p4 = tmp_path / "v.lisb"
+    lis.lis_output_vector(v, 4, str(p4))
+    assert open(p4, "rb").read(10).startswith(b"#LIS")
+    np.testing.assert_allclose(np.asarray(read_lis_vector(str(p4))),
+                               np.arange(7) + 0.5)
