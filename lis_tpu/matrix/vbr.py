@@ -68,6 +68,9 @@ class VBRMatrix(SparseMatrix):
     col_part: tuple = static()     # col partition boundaries, len nc+1
     bptr: tuple = static()         # block-row pointers into bindex
     bindex: tuple = static()       # block-column index per stored block
+    fast: object = None            # uniform partition: a BSRMatrix of the
+                                   # SAME matrix — matvecs run its MXU
+                                   # windowed slabs instead of gathers
 
     def _rebuild_kwargs(self):
         return {"row_part": tuple(self.row_part),
@@ -105,6 +108,17 @@ class VBRMatrix(SparseMatrix):
         np.add.at(bptr, brow_all + 1, 1)
         bptr = np.cumsum(bptr)
         row_ids = rows.astype(np.int32)
+        # uniform partitions make the matrix EXACTLY a BSR: compute
+        # matvecs through the BSR windowed-slab kernels (MXU einsums)
+        # instead of the scalar gather view — the VBR identity (block
+        # ILU partition, conversions) is untouched
+        fast = None
+        rs, cs = np.diff(np.asarray(row_part)), np.diff(np.asarray(col_part))
+        if (len(rs) and len(rs) > 1 and rs.max() == rs.min()
+                and np.array_equal(rs, cs) and rs[0] > 1):
+            from lis_tpu.matrix.bsr import BSRMatrix
+            fast = BSRMatrix.from_csr_arrays(ptr, index, value, shape,
+                                             bnr=int(rs[0]))
         return cls(ptr=jnp.asarray(ptr, jnp.int32),
                    index=jnp.asarray(index, jnp.int32),
                    value=jnp.asarray(value),
@@ -112,18 +126,23 @@ class VBRMatrix(SparseMatrix):
                    nrows=int(n), ncols=int(m), nnz=int(len(value)),
                    row_part=row_part, col_part=col_part,
                    bptr=tuple(int(v) for v in bptr),
-                   bindex=tuple(int(v) for v in bindex_all))
+                   bindex=tuple(int(v) for v in bindex_all),
+                   fast=fast)
 
     def to_csr_arrays(self):
         return host(self.ptr), host(self.index), host(self.value)
 
     def matvec(self, x):
+        if self.fast is not None:
+            return self.fast.matvec(x)
         prod = self.value * jnp.take(x, self.index, axis=0)
         return jax.ops.segment_sum(prod, self.row_ids,
                                    num_segments=self.nrows,
                                    indices_are_sorted=True)
 
     def matvech(self, x):
+        if self.fast is not None:
+            return self.fast.matvech(x)
         v = jnp.conj(self.value) if jnp.iscomplexobj(self.value) else self.value
         prod = v * jnp.take(x, self.row_ids, axis=0)
         y = jnp.zeros(self.ncols, dtype=prod.dtype)

@@ -269,3 +269,25 @@ def test_css_profile_matches_built_matrix():
     got_rem = m.rem.nnz / max(m.nnz, 1) if m.rem is not None else 0.0
     assert abs(blowup - m.fill_blowup) < 1e-12, (blowup, m.fill_blowup)
     assert abs(rem_frac - got_rem) < 1e-12, (rem_frac, got_rem)
+
+
+def test_vbr_uniform_partition_bsr_delegate():
+    """A uniform square VBR partition is exactly a BSR: matvec/matvech
+    route through the BSR windowed slabs (MXU path) with identical
+    results; non-uniform partitions keep the scalar view (fast=None)."""
+    from lis_tpu.matrix.vbr import VBRMatrix
+    import scipy.sparse as sp
+    a = poisson2d(6, 6)
+    p, i, v = (np.asarray(t) for t in a.to_csr_arrays())
+    m = VBRMatrix.from_csr_arrays(p, i, v, a.shape, block=3)
+    assert m.fast is not None and m.fast.format_name == "bsr"
+    x = np.random.default_rng(0).standard_normal(36)
+    dense = a.to_dense()
+    np.testing.assert_allclose(np.asarray(m.matvec(jnp.asarray(x))),
+                               dense @ x, rtol=1e-13, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(m.matvech(jnp.asarray(x))),
+                               dense.T @ x, rtol=1e-13, atol=1e-13)
+    mv = VBRMatrix.from_csr_arrays(p, i, v, a.shape,
+                                   row_part=(0, 2, 5, 9, 36),
+                                   col_part=(0, 2, 5, 9, 36))
+    assert mv.fast is None
