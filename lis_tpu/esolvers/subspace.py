@@ -162,11 +162,17 @@ def eli(A, B, x0, opts):
     for idx in range(ss):
         xi = Qm @ jnp.asarray(s_eig[:, order[idx]])
         xi = xi / v.nrm2(xi)
-        lam, xi, res = _refine_pair(A, B, float(evalues[idx]), xi, opts)
-        evalues[idx] = lam
+        if getattr(opts, "ritz_only", False):
+            # -rval true: report the raw Ritz pairs, no inner refinement
+            # (lis_esolver_li.c's `if (rval) return LIS_SUCCESS` branch)
+            res = _pair_resid(A, B, float(evalues[idx]), xi)
+        else:
+            lam, xi, res = _refine_pair(A, B, float(evalues[idx]), xi, opts)
+            evalues[idx] = lam
         evectors.append(np.asarray(xi))
         resids.append(res)
-    status = (C.LIS_SUCCESS if max(resids) <= max(opts.tol * 10, 1e-10)
+    status = (C.LIS_SUCCESS if getattr(opts, "ritz_only", False)
+              or max(resids) <= max(opts.tol * 10, 1e-10)
               else C.LIS_MAXITER)
     return _multi_result(evalues, evectors, [k] * ss, resids,
                          status, resids)
@@ -212,11 +218,16 @@ def eai(A, B, x0, opts):
         xi = Qm @ jnp.asarray(np.real(vec))
         nrm = v.nrm2(xi)
         xi = xi / jnp.where(nrm == 0, 1.0, nrm)
-        lam, xi, res = _refine_pair(A, B, float(evalues[idx]), xi, opts)
-        evalues[idx] = lam
+        if getattr(opts, "ritz_only", False):
+            # -rval true (lis_esolver_ai.c:313): raw Ritz pairs only
+            res = _pair_resid(A, B, float(evalues[idx]), xi)
+        else:
+            lam, xi, res = _refine_pair(A, B, float(evalues[idx]), xi, opts)
+            evalues[idx] = lam
         evectors.append(np.asarray(xi))
         resids.append(res)
-    status = (C.LIS_SUCCESS if max(resids) <= max(opts.tol * 10, 1e-10)
+    status = (C.LIS_SUCCESS if getattr(opts, "ritz_only", False)
+              or max(resids) <= max(opts.tol * 10, 1e-10)
               else C.LIS_MAXITER)
     return _multi_result(evalues, evectors, [k] * ss, resids,
                          status, resids)

@@ -147,8 +147,12 @@ class EsolverOptions:
     print_: int = 0                 # -eprint
     ss: int = 1                     # -ss (subspace size)
     inner_esolver: str = "ii"       # -ie (inner esolver for SI/LI/AI)
-    rval: float = 0.0               # -shift / -rval (sigma)
+    rval: float = 0.0               # -shift (sigma)
     shift_im: float = 0.0           # -shift_im
+    ritz_only: bool = False         # -rval {true|false}: LI/AI return the
+                                    # raw Ritz values, skipping the
+                                    # per-pair inner refinement
+                                    # (LIS_EOPTIONS_RVAL, truefalse)
     initx_ones: bool = True         # -initx_ones (alias -einitx_ones)
     mode: int = 0                   # -m (eigenvalue mode index)
     inner_gesolver: str = "ii"      # -ige (inner esolver, generalized)
@@ -218,7 +222,14 @@ def _set_float(attr):
 
 
 def _set_bool(attr):
-    return lambda o, v: setattr(o, attr, bool(TRUEFALSE[v.lower()]))
+    def act(o, v):
+        try:
+            setattr(o, attr, bool(TRUEFALSE[v.lower()]))
+        except KeyError:
+            raise ValueError(
+                f"unknown value {v!r} for -{attr} "
+                f"(expected one of {sorted(TRUEFALSE)})") from None
+    return act
 
 
 def _set_storage(o, v):
@@ -296,7 +307,7 @@ _ESOLVER_ACTIONS = {
     "-initx_ones": lambda o, v: setattr(o, "initx_ones",
                                         bool(TRUEFALSE[v.lower()])),
     "-m": _set_int("mode"),
-    "-rval": _set_float("rval"),
+    "-rval": _set_bool("ritz_only"),
     "-ige": _set_name("inner_gesolver", ESOLVER_IDS),
     "-estorage": _set_int("estorage"),
     "-estorage_block": _set_int("estorage_block"),

@@ -111,3 +111,23 @@ def test_esolve_tridiag_etest4():
     r = esolve(a, options="-e ii -etol 1e-10")
     exact = 2.0 - 2.0 * np.cos(np.pi / (n + 1))
     assert abs(r.evalue - exact) < 1e-8
+
+
+def test_rval_ritz_values_only():
+    """-rval true (LIS_EOPTIONS_RVAL, a truefalse option): the Lanczos
+    and Arnoldi subspace esolvers return the RAW Ritz values, skipping
+    the per-pair inner refinement (lis_esolver_li.c / _ai.c rval
+    branches) — values close to the refined ones, status SUCCESS."""
+    from lis_tpu import esolve
+    a = poisson2d(10, 10)
+    for e in ("li", "ai"):
+        full = esolve(a, options=f"-e {e} -ss 2 -etol 1e-9")
+        raw = esolve(a, options=f"-e {e} -ss 2 -etol 1e-9 -rval true")
+        assert raw.status == 0
+        # Ritz values from the small Krylov space approximate the
+        # refined pairs (few-percent accuracy at this subspace size) ...
+        np.testing.assert_allclose(np.sort(raw.evalues),
+                                   np.sort(full.evalues), rtol=5e-2)
+        # ... but are NOT the refined values — refinement really skipped
+        assert not np.allclose(np.sort(raw.evalues),
+                               np.sort(full.evalues), rtol=1e-12)
