@@ -621,3 +621,18 @@ def test_vbr_block_ilu_large_block_padded_path():
     lhs = float(np.asarray(pc.psolve(jnp.asarray(u))) @ v)
     rhs = float(u @ np.asarray(pc.psolveh(jnp.asarray(v))))
     assert abs(lhs - rhs) < 1e-9 * max(abs(lhs), 1.0)
+
+
+def test_is_with_stationary_solvers_converges():
+    """-p is with the stationary solvers: the reference's I+S-stationary
+    branch SEGFAULTS in its own build (lsolve testmat.mtx 1 -i jacobi -p
+    is crashes in lis_precon_create_is_csr); here the combination
+    converges to the true solution."""
+    import lis_tpu
+    a = lis_tpu.read_matrix_market("/root/reference/test/testmat.mtx")
+    b = np.ones(a.nrows)
+    for s, cap in (("jacobi", 600), ("gs", 400), ("sor", 2000)):
+        r = solve(a, b, options=f"-i {s} -p is -tol 1e-10 -maxiter 3000")
+        assert r.status == lis_tpu.LIS_SUCCESS, (s, r)
+        assert float(r.true_resid) < 1e-9
+        assert r.iters <= cap, (s, r.iters)
