@@ -61,15 +61,26 @@ def read_matrix_market(path: str, matrix_type: str = "csr",
             skip += 1
         skip += 1                      # the size line itself
         sizes = line.split()
+        if not sizes:
+            raise ValueError(f"{path}: missing MatrixMarket size line")
         b = x = None
         if fmt == "coordinate":
+            if len(sizes) < 3:
+                raise ValueError(
+                    f"{path}: coordinate size line needs 'nrows ncols "
+                    f"nnz', got {line.strip()!r}")
             nrows, ncols, nnz = int(sizes[0]), int(sizes[1]), int(sizes[2])
             isb = int(sizes[3]) if len(sizes) > 3 else 0
             isx = int(sizes[4]) if len(sizes) > 4 else 0
             isbin = int(sizes[5]) if len(sizes) > 5 else 0
             if isbin:
                 bo = "<" if isbin == 2 else ">"
-                rec = np.frombuffer(f.read(16 * nnz), dtype=_MATFMT[bo])
+                raw = f.read(16 * nnz)
+                if len(raw) < 16 * nnz:
+                    raise ValueError(
+                        f"{path}: declares {nnz} binary entries but holds "
+                        f"{len(raw) // 16} — truncated file")
+                rec = np.frombuffer(raw, dtype=_MATFMT[bo])
                 rows = rec["i"].astype(np.int64) - 1
                 cols = rec["j"].astype(np.int64) - 1
                 vals = rec["v"].astype(np.float64)
@@ -89,10 +100,18 @@ def read_matrix_market(path: str, matrix_type: str = "csr",
                                                      field == "pattern")
                 if native is not None:
                     rows, cols, vals = native
+                    if len(rows) < nnz:
+                        raise ValueError(
+                            f"{path}: declares {nnz} entries but holds "
+                            f"{len(rows)} — truncated file")
                     rows = rows.astype(np.int64)
                     cols = cols.astype(np.int64)
                 else:
                     data = np.loadtxt(f, max_rows=nnz, ndmin=2)
+                    if data.shape[0] < nnz:
+                        raise ValueError(
+                            f"{path}: declares {nnz} entries but holds "
+                            f"{data.shape[0]} — truncated file")
                     rows = data[:, 0].astype(np.int64) - 1
                     cols = data[:, 1].astype(np.int64) - 1
                     if field == "pattern":

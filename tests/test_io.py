@@ -364,3 +364,34 @@ def test_compat_output_vector_lis_format(tmp_path):
     assert open(p4, "rb").read(10).startswith(b"#LIS")
     np.testing.assert_allclose(np.asarray(read_lis_vector(str(p4))),
                                np.arange(7) + 0.5)
+
+
+def test_mm_malformed_files_clean_errors(tmp_path):
+    """Malformed MatrixMarket inputs raise clean ValueErrors (the
+    reference's lis_input_mm returns LIS_ERR_FILE_IO); in particular a
+    file declaring more entries than it holds must NOT load silently
+    short."""
+    import pytest
+    cases = {
+        "empty": "",
+        "nosize": "%%MatrixMarket matrix coordinate real general\n",
+        "badsizeline": "%%MatrixMarket matrix coordinate real general\n"
+                       "3 3\n",
+        "short": "%%MatrixMarket matrix coordinate real general\n"
+                 "3 3 5\n1 1 1.0\n2 2 2.0\n",
+    }
+    from lis_tpu.io.mm import read_matrix_market
+    for name, content in cases.items():
+        p = tmp_path / f"{name}.mtx"
+        p.write_text(content)
+        with pytest.raises(ValueError):
+            read_matrix_market(str(p))
+    # truncated binary flavor too
+    from lis_tpu.io import lis_output
+    from tests.problems import poisson2d
+    pb = tmp_path / "t.mmb"
+    lis_output(str(pb), poisson2d(4, 4), fmt="mmb")
+    raw = pb.read_bytes()
+    pb.write_bytes(raw[:-40])
+    with pytest.raises(ValueError, match="truncated"):
+        read_matrix_market(str(pb))
