@@ -19,25 +19,42 @@ from lis_tpu.solvers.base import SolverSpec
 
 
 @precon_pytree
+class _AdjointPrecon:
+    """Mᴴ as a preconditioner view — the inner solve on Aᴴ is
+    preconditioned by the adjoint of the inner preconditioner."""
+    inner: object
+
+    def psolve(self, r):
+        return self.inner.psolveh(r)
+
+    def psolveh(self, r):
+        return self.inner.psolve(r)
+
+
+@precon_pytree
 class HybridPrecon:
     A: object                 # matrix pytree
     At: object                # Aᴴ matrix pytree
     aux: object               # inner solver prepare() result (A)
     aux_t: object             # inner solver prepare() result (Aᴴ)
+    M: object = None          # -hybrid_p inner preconditioner (or None)
     _static = ("spec",)
     spec: SolverSpec = None
 
     def psolve(self, r):
         from lis_tpu.solvers.base import SOLVER_FNS
         out = SOLVER_FNS[self.spec.solver](
-            self.A, r, jnp.zeros_like(r), NonePrecon(), self.spec,
+            self.A, r, jnp.zeros_like(r),
+            self.M if self.M is not None else NonePrecon(), self.spec,
             aux=self.aux)
         return out.x
 
     def psolveh(self, r):
         from lis_tpu.solvers.base import SOLVER_FNS
         out = SOLVER_FNS[self.spec.solver](
-            self.At, r, jnp.zeros_like(r), NonePrecon(), self.spec,
+            self.At, r, jnp.zeros_like(r),
+            _AdjointPrecon(inner=self.M) if self.M is not None
+            else NonePrecon(), self.spec,
             aux=self.aux_t)
         return out.x
 
@@ -59,4 +76,12 @@ def create_hybrid(A, opts):
     prepare = SOLVER_PREPARE.get(spec.solver)
     aux = prepare(A, spec) if prepare else None
     aux_t = prepare(At, spec) if prepare else None
-    return HybridPrecon(A=A, At=At, aux=aux, aux_t=aux_t, spec=spec)
+    # -hybrid_p: the inner solver's preconditioner (the reference passes
+    # LIS_OPTIONS_PPRECON through as the psolver's LIS_OPTIONS_PRECON,
+    # lis_precon_hybrid.c:89)
+    M = None
+    pname = getattr(opts, "hybrid_p", "none")
+    if pname not in ("none", "hybrid"):      # no hybrid-in-hybrid recursion
+        from lis_tpu.precon.base import create_precon
+        M = create_precon(pname, A, opts)
+    return HybridPrecon(A=A, At=At, aux=aux, aux_t=aux_t, M=M, spec=spec)

@@ -636,3 +636,22 @@ def test_is_with_stationary_solvers_converges():
         assert r.status == lis_tpu.LIS_SUCCESS, (s, r)
         assert float(r.true_resid) < 1e-9
         assert r.iters <= cap, (s, r.iters)
+
+
+def test_hybrid_inner_preconditioner():
+    """-hybrid_p passes a preconditioner to the INNER solve
+    (lis_precon_hybrid.c:89 forwards LIS_OPTIONS_PPRECON): the
+    preconditioned inner iteration converges in no more outer
+    iterations, and BiCG exercises the adjoint inner apply."""
+    a = poisson2d(14, 14)
+    b = np.ones(a.nrows)
+    base = solve(a, b, options="-i gmres -p hybrid -hybrid_i gmres "
+                               "-hybrid_maxiter 6 -tol 1e-10")
+    pre = solve(a, b, options="-i gmres -p hybrid -hybrid_i gmres "
+                              "-hybrid_maxiter 6 -hybrid_p ssor -tol 1e-10")
+    assert pre.status == lis_tpu.LIS_SUCCESS
+    assert pre.iters <= base.iters, (pre.iters, base.iters)
+    rb = solve(a, b, options="-i bicg -p hybrid -hybrid_i cg "
+                             "-hybrid_maxiter 6 -hybrid_p jacobi -tol 1e-10")
+    assert rb.status == lis_tpu.LIS_SUCCESS
+    assert _resid(a, b, rb.x) < 1e-8
