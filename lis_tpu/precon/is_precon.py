@@ -38,6 +38,13 @@ class ISPrecon:
 
 @register_precon("is")
 def create_is(A, opts):
+    if getattr(opts, "is_level", 1) == 0:
+        # -is_level 0 disables the I+S apply (the reference routes
+        # psolve to psolve_none, lis_precon_is.c:100-104 — its own
+        # build segfaults on this path, but the intent is identity;
+        # the forced Jacobi scaling still happens in the driver)
+        from lis_tpu.precon.base import NonePrecon
+        return NonePrecon()
     m = getattr(opts, "m", 3) + 1
     alpha = getattr(opts, "is_alpha", 1.0)
     s = split_matrix(A)

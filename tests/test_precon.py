@@ -655,3 +655,16 @@ def test_hybrid_inner_preconditioner():
                              "-hybrid_maxiter 6 -hybrid_p jacobi -tol 1e-10")
     assert rb.status == lis_tpu.LIS_SUCCESS
     assert _resid(a, b, rb.x) < 1e-8
+
+
+def test_is_level_zero_disables_apply():
+    """-is_level 0 turns the I+S apply off (reference routes psolve to
+    none, lis_precon_is.c:100 — its build segfaults there, ours runs):
+    iteration counts equal plain Jacobi-scaled BiCGSTAB."""
+    import lis_tpu
+    a = lis_tpu.read_matrix_market("/root/reference/test/testmat.mtx")
+    b = np.ones(a.nrows)
+    off = solve(a, b, options="-i bicgstab -p is -is_level 0 -tol 1e-12")
+    plain = solve(a, b, options="-i bicgstab -scale 1 -tol 1e-12")
+    assert off.status == lis_tpu.LIS_SUCCESS
+    assert off.iters == plain.iters, (off.iters, plain.iters)
