@@ -276,3 +276,22 @@ def test_hpcg_kernel_parity():
                             "-auto_storage false")
     assert r.status == lis_tpu.LIS_SUCCESS
     assert abs(r.iters - 31) <= 1, r.iters
+
+
+def test_use_at_explicit_transpose_parity(testmat):
+    """-use_at true gives BiCG an explicitly materialised Aᴴ for its dual
+    matvec (lis_solver.c:836-843 builds a CSC copy); iteration counts
+    match the implicit-transpose path and the reference (15)."""
+    b = np.ones(testmat.nrows)
+    on = solve(testmat, b, options="-i bicg -use_at true -tol 1e-12")
+    off = solve(testmat, b, options="-i bicg -use_at false -tol 1e-12")
+    assert on.status == off.status == lis_tpu.LIS_SUCCESS
+    assert on.iters == off.iters == 15
+    assert on.resid < 1e-12
+    # the explicit-Aᴴ operator is really in use: matvech must equal Aᵀx
+    from lis_tpu.matrix.useat import with_explicit_transpose
+    m = with_explicit_transpose(testmat)
+    x = np.random.default_rng(2).standard_normal(testmat.nrows)
+    import jax.numpy as jnp
+    np.testing.assert_allclose(np.asarray(m.matvech(jnp.asarray(x))),
+                               testmat.to_dense().T @ x, rtol=1e-12)
