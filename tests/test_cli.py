@@ -76,3 +76,22 @@ def test_scaling_cli():
     rc, out = _run("scaling", ["weak", "16", "16", "5", "1", "2"])
     assert rc == 0
     assert "efficiency" in out
+
+
+def test_cli_reference_binary_names(tmp_path):
+    """The reference installs esolve/esolver/gesolve/gesolver as distinct
+    binaries (test/Makefile.am:68-76); all four names run here."""
+    import subprocess, sys
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
+           "JAX_PLATFORMS": "cpu", "HOME": "/root"}
+    mat = "/root/reference/test/testmat.mtx"
+    for mod, args in (("esolver", [mat, "-e", "pi", "-etol", "1e-6"]),
+                      ("gesolve", [mat, mat, "-e", "gpi",
+                                   "-etol", "1e-6"]),
+                      ("gesolver", [mat, mat, "-e", "gpi",
+                                    "-etol", "1e-6"])):
+        out = subprocess.run([sys.executable, "-m", f"lis_tpu.cli.{mod}",
+                              *args], capture_output=True, text=True,
+                             env=env)
+        assert out.returncode == 0, (mod, out.stderr[-300:])
+        assert "eigenvalue" in out.stdout
