@@ -27,6 +27,13 @@ def main(argv=None, general: bool = False):
         k += 1
     files, options = argv[:k], " ".join(argv[k:])
 
+    if general and len(files) < 2:
+        # getest5 prints usage and exits when B is missing — silently
+        # solving the STANDARD problem would mislabel the results
+        print("Usage: gesolve matrix_a_filename matrix_b_filename "
+              "[evector_filename] [options]")
+        return 1
+
     lis_tpu.initialize(argv)
     A = read_matrix_market(files[0])
     if general and len(files) > 1:

@@ -85,8 +85,14 @@ def read_matrix_market(path: str, matrix_type: str = "csr",
                 cols = rec["j"].astype(np.int64) - 1
                 vals = rec["v"].astype(np.float64)
                 if isb or isx:
-                    vrec = np.frombuffer(f.read(16 * nrows * (isb + isx)),
-                                         dtype=_VECFMT[bo])
+                    want = 16 * nrows * (isb + isx)
+                    raw = f.read(want)
+                    if len(raw) < want:
+                        raise ValueError(
+                            f"{path}: appended b/x vector section holds "
+                            f"{len(raw) // 16} of {nrows * (isb + isx)} "
+                            f"records — truncated file")
+                    vrec = np.frombuffer(raw, dtype=_VECFMT[bo])
                     if isb:
                         b = vrec["v"][:nrows].astype(np.float64)
                     if isx:
@@ -122,15 +128,34 @@ def read_matrix_market(path: str, matrix_type: str = "csr",
                         vals = data[:, 2]
                     if isb:
                         bd = np.loadtxt(f, max_rows=nrows, ndmin=2)
+                        if bd.shape[0] < nrows:
+                            raise ValueError(
+                                f"{path}: appended b vector holds "
+                                f"{bd.shape[0]} of {nrows} entries — "
+                                f"truncated file")
                         b = np.zeros(nrows)
                         b[bd[:, 0].astype(np.int64) - 1] = bd[:, -1]
                     if isx:
                         xd = np.loadtxt(f, max_rows=nrows, ndmin=2)
+                        if xd.shape[0] < nrows:
+                            raise ValueError(
+                                f"{path}: appended x vector holds "
+                                f"{xd.shape[0]} of {nrows} entries — "
+                                f"truncated file")
                         x = np.zeros(nrows)
                         x[xd[:, 0].astype(np.int64) - 1] = xd[:, -1]
         elif fmt == "array":
+            if len(sizes) < 2:
+                raise ValueError(
+                    f"{path}: array size line needs 'nrows ncols', got "
+                    f"{line.strip()!r}")
             nrows, ncols = int(sizes[0]), int(sizes[1])
             flat = np.loadtxt(f, max_rows=nrows * ncols)
+            if np.asarray(flat).size < nrows * ncols:
+                raise ValueError(
+                    f"{path}: array format declares {nrows * ncols} "
+                    f"values but holds {np.asarray(flat).size} — "
+                    f"truncated file")
             dense = np.asarray(flat).reshape(ncols, nrows).T  # column-major
             rows, cols = np.nonzero(dense)
             vals = dense[rows, cols]

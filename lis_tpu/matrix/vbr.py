@@ -111,10 +111,15 @@ class VBRMatrix(SparseMatrix):
         # uniform partitions make the matrix EXACTLY a BSR: compute
         # matvecs through the BSR windowed-slab kernels (MXU einsums)
         # instead of the scalar gather view — the VBR identity (block
-        # ILU partition, conversions) is untouched
+        # ILU partition, conversions) is untouched.  Deliberate
+        # trade-off: the CSR view stays resident next to the BSR slabs
+        # (≈2x memory for this niche parity format) because the scalar
+        # view defines the exact nonzero PATTERN (a BSR-derived view
+        # would add explicit in-block zeros, changing ILU fill), and
+        # same-format rebuilds re-run this constructor
         fast = None
         rs, cs = np.diff(np.asarray(row_part)), np.diff(np.asarray(col_part))
-        if (len(rs) and len(rs) > 1 and rs.max() == rs.min()
+        if (len(rs) > 1 and rs.max() == rs.min()
                 and np.array_equal(rs, cs) and rs[0] > 1):
             from lis_tpu.matrix.bsr import BSRMatrix
             fast = BSRMatrix.from_csr_arrays(ptr, index, value, shape,

@@ -221,13 +221,14 @@ def _set_float(attr):
     return lambda o, v: setattr(o, attr, float(v))
 
 
-def _set_bool(attr):
+def _set_bool(attr, flag=None):
+    name = flag or attr                 # error messages show the CLI flag
     def act(o, v):
         try:
             setattr(o, attr, bool(TRUEFALSE[v.lower()]))
         except KeyError:
             raise ValueError(
-                f"unknown value {v!r} for -{attr} "
+                f"unknown value {v!r} for -{name} "
                 f"(expected one of {sorted(TRUEFALSE)})") from None
     return act
 
@@ -307,7 +308,7 @@ _ESOLVER_ACTIONS = {
     "-initx_ones": lambda o, v: setattr(o, "initx_ones",
                                         bool(TRUEFALSE[v.lower()])),
     "-m": _set_int("mode"),
-    "-rval": _set_bool("ritz_only"),
+    "-rval": _set_bool("ritz_only", flag="rval"),
     "-ige": _set_name("inner_gesolver", ESOLVER_IDS),
     "-estorage": _set_int("estorage"),
     "-estorage_block": _set_int("estorage_block"),

@@ -95,3 +95,17 @@ def test_cli_reference_binary_names(tmp_path):
                              env=env)
         assert out.returncode == 0, (mod, out.stderr[-300:])
         assert "eigenvalue" in out.stdout
+
+
+def test_gesolve_missing_b_is_usage_error():
+    """gesolve without a B matrix must print usage and exit nonzero, not
+    silently solve the standard problem under a 'gesolve' label."""
+    import subprocess, sys
+    out = subprocess.run([sys.executable, "-m", "lis_tpu.cli.gesolve",
+                          "/root/reference/test/testmat.mtx", "-e", "gpi"],
+                         capture_output=True, text=True,
+                         env={"PYTHONPATH": "/root/repo",
+                              "PATH": "/usr/bin:/bin",
+                              "JAX_PLATFORMS": "cpu", "HOME": "/root"})
+    assert out.returncode == 1
+    assert "Usage" in out.stdout

@@ -395,3 +395,24 @@ def test_mm_malformed_files_clean_errors(tmp_path):
     pb.write_bytes(raw[:-40])
     with pytest.raises(ValueError, match="truncated"):
         read_matrix_market(str(pb))
+
+
+def test_mm_appended_vectors_truncation_rejected(tmp_path):
+    """The Lis-extension appended b/x sections are validated too: a file
+    declaring isb=1 with fewer than nrows b entries raises instead of
+    zero-filling silently; array-format short files likewise."""
+    import pytest
+    from lis_tpu.io.mm import read_matrix_market
+    p = tmp_path / "bx.mtx"
+    p.write_text("%%MatrixMarket matrix coordinate real general\n"
+                 "3 3 3 1 0\n1 1 4.0\n2 2 4.0\n3 3 4.0\n1 5.0\n")
+    with pytest.raises(ValueError, match="truncated"):
+        read_matrix_market(str(p), return_vectors=True)
+    pa = tmp_path / "arr.mtx"
+    pa.write_text("%%MatrixMarket matrix array real general\n3 3\n1.0\n2.0\n")
+    with pytest.raises(ValueError, match="truncated"):
+        read_matrix_market(str(pa))
+    pb = tmp_path / "arrbad.mtx"
+    pb.write_text("%%MatrixMarket matrix array real general\n3\n")
+    with pytest.raises(ValueError, match="size line"):
+        read_matrix_market(str(pb))
