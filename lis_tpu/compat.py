@@ -36,6 +36,34 @@ from lis_tpu.config import initialize as lis_initialize          # noqa: F401
 from lis_tpu.config import finalize as lis_finalize              # noqa: F401
 from lis_tpu.config import wtime as lis_wtime                    # noqa: F401
 from lis_tpu.matrix.assembly import LIS_INS_VALUE, LIS_ADD_VALUE  # noqa: F401
+
+
+def lis_date(date=None):
+    """Current date string (man lis_date.3; lis_time.c:120).  The C API
+    fills a caller buffer; here the string is returned (and also written
+    into ``date`` when a mutable list is passed)."""
+    import datetime
+    s = datetime.datetime.now().strftime("%a %b %d %H:%M:%S %Y")
+    if isinstance(date, list):
+        date[:] = [s]
+    return s
+
+
+def lis_do_not_handle_mpi():
+    """No-op (lis_init.c:99): the process-group lifecycle is the JAX
+    runtime's job here — there is no MPI to skip initialising."""
+    return None
+
+
+def lis_free(p):
+    """No-op (lis_memory.c): memory is garbage-collected in this
+    runtime; provided so ported reference code runs unchanged."""
+    return None
+
+
+def lis_free2(n, *ps):
+    """No-op multi-free (lis_memory.c lis_free2)."""
+    return None
 from lis_tpu.runtime.options import STORAGE_NAMES
 
 # storage-type constants (include/lis.h:252-284)

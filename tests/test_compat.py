@@ -625,3 +625,20 @@ def test_matrix_get_range_is_zero_based():
     fapi.matrix_set_size(h, 0, 10)
     assert fapi.matrix_get_range_is(h) == 1
     assert fapi.matrix_get_range_ie(h) == 11
+
+
+def test_full_lis_h_surface_present():
+    """Every public lis_* function declared in the reference's lis.h
+    exists in compat (the managed-runtime memory functions are honest
+    no-ops)."""
+    import re
+    import lis_tpu.compat as c
+    hdr = open("/root/reference/include/lis.h").read()
+    pub = (set(re.findall(r"extern LIS_INT (lis_\w+)", hdr))
+           | set(re.findall(r"extern \w+ (lis_\w+)\(", hdr)))
+    missing = sorted(n for n in pub if not hasattr(c, n))
+    assert not missing, missing
+    assert isinstance(c.lis_date(), str)
+    c.lis_do_not_handle_mpi()
+    c.lis_free(None)
+    c.lis_free2(2, None, None)
