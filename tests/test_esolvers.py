@@ -131,3 +131,25 @@ def test_rval_ritz_values_only():
         # ... but are NOT the refined values — refinement really skipped
         assert not np.allclose(np.sort(raw.evalues),
                                np.sort(full.evalues), rtol=1e-12)
+
+
+# ground truth from the built reference: etest1 testmat.mtx -e <name>
+# -etol 1e-8 -emaxiter 3000.  (rqi excluded: the reference reports
+# evalue exactly 0.400000 after ONE iteration — an unconverged stop —
+# while this implementation converges to an actual eigenpair.)
+ESOLVE_REFERENCE = [
+    ("pi", 7.365014e+00, 143),
+    ("ii", 1.620281e-01, 13),
+    ("cg", 1.620281e-01, 24),
+    ("cr", 1.620281e-01, 32),
+]
+
+
+@pytest.mark.parametrize("e,evalue,iters", ESOLVE_REFERENCE)
+def test_esolve_reference_parity(e, evalue, iters):
+    import lis_tpu
+    a = lis_tpu.read_matrix_market("/root/reference/test/testmat.mtx")
+    r = lis_tpu.esolve(a, options=f"-e {e} -etol 1e-8 -emaxiter 3000")
+    assert r.status == 0, (e, r)
+    assert abs(r.evalue - evalue) < 1e-5 * max(abs(evalue), 1), (e, r.evalue)
+    assert abs(r.iters - iters) <= 2, (e, r.iters, iters)
