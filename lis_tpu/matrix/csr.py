@@ -31,12 +31,20 @@ class CSRMatrix(SparseMatrix):
     def from_csr_arrays(cls, ptr, index, value, shape) -> "CSRMatrix":
         ptr, index, value = host(ptr), host(index), host(value)
         row_ids = np.repeat(np.arange(shape[0], dtype=np.int32), np.diff(ptr))
-        return cls(ptr=jnp.asarray(ptr, jnp.int32),
-                   index=jnp.asarray(index, jnp.int32),
-                   value=jnp.asarray(value),
-                   row_ids=jnp.asarray(row_ids),
-                   nrows=int(shape[0]), ncols=int(shape[1]),
-                   nnz=int(len(value)))
+        out = cls(ptr=jnp.asarray(ptr, jnp.int32),
+                  index=jnp.asarray(index, jnp.int32),
+                  value=jnp.asarray(value),
+                  row_ids=jnp.asarray(row_ids),
+                  nrows=int(shape[0]), ncols=int(shape[1]),
+                  nnz=int(len(value)))
+        # host-side cache so to_csr_arrays() is free when built from host
+        # data (a device->host pull costs seconds through the TPU relay at
+        # 100MB+ scale; this made SA-AMG setup transfer-bound).  Not a
+        # pytree field: instances rebuilt by jit unflatten simply miss the
+        # cache and fall back to device_get.
+        object.__setattr__(out, "_host_csr",
+                           (ptr, np.asarray(index), np.asarray(value)))
+        return out
 
     @classmethod
     def from_dense(cls, dense) -> "CSRMatrix":
@@ -46,7 +54,15 @@ class CSRMatrix(SparseMatrix):
         return cls.from_csr_arrays(a.indptr, a.indices, a.data, dense.shape)
 
     def to_csr_arrays(self):
-        return host(self.ptr), host(self.index), host(self.value)
+        cached = getattr(self, "_host_csr", None)
+        if cached is not None:
+            return cached
+        out = (host(self.ptr), host(self.index), host(self.value))
+        try:
+            object.__setattr__(self, "_host_csr", out)
+        except Exception:
+            pass
+        return out
 
     def matvec(self, x):
         prod = self.value * jnp.take(x, self.index, axis=0)

@@ -44,10 +44,16 @@ class DIAMatrix(SparseMatrix):
         dval = np.zeros((len(uoffs), n), dtype=value.dtype)
         kidx = np.searchsorted(uoffs, offs)
         dval[kidx, rows] = value
-        return cls(value=tuple(jnp.asarray(dval[k])
-                               for k in range(len(uoffs))),
-                   nrows=int(n), ncols=int(shape[1]), nnz=int(len(value)),
-                   offsets=tuple(int(o) for o in uoffs))
+        out = cls(value=tuple(jnp.asarray(dval[k])
+                              for k in range(len(uoffs))),
+                  nrows=int(n), ncols=int(shape[1]), nnz=int(len(value)),
+                  offsets=tuple(int(o) for o in uoffs))
+        # host CSR cache (see csr.py): avoids a 100MB+ relay pull when a
+        # preconditioner (SA-AMG, ILU) re-reads the converted operator
+        object.__setattr__(out, "_host_csr",
+                           (np.asarray(ptr, np.int32),
+                            np.asarray(index, np.int32), value))
+        return out
 
     @property
     def value_2d(self) -> np.ndarray:
@@ -62,6 +68,9 @@ class DIAMatrix(SparseMatrix):
         return out
 
     def to_csr_arrays(self):
+        cached = getattr(self, "_host_csr", None)
+        if cached is not None:
+            return cached
         val = self.value_2d
         n, m = self.shape
         cols = np.arange(n)[None, :] + np.array(self.offsets)[:, None]

@@ -80,9 +80,8 @@ def _lower_plan(A, w: float = 1.0):
     if getattr(A, "format_name", None) == "dia" and w <= 1.5:
         from lis_tpu.precon.ssor import _split_dia
         L, _, d = _split_dia(A)
-        with np.errstate(divide="ignore"):
-            wd = np.where(d != 0, w / np.where(d != 0, d, 1), 1.0)
-        return _LowerSweep(L, jnp.asarray(wd))
+        wd = jnp.where(d != 0, w / jnp.where(d != 0, d, 1), 1.0)
+        return _LowerSweep(L, wd)
     from lis_tpu.matrix.split import split_matrix
     s = split_matrix(A)
     ptr, index, value = s.L.to_csr_arrays()
