@@ -105,7 +105,11 @@ def _split_dia(A):
         if not ks:
             return DIAMatrix(value=(jnp.zeros(n, dtype),), nrows=n,
                              ncols=n, nnz=0, offsets=(0,))
-        nnz = int(sum(int(jnp.count_nonzero(A.value[k])) for k in ks))
+        # ONE device sync for all diagonals: per-diagonal int() pulls
+        # cost a full relay roundtrip each and dominated SA-AMG setup
+        counts = jax.device_get(
+            jnp.stack([jnp.count_nonzero(A.value[k]) for k in ks]))
+        nnz = int(counts.sum())
         return DIAMatrix(value=tuple(A.value[k] for k in ks),
                          nrows=n, ncols=n, nnz=nnz,
                          offsets=tuple(offs[k] for k in ks))
