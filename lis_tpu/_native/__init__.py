@@ -80,6 +80,11 @@ def _load():
                                     i32p, i32p, f64p]
     lib.lis_native_free.restype = None
     lib.lis_native_free.argtypes = [ctypes.c_void_p]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.euler_split.restype = ctypes.c_int
+    lib.euler_split.argtypes = [
+        ctypes.c_int64, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8)]
     _lib = lib
     available = True
     return lib
@@ -261,3 +266,46 @@ def ilu0_dia(offsets, diags):
         offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         d.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     return d if rc == 0 else None
+
+
+def euler_split(u, v, nu: int, nv: int):
+    """One Euler-orientation split of an even-regular bipartite multigraph
+    (edges u[i]->v[i]); returns a 0/1 bit per edge such that every node's
+    incident edges split exactly in half.  The inner step of the Benes
+    shuffle-network routing (ops/shuffle.py).  None when native code is
+    unavailable (the caller falls back to a pure-Python walk)."""
+    lib = _load()
+    if lib is None:
+        return None
+    u = np.ascontiguousarray(u, dtype=np.int64)
+    v = np.ascontiguousarray(v, dtype=np.int64)
+    bit = np.empty(len(u), dtype=np.uint8)
+    lib.euler_split(len(u),
+                    u.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    v.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    nu, nv, bit.ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_uint8)))
+    return bit
+
+
+def greedy_color(left, right, n_nodes: int, d: int):
+    """Sequential greedy proper edge coloring with d <= 128 colors
+    (first-free bitmask pick).  Returns (fails, color) or None when the
+    native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "greedy_color"):
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.greedy_color.restype = ctypes.c_int64
+    lib.greedy_color.argtypes = [ctypes.c_int64, i64p, i64p,
+                                 ctypes.c_int64, ctypes.c_int32,
+                                 ctypes.POINTER(ctypes.c_int32)]
+    left = np.ascontiguousarray(left, dtype=np.int64)
+    right = np.ascontiguousarray(right, dtype=np.int64)
+    color = np.empty(len(left), dtype=np.int32)
+    fails = lib.greedy_color(
+        len(left), left.ctypes.data_as(i64p), right.ctypes.data_as(i64p),
+        n_nodes, d, _as_i32p(color))
+    return int(fails), color

@@ -683,4 +683,119 @@ int ilu0_dia(int64_t n, int32_t nnd, const int64_t* offsets, double* diags) {
     return 0;
 }
 
+// ---------------------------------------------------------------------------
+// greedy_color — sequential greedy proper edge coloring of a bipartite
+// multigraph with d <= 128 colors (free-color bitmasks, first-free pick).
+// Succeeds with high probability when the slot grid has slack (the Benes
+// shuffle routing's common case, ops/shuffle.py); returns the number of
+// edges left uncolored (color = -1), for which the caller falls back to
+// the exact Euler decomposition.
+// ---------------------------------------------------------------------------
+int64_t greedy_color(int64_t m, const int64_t* left, const int64_t* right,
+                     int64_t n_nodes, int32_t d, int32_t* color) {
+    std::vector<uint64_t> fl(2 * n_nodes, ~0ULL), fr(2 * n_nodes, ~0ULL);
+    if (d < 64) {
+        uint64_t lo = (1ULL << d) - 1;
+        for (int64_t i = 0; i < n_nodes; ++i) {
+            fl[2 * i] = lo; fl[2 * i + 1] = 0;
+            fr[2 * i] = lo; fr[2 * i + 1] = 0;
+        }
+    } else if (d < 128) {
+        uint64_t hi = (d == 128) ? ~0ULL : ((1ULL << (d - 64)) - 1);
+        for (int64_t i = 0; i < n_nodes; ++i) {
+            fl[2 * i + 1] = hi;
+            fr[2 * i + 1] = hi;
+        }
+    }
+    int64_t fails = 0;
+    uint64_t rnd = 0x9e3779b97f4a7c15ULL;   // xorshift state
+    for (int64_t e = 0; e < m; ++e) {
+        uint64_t* L = &fl[2 * left[e]];
+        uint64_t* R = &fr[2 * right[e]];
+        uint64_t w0 = L[0] & R[0];
+        uint64_t w1 = L[1] & R[1];
+        int pc0 = __builtin_popcountll(w0);
+        int pc = pc0 + __builtin_popcountll(w1);
+        if (pc == 0) { color[e] = -1; ++fails; continue; }
+        // random free color: first-free drains low colors into disjoint
+        // free sets and stalls; a uniform pick keeps them overlapping
+        rnd ^= rnd << 13; rnd ^= rnd >> 7; rnd ^= rnd << 17;
+        int k = (int)(rnd % (uint64_t)pc);
+        int c;
+        if (k < pc0) {
+            uint64_t w = w0;
+            for (int t = 0; t < k; ++t) w &= w - 1;
+            c = __builtin_ctzll(w);
+        } else {
+            uint64_t w = w1;
+            for (int t = pc0; t < k; ++t) w &= w - 1;
+            c = 64 + __builtin_ctzll(w);
+        }
+        color[e] = c;
+        if (c < 64) { L[0] &= ~(1ULL << c); R[0] &= ~(1ULL << c); }
+        else { L[1] &= ~(1ULL << (c - 64)); R[1] &= ~(1ULL << (c - 64)); }
+    }
+    return fails;
+}
+
+// ---------------------------------------------------------------------------
+// euler_split — one Euler-orientation split of an even-regular bipartite
+// multigraph, the inner step of Benes-network routing (ops/shuffle.py).
+//
+// Input: m edges (u[i] in [0,nu), v[i] in [0,nv)); every node's degree is
+// even.  Output bit[i] = direction of edge i in an Euler circuit
+// (1 = traversed left->right).  Each node's incident edges then split
+// exactly in half between bit 0 and bit 1, so splitting a 2h-regular
+// graph log2(d) times colors its edges with d colors such that each
+// color class is a perfect matching — the route computation for the
+// mixed-radix Benes shuffle network (TPU-side: pallas lane shuffles).
+// ---------------------------------------------------------------------------
+int euler_split(int64_t m, const int64_t* u, const int64_t* v,
+                int64_t nu, int64_t nv, uint8_t* bit) {
+    const int64_t n = nu + nv;           // right nodes offset by nu
+    // CSR adjacency over both sides; each entry packs
+    // (far_node << 33) | (edge_id << 1) | is_left_endpoint so the walk
+    // touches one sequential stream per node instead of random u/v reads
+    std::vector<int64_t> deg(n + 1, 0);
+    for (int64_t i = 0; i < m; ++i) { ++deg[u[i] + 1]; ++deg[nu + v[i] + 1]; }
+    for (int64_t i = 0; i < n; ++i) deg[i + 1] += deg[i];
+    std::vector<int64_t> adj(2 * m);
+    {
+        std::vector<int64_t> pos(deg.begin(), deg.end() - 1);
+        for (int64_t i = 0; i < m; ++i) {
+            adj[pos[u[i]]++] = ((nu + v[i]) << 33) | ((int64_t)i << 1) | 1;
+            adj[pos[nu + v[i]]++] = (u[i] << 33) | ((int64_t)i << 1);
+        }
+    }
+    std::vector<int64_t> cursor(deg.begin(), deg.end() - 1);
+    std::vector<uint64_t> used((m + 63) / 64, 0);
+    // Hierholzer: walk circuits, orienting each edge in traversal
+    // direction.  Even degrees guarantee every walk returns to its start,
+    // so each node's in- and out-degrees match.
+    for (int64_t s = 0; s < n; ++s) {
+        for (;;) {
+            int64_t node = s;
+            bool moved = false;
+            for (;;) {
+                int64_t c = cursor[node], end = deg[node + 1];
+                int64_t e = -1, packed = 0;
+                while (c < end) {
+                    packed = adj[c];
+                    e = (packed >> 1) & ((1LL << 32) - 1);
+                    if (!((used[e >> 6] >> (e & 63)) & 1)) break;
+                    ++c;
+                }
+                cursor[node] = c;
+                if (c == end) break;     // circuit closed at this node
+                used[e >> 6] |= 1ULL << (e & 63);
+                bit[e] = packed & 1;     // 1 iff traversed left -> right
+                node = packed >> 33;
+                moved = true;
+            }
+            if (!moved) break;
+        }
+    }
+    return 0;
+}
+
 }  // extern "C"
