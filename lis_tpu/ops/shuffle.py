@@ -344,9 +344,17 @@ def _lane_shuffle32(x, idx):
     from jax.experimental.pallas import tpu as pltpu
     R = x.shape[0]
     TS = min(R, 512)
+    # lax.gather spelled in the exact form Mosaic lowers to
+    # tpu.dynamic_gather (int32 indices — take_along_axis would promote
+    # to int64 under jax_enable_x64 and fail Mosaic)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
+        operand_batching_dims=(0,), start_indices_batching_dims=(0,))
 
     def kernel(x_ref, i_ref, o_ref):
-        o_ref[:] = jnp.take_along_axis(x_ref[:], i_ref[:], axis=1)
+        o_ref[:] = jax.lax.gather(
+            x_ref[:], i_ref[:][..., None], dn, (1, 1),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
 
     return pl.pallas_call(
         kernel,
