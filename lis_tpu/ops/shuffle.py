@@ -356,17 +356,20 @@ def _lane_shuffle32(x, idx):
             x_ref[:], i_ref[:][..., None], dn, (1, 1),
             mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
 
-    return pl.pallas_call(
-        kernel,
-        grid=(R // TS,),
-        in_specs=[pl.BlockSpec((TS, 128), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((TS, 128), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((TS, 128), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-    )(x, idx)
+    # under jax_enable_x64 the grid/index arithmetic traces as i64,
+    # which Mosaic refuses; every operand here is 32-bit by now
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kernel,
+            grid=(R // TS,),
+            in_specs=[pl.BlockSpec((TS, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((TS, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((TS, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        )(x, idx)
 
 
 def _lane_shuffle(x, idx):

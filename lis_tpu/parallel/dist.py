@@ -172,12 +172,23 @@ class DistTableCSRMatrix(SparseMatrix):
     proportional to boundary nnz, not gn.  Column indices are renumbered
     g2l (ghosts occupy [nlocal, nlocal+G), mirroring lis_matrix_g2l_csr
     :222); the transpose apply routes ghost partials back through the
-    reversed permutes and adds into the owners (lis_reduce :959)."""
-    value: jax.Array          # (p·mnnz,) zero-padded
-    lidx: jax.Array           # (p·mnnz,) int32 LOCAL col ids (g2l)
-    row_ids: jax.Array        # (p·mnnz,) int32 local row ids (sorted)
-    ghost_gids: jax.Array     # (p·G,) int32 global id per ghost slot
-    exports: tuple            # per distance: (p·Ed,) int32 local x ids
+    reversed permutes and adds into the owners (lis_reduce :959).
+
+    Entries are SPLIT at distribute time into interior (all columns
+    owned) and boundary (ghost columns) segments so the interior product
+    has no data dependency on the exchanges: the matvec issues every
+    per-distance ppermute first, computes the interior product while the
+    async collective-permutes fly, and only then touches the ghost tail
+    — the reference's USE_OVERLAP (src/matvec/lis_matvec.c:119-124)
+    carried to the comm-table plan."""
+    value: jax.Array          # (p*mi,) interior values, zero-padded
+    lidx: jax.Array           # (p*mi,) int32 local col ids (< nlocal)
+    row_ids: jax.Array        # (p*mi,) int32 local row ids (sorted)
+    value_b: jax.Array        # (p*mb,) boundary values, zero-padded
+    lidx_b: jax.Array         # (p*mb,) int32 ghost-tail ids (< G)
+    row_ids_b: jax.Array      # (p*mb,) int32 local row ids (sorted)
+    ghost_gids: jax.Array     # (p*G,) int32 global id per ghost slot
+    exports: tuple            # per distance: (p*Ed,) int32 local x ids
     nlocal: int               # static
     gn: int                   # static
     gn_pad: int               # static
@@ -189,45 +200,64 @@ class DistTableCSRMatrix(SparseMatrix):
     halo = "table"
 
     # ---- local (inside-shard_map) compute -------------------------------
-    def _exchange(self, x_local):
-        """Ghost tail via per-distance export pack + ppermute (the
-        lis_send_recv analogue; receives concatenate in plan order)."""
+    def _start_exchange(self, x_local):
+        """Per-distance export pack + ppermute (the lis_send_recv
+        analogue); returns the ghost slabs WITHOUT concatenating so the
+        caller can compute before consuming them."""
         p = self.nprocs
         ghosts = []
         for d, eidx in zip(self.dists, self.exports):
             packed = jnp.take(x_local, eidx, axis=0, mode="clip")
             perm = [(i, (i - d) % p) for i in range(p)]
             ghosts.append(jax.lax.ppermute(packed, AXIS, perm))
+        return ghosts
+
+    def _exchange(self, x_local):
+        """Full ghost-extended vector (halo-mode parity tests)."""
+        ghosts = self._start_exchange(x_local)
         if not ghosts:
             return x_local
         return jnp.concatenate([x_local] + ghosts)
 
     def matvec(self, x_local):
-        xe = self._exchange(x_local)
-        prod = self.value * jnp.take(xe, self.lidx, axis=0, mode="clip")
-        return jax.ops.segment_sum(prod, self.row_ids,
-                                   num_segments=self.nlocal,
-                                   indices_are_sorted=True)
+        # comm first, interior compute while it flies (USE_OVERLAP)
+        ghosts = self._start_exchange(x_local)
+        prod = self.value * jnp.take(x_local, self.lidx, axis=0,
+                                     mode="clip")
+        y = jax.ops.segment_sum(prod, self.row_ids,
+                                num_segments=self.nlocal,
+                                indices_are_sorted=True)
+        if ghosts:
+            gh = jnp.concatenate(ghosts)
+            prod_b = self.value_b * jnp.take(gh, self.lidx_b, axis=0,
+                                             mode="clip")
+            y = y + jax.ops.segment_sum(prod_b, self.row_ids_b,
+                                        num_segments=self.nlocal,
+                                        indices_are_sorted=True)
+        return y
 
     def matvech(self, x_local):
-        v = jnp.conj(self.value) if jnp.iscomplexobj(self.value) \
-            else self.value
-        prod = v * jnp.take(x_local, self.row_ids, axis=0)
-        contrib = jnp.zeros(self.nlocal + self.G, dtype=prod.dtype)
-        contrib = contrib.at[self.lidx].add(prod)
-        y = contrib[: self.nlocal]
+        conj = (jnp.conj if jnp.iscomplexobj(self.value) else
+                (lambda a: a))
+        prod = conj(self.value) * jnp.take(x_local, self.row_ids, axis=0)
+        y = jnp.zeros(self.nlocal + 1, dtype=prod.dtype)
+        y = y.at[jnp.minimum(self.lidx, self.nlocal)].add(prod)
+        if not self.dists:
+            return y[: self.nlocal]
+        prod_b = conj(self.value_b) * jnp.take(x_local, self.row_ids_b,
+                                               axis=0)
+        tail = jnp.zeros(self.G, dtype=prod_b.dtype)
+        tail = tail.at[self.lidx_b].add(prod_b)
         p = self.nprocs
-        off = self.nlocal
+        off = 0
         # lis_reduce: route ghost partials back to their owners and add
-        ye = jnp.concatenate([y, jnp.zeros(1, dtype=y.dtype)])
         for d, Ed, eidx in zip(self.dists, self.exp_lens, self.exports):
-            part = jax.lax.dynamic_slice(contrib, (off,), (Ed,)) \
-                if Ed else contrib[:0]
+            part = jax.lax.dynamic_slice(tail, (off,), (Ed,))
             off += Ed
             perm = [(i, (i + d) % p) for i in range(p)]
             back = jax.lax.ppermute(part, AXIS, perm)
-            ye = ye.at[jnp.minimum(eidx, self.nlocal)].add(back)
-        return ye[: self.nlocal]
+            y = y.at[jnp.minimum(eidx, self.nlocal)].add(back)
+        return y[: self.nlocal]
 
     @property
     def nrows(self):
@@ -253,7 +283,8 @@ class DistTableCSRMatrix(SparseMatrix):
 
 jax.tree_util.register_pytree_node(
     DistTableCSRMatrix,
-    lambda m: ((m.value, m.lidx, m.row_ids, m.ghost_gids, m.exports),
+    lambda m: ((m.value, m.lidx, m.row_ids, m.value_b, m.lidx_b,
+                m.row_ids_b, m.ghost_gids, m.exports),
                (m.nlocal, m.gn, m.gn_pad, m.nprocs, m.dists, m.exp_lens,
                 m.G)),
     lambda aux, c: DistTableCSRMatrix(*c, *aux))
@@ -332,25 +363,37 @@ def distribute_csr_table(A, mesh: Mesh,
                 b = ghost_base[k][d] - nlocal
                 ghost_gids[k, b: b + len(gids)] = gids
 
-    counts = np.bincount(shard_of, minlength=p)
-    mnnz = max(int(counts.max()) if p else 1, 1)
-    val = np.zeros((p, mnnz), dtype=value.dtype)
-    li = np.zeros((p, mnnz), dtype=np.int32)
-    rid = np.full((p, mnnz), nlocal - 1, dtype=np.int32)
-    order = np.argsort(shard_of, kind="stable")
-    pos = np.concatenate([[0], np.cumsum(counts)])
+    # interior/boundary split: the matvec computes the interior product
+    # while the halo ppermutes fly (USE_OVERLAP); boundary entries index
+    # the ghost tail directly
     lrow = rows - shard_of * nlocal
+    is_int = lidx_np < nlocal
+    cnt_i = np.bincount(shard_of[is_int], minlength=p)
+    cnt_b = np.bincount(shard_of[~is_int], minlength=p)
+    mi = max(int(cnt_i.max()) if p else 1, 1)
+    mb = max(int(cnt_b.max()) if p else 1, 1)
+    val = np.zeros((p, mi), dtype=value.dtype)
+    li = np.zeros((p, mi), dtype=np.int32)
+    rid = np.full((p, mi), nlocal - 1, dtype=np.int32)
+    val_b = np.zeros((p, mb), dtype=value.dtype)
+    li_b = np.zeros((p, mb), dtype=np.int32)
+    rid_b = np.full((p, mb), nlocal - 1, dtype=np.int32)
     for k in range(p):
-        sel = order[pos[k]:pos[k + 1]]
-        cnt = len(sel)
-        val[k, :cnt] = value[sel]
-        li[k, :cnt] = lidx_np[sel]
-        rid[k, :cnt] = lrow[sel]
+        for seg, (v_a, l_a, r_a, off) in (
+                (np.nonzero((shard_of == k) & is_int)[0],
+                 (val, li, rid, 0)),
+                (np.nonzero((shard_of == k) & ~is_int)[0],
+                 (val_b, li_b, rid_b, nlocal))):
+            cnt = len(seg)
+            v_a[k, :cnt] = value[seg]
+            l_a[k, :cnt] = lidx_np[seg] - off
+            r_a[k, :cnt] = lrow[seg]
 
     sh = NamedSharding(mesh, P(AXIS))
     put = lambda a: jax.device_put(jnp.asarray(a.reshape(-1)), sh)
     return DistTableCSRMatrix(
         value=put(val), lidx=put(li), row_ids=put(rid),
+        value_b=put(val_b), lidx_b=put(li_b), row_ids_b=put(rid_b),
         ghost_gids=put(ghost_gids),
         exports=tuple(put(e) for e in exports),
         nlocal=nlocal, gn=gn, gn_pad=gn_pad, nprocs=p,
@@ -474,21 +517,25 @@ def undistribute_csr(A):
                       nnz=nnz, offsets=A.offsets)
         return convert_matrix(D, "csr")
     if isinstance(A, DistTableCSRMatrix):
-        # rebuild global columns from the g2l renumbering + ghost ids
+        # rebuild global columns from the g2l renumbering + ghost ids;
+        # interior and boundary segments are stored split (USE_OVERLAP)
         val = host(A.value)
         li = host(A.lidx).astype(np.int64)
         rid = host(A.row_ids).astype(np.int64)
-        gg = host(A.ghost_gids).reshape(A.nprocs, A.G) if A.G else None
         shard = np.repeat(np.arange(A.nprocs), len(val) // A.nprocs)
         grow = shard * A.nlocal + rid
-        if gg is not None:
-            ghost = li >= A.nlocal
-            gcol = np.where(
-                ghost,
-                gg[shard, np.clip(li - A.nlocal, 0, A.G - 1)],
-                li + shard * A.nlocal)
-        else:
-            gcol = li + shard * A.nlocal
+        gcol = li + shard * A.nlocal
+        if A.G:
+            gg = host(A.ghost_gids).reshape(A.nprocs, A.G)
+            val_b = host(A.value_b)
+            li_b = host(A.lidx_b).astype(np.int64)
+            rid_b = host(A.row_ids_b).astype(np.int64)
+            shard_b = np.repeat(np.arange(A.nprocs),
+                                len(val_b) // A.nprocs)
+            val = np.concatenate([val, val_b])
+            grow = np.concatenate([grow, shard_b * A.nlocal + rid_b])
+            gcol = np.concatenate(
+                [gcol, gg[shard_b, np.clip(li_b, 0, A.G - 1)]])
         keep = (val != 0) & (grow < A.gn) & (gcol < A.gn)
         coo = sp.coo_matrix((val[keep], (grow[keep], gcol[keep])),
                             shape=(A.gn, A.gn)).tocsr()

@@ -43,6 +43,9 @@ class SolverSpec(NamedTuple):
     # static history capacity when tol/maxiter are passed as DYNAMIC
     # operands (driver compile-cache path): 0 = use maxiter (static)
     rh_cap: int = 0
+    # -print out/all: emit each iteration's residual from inside the
+    # compiled loop (reference lis_solver_cg.c:217-221 prints live)
+    live_print: bool = False
 
 
 class SolverOutput(NamedTuple):
@@ -150,7 +153,24 @@ def krylov_loop(spec: SolverSpec, tol_eff, state0: dict, step):
         return ((s["it"] <= spec.maxiter) & (s["nrm"] > tol_eff)
                 & (s["flag"] == RUNNING))
 
+    if spec.live_print:
+        # the reference prints each iteration's relative residual as it
+        # happens (lis_print_rhistory, lis_solver_cg.c:217-221); inside
+        # jit that is a host callback, ordered to keep lines in sequence
+        inner_step = step
+
+        def step(s):
+            s = inner_step(s)
+            jax.debug.callback(_live_rhistory, s["it"] - 1, s["nrm"],
+                               ordered=True)
+            return s
+
     return jax.lax.while_loop(cond, step, state0)
+
+
+def _live_rhistory(it, nrm):
+    print(f"iteration: {int(it):5d}  relative residual = {float(nrm):e}",
+          flush=True)
 
 
 def loop_output(spec: SolverSpec, tol_eff, final: dict) -> SolverOutput:

@@ -195,7 +195,8 @@ def _make_spec(opts: SolverOptions, axis_name=None) -> SolverSpec:
                       maxiter=opts.maxiter, conv_cond=opts.conv_cond,
                       restart=opts.restart, ell=opts.ell, m=opts.m,
                       omega=opts.omega, irestart=opts.irestart,
-                      axis_name=axis_name)
+                      axis_name=axis_name,
+                      live_print=bool(opts.print_ & 2) and axis_name is None)
 
 
 def _effective_scale(opts) -> int:
@@ -497,17 +498,20 @@ def solve(A: SparseMatrix, b, x0=None, options=None, M=None,
                          itime=itime, ptime=ptime, options=opts)
 
     if opts.print_ & 2:
-        _print_banner(result, n)
+        _print_banner(result, n, live=bool(opts.print_ & 2))
     return result
 
 
-def _print_banner(res: SolveResult, n: int, file=sys.stdout):
+def _print_banner(res: SolveResult, n: int, file=sys.stdout,
+                  live=False):
     """Rank-0 style report (reference banner, lis_solver.c:760-825)."""
     o = res.options
     print(f"linear solver         : {o.solver.upper()}", file=file)
     print(f"preconditioner        : {o.precon}", file=file)
     print(f"matrix size           : {n}", file=file)
-    for it, r in enumerate(res.rhistory):
-        print(f"iteration: {it:5d}  relative residual = {r:e}", file=file)
+    if not live:
+        for it, r in enumerate(res.rhistory):
+            print(f"iteration: {it:5d}  relative residual = {r:e}",
+                  file=file)
     print(f"number of iterations  : {res.iters}", file=file)
     print(f"relative residual     : {res.resid:e}", file=file)

@@ -26,6 +26,18 @@ import numpy as np
 import pytest
 
 
+# whole modules whose tests are dominated by 8-device shard_map compiles
+# or large problems — the `-m "not slow"` smoke tier skips them (the
+# reference's `make check` equivalent; full suite nightly)
+_SLOW_MODULES = {"test_dist", "test_quad", "test_all_solvers"}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__.rsplit(".", 1)[-1] in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(12345)

@@ -181,3 +181,22 @@ def test_tol_maxiter_change_does_not_recompile():
         r = lis_tpu.solve(a, b, options=f"-i bicgstab {opt}")
         assert r.status == lis_tpu.LIS_SUCCESS
     assert _execute_dyn._cache_size() == n0
+
+
+def test_live_print_out(capfd):
+    """-print out emits each iteration's residual DURING the solve via a
+    host callback (reference lis_print_rhistory, lis_solver_cg.c:217-221),
+    and the final banner does not replay the history."""
+    import jax
+    r = lis_tpu.solve(tridiag(40), np.ones(40),
+                      options="-i cg -tol 1e-10 -print out")
+    jax.effects_barrier()          # host callbacks drain asynchronously
+    import sys
+    sys.stdout.flush()
+    out = capfd.readouterr().out
+    lines = [ln for ln in out.splitlines() if ln.startswith("iteration:")]
+    # live per-iteration lines, each exactly once (the banner must NOT
+    # replay the history when live printing is on)
+    assert len(lines) >= max(r.iters - 1, 1), out[-500:]
+    assert len(lines) == len(set(lines))
+    assert "relative residual" in lines[0]
