@@ -53,8 +53,10 @@ def main():
     bnnz = nnz // (bs * bs)
     bytes_equiv = nnz * 4 + bnnz * 4 + 2 * n * 4
 
-    t_slab = timed_apply(Ab.matvec, x, iters_a=5, iters_b=55)
-    t_gath = timed_apply(Ag.matvec, x, iters_a=2, iters_b=12)
+    t_slab = timed_apply(lambda A, v: A.matvec(v), x, iters_a=5,
+                         iters_b=55, data=Ab)
+    t_gath = timed_apply(lambda A, v: A.matvec(v), x, iters_a=2,
+                         iters_b=12, data=Ag)
 
     print(json.dumps({
         "metric": "bsr_slab_spmv",

@@ -15,6 +15,7 @@ from lis_tpu.matrix.base import SparseMatrix, get_format
 from lis_tpu.matrix import hybrid as _hybrid    # noqa: F401 (registers 'hdi')
 from lis_tpu.matrix import bes as _bes          # noqa: F401 (registers 'bes')
 from lis_tpu.matrix import css as _css          # noqa: F401 (registers 'css')
+from lis_tpu.matrix import cst as _cst          # noqa: F401 (registers 'cst')
 
 
 def convert_matrix(matrix: SparseMatrix, target: str, **kw) -> SparseMatrix:

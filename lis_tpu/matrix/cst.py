@@ -56,11 +56,23 @@ def _cumcount(keys: np.ndarray) -> np.ndarray:
     return idx - np.maximum.accumulate(np.where(first, idx, 0))
 
 
+def _spread(rank, group, size):
+    """Per-group affine bijection rank -> slot on [0, size) (pow2):
+    slot = (a_g * rank + c_g) mod size with a_g odd."""
+    g = group.astype(np.uint64)
+    h = (g * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(17)
+    a = (h | np.uint64(1)) & np.uint64(size - 1)
+    c = (g * np.uint64(0xC2B2AE3D27D4EB4F)) >> np.uint64(31)
+    return ((a * rank.astype(np.uint64) + c)
+            & np.uint64(size - 1)).astype(np.int64)
+
+
 @matrix_format("cst")
 class CSTMatrix(SparseMatrix):
     val: jax.Array            # (M/128, 128) entry values in src order
     lidx: jax.Array           # (M/128, 128) int32 col-within-chunk
     rowf: jax.Array           # (M,) int32 destination row (nrows padding)
+    dmask: jax.Array          # (M,) uint8: 1 where a real entry lands
     plan: ShufflePlan         # post-transpose slot -> ELL slot
     diag: jax.Array           # (nrows,) diagonal (build-time)
     rem: object               # CSRMatrix remainder or None
@@ -106,7 +118,14 @@ class CSTMatrix(SparseMatrix):
 
     @classmethod
     def from_csr_arrays(cls, ptr, index, value, shape,
-                        transpose: bool = True, load: float = 0.72):
+                        transpose: bool = True, load: float = 0.72,
+                        Kp: int | None = None, n_pad: int | None = None,
+                        return_spill: bool = False):
+        """``Kp``/``n_pad`` override the derived grid parameters (the
+        distributed builder forces identical statics across shards);
+        ``return_spill=True`` returns (matrix-with-rem=None,
+        (rows, cols, vals)) so the caller can lay the overflow out its
+        own way (DistCSTMatrix pads it per shard)."""
         import scipy.sparse as sp
         from lis_tpu.matrix.csr import CSRMatrix
         ptr = np.asarray(ptr).astype(np.int64)
@@ -116,8 +135,8 @@ class CSTMatrix(SparseMatrix):
         nnz = len(value)
         rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(ptr))
 
-        n_pad = _next_pow2(max(n, m, 128 * 128))
-        Kp = cls._pick_kp(nnz / max(n, 1), load)
+        n_pad = n_pad or _next_pow2(max(n, m, 128 * 128))
+        Kp = Kp or cls._pick_kp(nnz / max(n, 1), load)
         M = n_pad * Kp
         L = min(M, 1 << 21) if M >= (1 << 21) else (1 << 14)
         RB = L // Kp                  # rows per block
@@ -139,6 +158,12 @@ class CSTMatrix(SparseMatrix):
         kslot[np.flatnonzero(keep)[keep2]] = kk[keep2]
         kept = keep.copy()
         kept[np.flatnonzero(keep)[~keep2]] = False
+        # spread ranks pseudo-uniformly over the slot range (per-group
+        # affine bijection, odd multiplier mod pow2): packed low slots
+        # would cluster occupancy and starve the randomized Benes
+        # routing of the slack it relies on (ops/shuffle.py greedy)
+        sl = _spread(sl, bucket, beta)
+        kslot = np.where(kslot < Kp, _spread(kslot, rows, Kp), Kp)
 
         r_, c_, v_ = rows[kept], index[kept], value[kept]
         cbk, rbk, slk = cb[kept], rb[kept], sl[kept]
@@ -147,8 +172,12 @@ class CSTMatrix(SparseMatrix):
         dst = r_ * Kp + kslot[kept]
         perm = np.full(M, -1, dtype=np.int64)
         perm[pos_t] = dst
+        # holes ride as identity lanes (cheap plans); the dst mask below
+        # zeroes them before the row reduction
         plan = plan_shuffle(perm, digits=block_digits(M, L),
-                            exact_holes=True, validate=False)
+                            validate=False)
+        dmask = np.zeros(M, dtype=np.uint8)
+        dmask[dst] = 1
 
         val = np.zeros(M, dtype=value.dtype)
         val[src] = v_
@@ -158,7 +187,11 @@ class CSTMatrix(SparseMatrix):
         rf[src] = r_.astype(np.int32)
 
         rem = None
-        if (~kept).any():
+        spill = None
+        if return_spill:
+            so = np.flatnonzero(~kept)
+            spill = (rows[so], index[so], value[so])
+        elif (~kept).any():
             so = np.flatnonzero(~kept)
             rm = sp.coo_matrix((value[so], (rows[so], index[so])),
                                shape=shape).tocsr()
@@ -176,13 +209,15 @@ class CSTMatrix(SparseMatrix):
             a.sort_indices()
             at = cls.from_csr_arrays(a.indptr, a.indices, a.data, (m, n),
                                      transpose=False, load=load)
-        return cls(val=jnp.asarray(val.reshape(-1, 128)),
-                   lidx=jnp.asarray(li.reshape(-1, 128)),
-                   rowf=jnp.asarray(rf), plan=plan,
-                   diag=jnp.asarray(d), rem=rem, at=at,
-                   nrows=int(n), ncols=int(m), nnz=int(nnz),
-                   n_pad=int(n_pad), Kp=int(Kp), beta=int(beta),
-                   RBc=int(RBc))
+        out = cls(val=jnp.asarray(val.reshape(-1, 128)),
+                  lidx=jnp.asarray(li.reshape(-1, 128)),
+                  rowf=jnp.asarray(rf), dmask=jnp.asarray(dmask),
+                  plan=plan,
+                  diag=jnp.asarray(d), rem=rem, at=at,
+                  nrows=int(n), ncols=int(m), nnz=int(nnz),
+                  n_pad=int(n_pad), Kp=int(Kp), beta=int(beta),
+                  RBc=int(RBc))
+        return (out, spill) if return_spill else out
 
     # ------------------------------------------------------------------
     @property
@@ -205,7 +240,7 @@ class CSTMatrix(SparseMatrix):
         CB = self.n_pad // 128
         t = contrib.reshape(CB, self.RBc, self.beta)
         t = jnp.swapaxes(t, 0, 1).reshape(-1)
-        r = self.plan.apply(t)
+        r = self.plan.apply(t) * self.dmask
         y = r.reshape(self.n_pad, self.Kp).sum(axis=1)[: self.nrows]
         if self.rem is not None:
             y = y + self.rem.matvec(x)

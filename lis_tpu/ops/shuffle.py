@@ -279,7 +279,7 @@ def _pass_idx(pos_before, pos_after, d, s, M, exact_holes=False):
 
 
 def _route(src: np.ndarray, dst: np.ndarray, M: int, digits=None,
-           exact_holes=False):
+           exact_holes=False, skip_identity=True):
     """Benes routing: list of (d, s, idx) passes moving the element at
     slot src[i] to slot dst[i] (injective; free slots hole-filled).
     Levels whose digit is already final for every element (e.g. the
@@ -298,7 +298,8 @@ def _route(src: np.ndarray, dst: np.ndarray, M: int, digits=None,
     for j in range(k - 1):
         d, s = digits[j], int(strides[j])
         ls, ld = s.bit_length() - 1, d.bit_length() - 1
-        if np.array_equal((cur >> ls) & (d - 1), (dst >> ls) & (d - 1)):
+        if skip_identity and np.array_equal((cur >> ls) & (d - 1),
+                                            (dst >> ls) & (d - 1)):
             # digit already final for every element: color = own value,
             # both this pass and its mirror are identities
             continue
@@ -314,7 +315,7 @@ def _route(src: np.ndarray, dst: np.ndarray, M: int, digits=None,
     d = digits[-1]
     ld = d.bit_length() - 1
     nxt = ((cur >> ld) << ld) + (dst & (d - 1))
-    if not np.array_equal(nxt, cur):
+    if not (skip_identity and np.array_equal(nxt, cur)):
         passes.append((d, 1, _pass_idx(cur, nxt, d, 1, M, exact_holes)))
     cur = nxt
     # mirrored half: colored digits from color to final, innermost first
@@ -323,7 +324,7 @@ def _route(src: np.ndarray, dst: np.ndarray, M: int, digits=None,
         ls, ld = s.bit_length() - 1, d.bit_length() - 1
         nxt = (((cur >> (ld + ls)) << ld) + ((dst >> ls) & (d - 1))) * s \
             + (cur & (s - 1))
-        if not np.array_equal(nxt, cur):
+        if not (skip_identity and np.array_equal(nxt, cur)):
             passes.append((d, s, _pass_idx(cur, nxt, d, s, M, exact_holes)))
         cur = nxt
     assert (cur == dst).all(), "Benes routing failed to realise the perm"
@@ -428,7 +429,8 @@ def apply_host(passes, v, M):
 
 def plan_shuffle(perm: np.ndarray, M: int | None = None,
                  validate: bool = True, digits=None,
-                 exact_holes: bool = False) -> ShufflePlan:
+                 exact_holes: bool = False,
+                 skip_identity: bool = True) -> ShufflePlan:
     """Compile a permutation into a ShufflePlan.
 
     ``perm`` maps src slot -> dst slot; -1 entries are free (unfilled src
@@ -453,7 +455,7 @@ def plan_shuffle(perm: np.ndarray, M: int | None = None,
         return ShufflePlan(idxs=(), meta=(), M=M,
                            small=jnp.asarray(inv.astype(np.int32)))
     passes = _route(src, dst, M, digits=digits,
-                    exact_holes=exact_holes)
+                    exact_holes=exact_holes, skip_identity=skip_identity)
     if validate:
         got = apply_host(passes, np.arange(M, dtype=np.int64), M)
         if not np.array_equal(got[dst], src):

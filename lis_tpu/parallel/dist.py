@@ -290,21 +290,13 @@ jax.tree_util.register_pytree_node(
     lambda aux, c: DistTableCSRMatrix(*c, *aux))
 
 
-def distribute_csr_table(A, mesh: Mesh,
-                         nlocal: int | None = None) -> DistTableCSRMatrix:
-    """Build the comm-table sharded layout (the assemble step: g2l
-    renumbering + export/import plan, host-side — the trace-time
-    lis_commtable_create)."""
-    ptr, index, value = A.to_csr_arrays()
-    gn = A.nrows
-    p = mesh.shape[AXIS]
-    if nlocal is None:
-        nlocal = -(-gn // p)
-    gn_pad = p * nlocal
-
+def _table_plan(ptr, index, gn, p, nlocal):
+    """Comm-table plan + g2l renumbering (lis_commtable_create analogue,
+    host-side): returns (rows, shard_of, lidx_np, exports, dists,
+    exp_lens, ghost_gids, G) — shared by the table-CSR and CST sharded
+    layouts."""
     ptr = np.asarray(ptr)
     index = np.asarray(index).astype(np.int64)
-    value = np.asarray(value)
     rows = np.repeat(np.arange(gn, dtype=np.int64), np.diff(ptr))
     shard_of = rows // nlocal
     owner = np.minimum(index // nlocal, p - 1)
@@ -362,6 +354,24 @@ def distribute_csr_table(A, mesh: Mesh,
             if gids is not None:
                 b = ghost_base[k][d] - nlocal
                 ghost_gids[k, b: b + len(gids)] = gids
+    return (rows, shard_of, lidx_np, exports, dists, exp_lens,
+            ghost_gids, G)
+
+
+def distribute_csr_table(A, mesh: Mesh,
+                         nlocal: int | None = None) -> DistTableCSRMatrix:
+    """Build the comm-table sharded layout (the assemble step: g2l
+    renumbering + export/import plan, host-side — the trace-time
+    lis_commtable_create)."""
+    ptr, index, value = A.to_csr_arrays()
+    gn = A.nrows
+    p = mesh.shape[AXIS]
+    if nlocal is None:
+        nlocal = -(-gn // p)
+    gn_pad = p * nlocal
+    value = np.asarray(value)
+    (rows, shard_of, lidx_np, exports, dists, exp_lens, ghost_gids,
+     G) = _table_plan(ptr, index, gn, p, nlocal)
 
     # interior/boundary split: the matvec computes the interior product
     # while the halo ppermutes fly (USE_OVERLAP); boundary entries index
@@ -399,6 +409,217 @@ def distribute_csr_table(A, mesh: Mesh,
         nlocal=nlocal, gn=gn, gn_pad=gn_pad, nprocs=p,
         dists=tuple(int(d) for d in dists),
         exp_lens=tuple(int(e) for e in exp_lens), G=G)
+
+
+@dataclasses.dataclass(frozen=True)
+class DistCSTMatrix(SparseMatrix):
+    """Block-row sharded LOCALITY-FREE matrix: the comm-table halo plan
+    (export/import ppermutes, boundary-proportional traffic) married to
+    the per-shard CST compute kernel (matrix/cst.py) — each shard's local
+    block runs the gather- and scatter-free lane-shuffle SpMV over its
+    ghost-extended vector instead of the ~0.14 G elem/s jnp.take path.
+    The reference analogue is lis_matvec_csr under MPI
+    (src/matvec/lis_matvec_csr.c:53 per rank + lis_send_recv halo).
+
+    All CST static parameters (n_pad, Kp, Benes pass list) are forced
+    identical across shards so the per-shard pytrees stack into sharded
+    leaves and run unchanged inside shard_map.  Per-shard bucket/row
+    overflow spills to a padded gather-path remainder."""
+    cst: object               # CSTMatrix; leaves carry a leading p dim
+    at_cst: object            # CSTMatrix of the local block transpose
+    rem_val: jax.Array        # (p*mrem,) spill values (zero-padded)
+    rem_lidx: jax.Array       # (p*mrem,) int32 ghost-extended col ids
+    rem_rows: jax.Array       # (p*mrem,) int32 local row ids (sorted)
+    art_val: jax.Array        # (p*mrem2,) transpose-block spill values
+    art_lidx: jax.Array       # (p*mrem2,) int32 col ids (< nlocal)
+    art_rows: jax.Array       # (p*mrem2,) int32 ghost-extended row ids
+    ghost_gids: jax.Array     # (p*G,) int32 global id per ghost slot
+    exports: tuple            # per distance: (p*Ed,) int32 local x ids
+    nlocal: int               # static
+    gn: int
+    gn_pad: int
+    nprocs: int
+    dists: tuple = ()
+    exp_lens: tuple = ()
+    G: int = 0
+    mrem: int = 0
+    mrem2: int = 0
+
+    halo = "table"
+
+    # ---- local (inside-shard_map) compute -------------------------------
+    def _exchange(self, x_local):
+        p = self.nprocs
+        ghosts = []
+        for d, eidx in zip(self.dists, self.exports):
+            packed = jnp.take(x_local, eidx, axis=0, mode="clip")
+            perm = [(i, (i - d) % p) for i in range(p)]
+            ghosts.append(jax.lax.ppermute(packed, AXIS, perm))
+        if not ghosts:
+            return x_local
+        return jnp.concatenate([x_local] + ghosts)
+
+    def matvec(self, x_local):
+        xe = self._exchange(x_local)
+        y = self.cst.matvec(xe)
+        if self.mrem:
+            prod = self.rem_val * jnp.take(xe, self.rem_lidx, axis=0,
+                                           mode="clip")
+            y = y + jax.ops.segment_sum(prod, self.rem_rows,
+                                        num_segments=self.nlocal,
+                                        indices_are_sorted=True)
+        return y
+
+    def matvech(self, x_local):
+        conj = (jnp.conj if jnp.iscomplexobj(self.cst.val) else
+                (lambda a: a))
+        xin = jnp.conj(x_local) if jnp.iscomplexobj(self.cst.val) \
+            else x_local
+        z = self.at_cst.matvec(xin)          # (nlocal + G,) partials
+        z = conj(z)
+        if self.mrem2:
+            prod = conj(self.art_val) * jnp.take(
+                x_local, jnp.minimum(self.art_lidx, self.nlocal - 1),
+                axis=0)
+            z = z.at[jnp.minimum(self.art_rows, self.nlocal + self.G - 1)
+                     ].add(prod)
+        y = jnp.concatenate([z[: self.nlocal], jnp.zeros(1, z.dtype)])
+        p = self.nprocs
+        off = self.nlocal
+        # lis_reduce: route ghost partials back to their owners and add
+        for d, Ed, eidx in zip(self.dists, self.exp_lens, self.exports):
+            part = jax.lax.dynamic_slice(z, (off,), (Ed,))
+            off += Ed
+            perm = [(i, (i + d) % p) for i in range(p)]
+            back = jax.lax.ppermute(part, AXIS, perm)
+            y = y.at[jnp.minimum(eidx, self.nlocal)].add(back)
+        return y[: self.nlocal]
+
+    @property
+    def nrows(self):
+        return self.gn
+
+    @property
+    def ncols(self):
+        return self.gn
+
+    @property
+    def comm_elems(self) -> int:
+        return int(sum(self.exp_lens))
+
+    def get_diagonal(self):
+        d = self.cst.diag[: self.nlocal]
+        if self.mrem:
+            isdiag = self.rem_lidx == self.rem_rows
+            d = d + jax.ops.segment_sum(
+                jnp.where(isdiag, self.rem_val, 0), self.rem_rows,
+                num_segments=self.nlocal, indices_are_sorted=True)
+        return d
+
+
+jax.tree_util.register_pytree_node(
+    DistCSTMatrix,
+    lambda m: ((m.cst, m.at_cst, m.rem_val, m.rem_lidx, m.rem_rows,
+                m.art_val, m.art_lidx, m.art_rows, m.ghost_gids,
+                m.exports),
+               (m.nlocal, m.gn, m.gn_pad, m.nprocs, m.dists, m.exp_lens,
+                m.G, m.mrem, m.mrem2)),
+    lambda aux, c: DistCSTMatrix(*c, *aux))
+
+
+def distribute_csr_cst(A, mesh: Mesh,
+                       nlocal: int | None = None) -> DistCSTMatrix:
+    """Comm-table halo + per-shard CST compute (see DistCSTMatrix)."""
+    import scipy.sparse as sp
+    from lis_tpu.matrix.cst import CSTMatrix, _next_pow2
+    ptr, index, value = A.to_csr_arrays()
+    gn = A.nrows
+    p = mesh.shape[AXIS]
+    if nlocal is None:
+        nlocal = -(-gn // p)
+    gn_pad = p * nlocal
+    value = np.asarray(value)
+    (rows, shard_of, lidx_np, exports, dists, exp_lens, ghost_gids,
+     G) = _table_plan(ptr, index, gn, p, nlocal)
+    lrow = rows - shard_of * nlocal
+    ncols_loc = nlocal + G
+    n_pad = _next_pow2(max(nlocal, ncols_loc, 128 * 128))
+    Kp = CSTMatrix._pick_kp(len(value) / max(gn, 1))
+
+    csts, ats, spills, spills_at = [], [], [], []
+    for k in range(p):
+        sel = np.nonzero(shard_of == k)[0]          # row-major order
+        lp = np.zeros(nlocal + 1, dtype=np.int64)
+        np.add.at(lp, lrow[sel] + 1, 1)
+        lp = np.cumsum(lp)
+        blk, sp_k = CSTMatrix.from_csr_arrays(
+            lp, lidx_np[sel], value[sel], (nlocal, ncols_loc),
+            transpose=False, Kp=Kp, n_pad=n_pad, return_spill=True)
+        csts.append(blk)
+        spills.append(sp_k)
+        at_sp = sp.coo_matrix(
+            (value[sel], (lidx_np[sel], lrow[sel])),
+            shape=(ncols_loc, nlocal)).tocsr()
+        at_sp.sort_indices()
+        atk, sp2 = CSTMatrix.from_csr_arrays(
+            at_sp.indptr, at_sp.indices, at_sp.data, (ncols_loc, nlocal),
+            transpose=False, Kp=Kp, n_pad=n_pad, return_spill=True)
+        ats.append(atk)
+        spills_at.append(sp2)
+
+    metas = {tuple(c.plan.meta) for c in csts} \
+        | {tuple(c.plan.meta) for c in ats}
+    if len(metas) != 1:
+        raise RuntimeError(
+            "per-shard Benes plans disagree in pass structure — "
+            "degenerate shard layout; use halo='table' instead")
+    # statics must match exactly for the leaves to stack: nnz is
+    # metadata-only, normalize it to the per-shard maximum
+    nz = max(c.nnz for c in csts)
+    csts = [dataclasses.replace(c, nnz=nz) for c in csts]
+    nz = max(c.nnz for c in ats)
+    ats = [dataclasses.replace(c, nnz=nz) for c in ats]
+
+    sh = NamedSharding(mesh, P(AXIS))
+
+    def stack(*leaves):
+        a = np.stack([np.asarray(x) for x in leaves])
+        return jax.device_put(jnp.asarray(a.reshape((-1,) + a.shape[2:])),
+                              sh)
+
+    cst_s = jax.tree.map(stack, *csts)
+    at_s = jax.tree.map(stack, *ats)
+
+    def pad_spill(sps, n_rows_dim):
+        mr = max(max((len(s[0]) for s in sps), default=0), 1)
+        v = np.zeros((p, mr), dtype=value.dtype)
+        li = np.zeros((p, mr), dtype=np.int32)
+        ri = np.full((p, mr), n_rows_dim - 1, dtype=np.int32)
+        any_real = False
+        for k, (r_, c_, v_) in enumerate(sps):
+            cnt = len(r_)
+            any_real = any_real or cnt > 0
+            v[k, :cnt] = v_
+            ri[k, :cnt] = r_.astype(np.int32)
+            li[k, :cnt] = c_.astype(np.int32)
+        put = lambda a: jax.device_put(jnp.asarray(a.reshape(-1)), sh)
+        return put(v), put(li), put(ri), (mr if any_real else 0), mr
+
+    rv, rl, rr, mrem, _ = pad_spill(spills, nlocal)
+    av, al, ar, mrem2, _ = pad_spill(spills_at, ncols_loc)
+
+    put = lambda a: jax.device_put(jnp.asarray(a.reshape(-1)), sh)
+    return DistCSTMatrix(
+        cst=cst_s, at_cst=at_s,
+        rem_val=rv, rem_lidx=rl, rem_rows=rr,
+        art_val=av, art_lidx=al, art_rows=ar,
+        ghost_gids=put(ghost_gids),
+        exports=tuple(put(e) for e in exports),
+        nlocal=nlocal, gn=gn, gn_pad=gn_pad, nprocs=p,
+        dists=tuple(int(d) for d in dists),
+        exp_lens=tuple(int(e) for e in exp_lens), G=G,
+        mrem=int(mrem), mrem2=int(mrem2))
+
 
 
 def distribute_csr(A, mesh: Mesh, halo: str = "auto",
@@ -516,6 +737,52 @@ def undistribute_csr(A):
         D = DIAMatrix(value=vals, nrows=A.gn, ncols=A.gn,
                       nnz=nnz, offsets=A.offsets)
         return convert_matrix(D, "csr")
+    if isinstance(A, DistCSTMatrix):
+        # per-shard local blocks back to global coordinates via the g2l
+        # ghost ids, plus the padded spill remainders
+        import dataclasses as _dc
+        gg = (host(A.ghost_gids).reshape(A.nprocs, A.G) if A.G
+              else np.zeros((A.nprocs, 0), np.int64))
+
+        def _g2l_to_global(k, lrows, lcols, vals):
+            grow = lrows + k * A.nlocal
+            ghost = lcols >= A.nlocal
+            gcol = np.where(
+                ghost,
+                gg[k, np.clip(lcols - A.nlocal, 0, max(A.G - 1, 0))]
+                if A.G else lcols,
+                lcols + k * A.nlocal)
+            keep = (vals != 0) & (grow < A.gn) & (gcol < A.gn) \
+                & (lrows < A.nlocal)
+            return vals[keep], grow[keep], gcol[keep]
+
+        vv, rr_, cc_ = [], [], []
+        leaves, treedef = jax.tree_util.tree_flatten(A.cst)
+        for k in range(A.nprocs):
+            sl = [host(x).reshape((A.nprocs, -1) + x.shape[1:])[k]
+                  for x in leaves]
+            blk = jax.tree_util.tree_unflatten(
+                treedef, [jnp.asarray(x) for x in sl])
+            bp, bi, bv = blk.to_csr_arrays()
+            lr = np.repeat(np.arange(A.nlocal, dtype=np.int64),
+                           np.diff(np.asarray(bp)))
+            v, g, c = _g2l_to_global(k, lr, np.asarray(bi, np.int64),
+                                     np.asarray(bv))
+            vv.append(v); rr_.append(g); cc_.append(c)
+        if A.mrem:
+            rvv = host(A.rem_val).reshape(A.nprocs, -1)
+            rll = host(A.rem_lidx).reshape(A.nprocs, -1).astype(np.int64)
+            rrr = host(A.rem_rows).reshape(A.nprocs, -1).astype(np.int64)
+            for k in range(A.nprocs):
+                v, g, c = _g2l_to_global(k, rrr[k], rll[k], rvv[k])
+                vv.append(v); rr_.append(g); cc_.append(c)
+        coo = sp.coo_matrix((np.concatenate(vv),
+                             (np.concatenate(rr_), np.concatenate(cc_))),
+                            shape=(A.gn, A.gn)).tocsr()
+        coo.sum_duplicates()
+        coo.sort_indices()
+        return CSRMatrix.from_csr_arrays(coo.indptr, coo.indices, coo.data,
+                                         (A.gn, A.gn))
     if isinstance(A, DistTableCSRMatrix):
         # rebuild global columns from the g2l renumbering + ghost ids;
         # interior and boundary segments are stored split (USE_OVERLAP)
@@ -1066,6 +1333,18 @@ def distribute_matrix(A, mesh: Mesh, halo: str = "auto"):
                                       parts[0].nprocs)
     except Exception:
         pass
+    # locality-free sparsity at scale: per-shard CST compute over the
+    # comm-table halo (gather/scatter-free lane-shuffle SpMV per shard;
+    # matrix/cst.py) — the jnp.take fallback below runs ~0.14 G elem/s
+    if halo == "auto" and A.nnz >= (1 << 18):
+        from lis_tpu.matrix.cst import CSTMatrix
+        try:
+            ptr, idx, val = A.to_csr_arrays()
+            blowup, rem_frac = CSTMatrix.profile(ptr, idx, A.shape)
+            if blowup <= 6.0 and rem_frac <= 0.02:
+                return distribute_csr_cst(A, mesh)
+        except Exception:
+            pass
     return distribute_csr(A, mesh, halo=halo)
 
 

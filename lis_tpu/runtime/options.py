@@ -45,7 +45,7 @@ STORAGE_NAMES = {name: i + 1 for i, name in enumerate(
     ["csr", "csc", "msr", "dia", "ell", "jad", "bsr", "bsc", "vbr", "coo",
      "dns",
      # TPU-native extensions beyond the reference's 11 formats
-     "hdi", "bes"])}
+     "hdi", "bes", "css", "cst"])}
 
 PRINT_NAMES = {"none": 0, "mem": 1, "out": 2, "all": 3}
 SCALE_NAMES = {"none": 0, "jacobi": 1, "symm_diag": 2}

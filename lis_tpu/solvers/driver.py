@@ -116,12 +116,27 @@ def auto_storage(A):
                 pass
         if out is None:
             # locality-free sparsity (no band RCM could expose): the
-            # chunk-sorted select-stream format removes the x-side gather
-            # entirely (matrix/css.py) — ~10-20x the plain gather path.
-            # Accept when the per-chunk padding stays modest
+            # chunk-sorted transpose-routed format (matrix/cst.py) runs
+            # gather- AND scatter-free — one lane-shuffle select + a
+            # Benes-routed ELL row-sum: measured 2.2 G nnz/s / 18.9
+            # csr-equiv GB/s on uniformly random 8.4M-nnz (21x the css
+            # select+scatter grid, ~35x the plain gather path).  Build
+            # cost (host Benes routing) is tens of seconds at ~10M nnz —
+            # amortized over solver iterations; css remains the cheap-
+            # setup fallback
+            ptr, idx, val = A.to_csr_arrays()
+            from lis_tpu.matrix.cst import CSTMatrix
+            try:
+                blowup, rem_frac = CSTMatrix.profile(ptr, idx, A.shape)
+                if blowup <= 6.0 and rem_frac <= 0.02:
+                    out = CSTMatrix.from_csr_arrays(ptr, idx, val, A.shape)
+            except Exception:
+                pass
+        if out is None:
+            # css select-stream: x-side gather removed, y-side scatter
+            # kept — ~10-20x the plain gather path, cheap setup
             from lis_tpu.matrix.css import CSSMatrix
             try:
-                ptr, idx, val = A.to_csr_arrays()
                 # cheap O(nnz) acceptance check BEFORE paying for the
                 # grid + transpose-grid construction
                 blowup, rem_frac = CSSMatrix.profile(idx, A.shape[1])

@@ -14,7 +14,7 @@ from lis_tpu.matrix.base import _MATRIX_REGISTRY
 from tests.problems import poisson2d, random_sparse, tridiag
 
 FORMATS = ["csr", "csc", "msr", "dia", "ell", "jad", "bsr", "bsc", "vbr",
-           "coo", "dns", "bes", "css"]
+           "coo", "dns", "bes", "css", "cst"]
 
 
 @pytest.fixture(scope="module")
@@ -291,3 +291,40 @@ def test_vbr_uniform_partition_bsr_delegate():
                                    row_part=(0, 2, 5, 9, 36),
                                    col_part=(0, 2, 5, 9, 36))
     assert mv.fast is None
+
+
+def test_cst_locality_free_exact():
+    """CST (chunk-sorted transpose-routed, matrix/cst.py): gather- and
+    scatter-free SpMV on uniformly random sparsity — products are routed
+    to ELL row order by the Benes shuffle plan (ops/shuffle.py).  Exact
+    vs scipy, including the transpose apply and scaling."""
+    import scipy.sparse as sp
+    from lis_tpu.matrix.cst import CSTMatrix
+    rng = np.random.default_rng(5)
+    n, k = 3000, 9
+    rows = np.repeat(np.arange(n), k)
+    cols = rng.integers(0, n, size=n * k)
+    a = sp.coo_matrix((rng.standard_normal(n * k), (rows, cols)),
+                      shape=(n, n)).tocsr()
+    a.sum_duplicates()
+    a.sort_indices()
+    A = CSTMatrix.from_csr_arrays(a.indptr, a.indices, a.data, a.shape)
+    x = rng.standard_normal(n)
+    np.testing.assert_allclose(np.asarray(A.matvec(jnp.asarray(x))),
+                               a @ x, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(A.matvech(jnp.asarray(x))),
+                               a.T @ x, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(A.get_diagonal()), a.diagonal(),
+                               rtol=1e-13, atol=0)
+    d = rng.random(n) + 0.5
+    As = A.scale_symm(jnp.asarray(d))
+    want = sp.diags(d) @ a @ sp.diags(d)
+    np.testing.assert_allclose(np.asarray(As.matvec(jnp.asarray(x))),
+                               want @ x, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(As.matvech(jnp.asarray(x))),
+                               want.T @ x, rtol=1e-12, atol=1e-12)
+    # roundtrip
+    p2, i2, v2 = As.to_csr_arrays()
+    b = sp.csr_matrix((np.asarray(v2), np.asarray(i2), np.asarray(p2)),
+                      shape=a.shape)
+    assert abs(b - want).max() < 1e-12
