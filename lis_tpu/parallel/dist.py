@@ -1016,20 +1016,22 @@ def dist_solve(A: DistCSRMatrix, b, mesh: Mesh, options=None, M=None,
     elif opts.precision in ("df", "switch_df", "quad", "switch"):
         from lis_tpu.core.ddreal import DD
         from lis_tpu.solvers.base import SOLVER_FNS as _FNS
-        if not isinstance(A, (DistDIAMatrix, DistBESMatrix,
-                              DistMultiBESMatrix)):
-            raise NotImplementedError(
-                "distributed DD precision needs a DIA-, BES- or "
-                "multi-BES-sharded matrix (distribute_matrix picks one "
-                "for structured operators)")
         qname = opts.solver + "_quad"
         if qname not in _FNS:
             raise NotImplementedError(f"no quad variant of {opts.solver!r}")
         limb = jnp.float32 if opts.precision in ("df", "switch_df") else None
         if isinstance(A, (DistBESMatrix, DistMultiBESMatrix)):
             A_dd = DistBESDDOperator.from_matrix(A)
-        else:
+        elif isinstance(A, DistDIAMatrix):
             A_dd = make_dist_dd_operator(A, mesh, limb=limb)
+        elif isinstance(A, (DistTableCSRMatrix, DistCSTMatrix)):
+            # general sparsity: hi+lo pairs over the comm-table halo —
+            # the reference's _mp exchange (include/lis_mpi.h:45-46)
+            A_dd = DistTableDDOperator.from_matrix(A, mesh, limb=limb)
+        else:
+            raise NotImplementedError(
+                "distributed DD precision needs a DIA-, BES-, table- or "
+                "cst-sharded matrix (distribute_matrix picks one)")
         b64 = b
         if limb is not None:
             A, b, x0, M, aux = cast32((A, b, x0, M, aux))
@@ -1346,6 +1348,156 @@ def distribute_matrix(A, mesh: Mesh, halo: str = "auto"):
         except Exception:
             pass
     return distribute_csr(A, mesh, halo=halo)
+
+
+@dataclasses.dataclass(frozen=True)
+class DistTableDDOperator:
+    """DD (limb-pair) matvec over the comm-table halo — the reference's
+    quad-under-MPI capability for ANY sparsity (the _mp send/recv halo
+    variants exchange hi+lo pairs, include/lis_mpi.h:45-46): each
+    distance's export slab carries BOTH limbs stacked in one ppermute,
+    and the per-shard compute runs the exact ELL double-double
+    accumulation (core/ddreal.matvec_dd_ell) over the ghost-extended
+    vector.  The transpose apply routes ghost-column DD partials back
+    through the reversed permutes and adds them with two_sum."""
+    index: jax.Array          # (p*nlocal, maxk) int32 into ghost-ext x
+    value: jax.Array          # (p*nlocal, maxk) hi limbs
+    value_lo: object          # lo limbs or None (full-f64 mode)
+    index_t: jax.Array        # (p*(nlocal+G), maxk_t) int32 into x
+    value_t: jax.Array
+    value_t_lo: object
+    exports: tuple            # per distance: (p*Ed,) int32 local x ids
+    nlocal: int
+    gn: int
+    gn_pad: int
+    nprocs: int
+    dists: tuple = ()
+    exp_lens: tuple = ()
+    G: int = 0
+
+    def _exchange_dd(self, x):
+        """Ghost-extend both limbs; ONE ppermute per distance carries
+        the packed (2, Ed) hi/lo slab (the _mp exchange)."""
+        from lis_tpu.core.ddreal import DD
+        p = self.nprocs
+        hs, ls = [x.hi], [x.lo]
+        for d, eidx in zip(self.dists, self.exports):
+            packed = jnp.stack([
+                jnp.take(x.hi, eidx, axis=0, mode="clip"),
+                jnp.take(x.lo, eidx, axis=0, mode="clip")])
+            perm = [(i, (i - d) % p) for i in range(p)]
+            got = jax.lax.ppermute(packed, AXIS, perm)
+            hs.append(got[0])
+            ls.append(got[1])
+        return DD(jnp.concatenate(hs), jnp.concatenate(ls))
+
+    def matvec(self, x):
+        from lis_tpu.core.ddreal import matvec_dd_ell
+        xe = self._exchange_dd(x)
+        return matvec_dd_ell(self.index, self.value, xe, self.value_lo)
+
+    def matvech(self, x):
+        from lis_tpu.core.ddreal import (DD, matvec_dd_ell, two_sum)
+        z = matvec_dd_ell(self.index_t, self.value_t, x, self.value_t_lo)
+        yh, yl = z.hi[: self.nlocal], z.lo[: self.nlocal]
+        p = self.nprocs
+        off = self.nlocal
+        for d, Ed, eidx in zip(self.dists, self.exp_lens, self.exports):
+            part = jnp.stack([
+                jax.lax.dynamic_slice(z.hi, (off,), (Ed,)),
+                jax.lax.dynamic_slice(z.lo, (off,), (Ed,))])
+            off += Ed
+            perm = [(i, (i + d) % p) for i in range(p)]
+            back = jax.lax.ppermute(part, AXIS, perm)
+            # export ids are unique within a distance: densify and add
+            # with an error-free transform (exact DD accumulation)
+            safe = jnp.minimum(eidx, self.nlocal - 1)
+            live = (eidx < self.nlocal).astype(back.dtype)
+            bh = jnp.zeros(self.nlocal, back.dtype).at[safe].set(
+                back[0] * live)
+            bl = jnp.zeros(self.nlocal, back.dtype).at[safe].set(
+                back[1] * live)
+            sh_, se = two_sum(yh, bh)
+            yl = yl + bl + se
+            yh = sh_
+        from lis_tpu.core.ddreal import quick_two_sum
+        yh, yl = quick_two_sum(yh, yl)
+        return DD(yh, yl)
+
+    @property
+    def nrows(self):
+        return self.gn
+
+    @property
+    def ncols(self):
+        return self.gn
+
+    @classmethod
+    def from_matrix(cls, A, mesh: Mesh, limb=None):
+        """Build from any table-planned sharded matrix (DistTableCSR or
+        DistCST) by re-deriving the per-shard local blocks in g2l
+        numbering from the global operator + the same comm-table plan."""
+        import scipy.sparse as sp
+        from lis_tpu.core.ddreal import _split_limbs
+        g = undistribute_csr(A)
+        ptr, index, value = g.to_csr_arrays()
+        value = np.asarray(value)
+        gn, p, nlocal = A.gn, A.nprocs, A.nlocal
+        (rows, shard_of, lidx_np, exports, dists, exp_lens, _gg,
+         G) = _table_plan(ptr, index, gn, p, nlocal)
+        lrow = rows - shard_of * nlocal
+        ncl = nlocal + G
+        # per-shard ELL over the ghost-extended columns, common maxk
+        cnt = np.zeros((p, nlocal), dtype=np.int64)
+        np.add.at(cnt, (shard_of, lrow), 1)
+        maxk = max(int(cnt.max()), 1)
+        cnt_t = np.zeros((p, ncl), dtype=np.int64)
+        np.add.at(cnt_t, (shard_of, lidx_np.astype(np.int64)), 1)
+        maxk_t = max(int(cnt_t.max()), 1)
+        idx = np.zeros((p, nlocal, maxk), dtype=np.int32)
+        val = np.zeros((p, nlocal, maxk), dtype=value.dtype)
+        idx_t = np.zeros((p, ncl, maxk_t), dtype=np.int32)
+        val_t = np.zeros((p, ncl, maxk_t), dtype=value.dtype)
+        for k in range(p):
+            sel = np.nonzero(shard_of == k)[0]
+            a = sp.coo_matrix((value[sel], (lrow[sel], lidx_np[sel])),
+                              shape=(nlocal, ncl)).tocsr()
+            a.sort_indices()
+            for r in range(nlocal):
+                s0, s1 = a.indptr[r], a.indptr[r + 1]
+                idx[k, r, : s1 - s0] = a.indices[s0:s1]
+                val[k, r, : s1 - s0] = a.data[s0:s1]
+            at = a.T.tocsr()
+            at.sort_indices()
+            for r in range(ncl):
+                s0, s1 = at.indptr[r], at.indptr[r + 1]
+                idx_t[k, r, : s1 - s0] = at.indices[s0:s1]
+                val_t[k, r, : s1 - s0] = at.data[s0:s1]
+        v, vlo = _split_limbs(jnp.asarray(val), limb)
+        vt, vtlo = _split_limbs(jnp.asarray(val_t), limb)
+        sh = NamedSharding(mesh, P(AXIS))
+        put = lambda a: jax.device_put(
+            jnp.asarray(a).reshape((-1,) + a.shape[2:]), sh)
+        return cls(
+            index=put(idx), value=put(np.asarray(v)),
+            value_lo=None if vlo is None else put(np.asarray(vlo)),
+            index_t=put(idx_t), value_t=put(np.asarray(vt)),
+            value_t_lo=None if vtlo is None else put(np.asarray(vtlo)),
+            exports=tuple(jax.device_put(jnp.asarray(e.reshape(-1)), sh)
+                          for e in exports),
+            nlocal=nlocal, gn=gn, gn_pad=A.gn_pad, nprocs=p,
+            dists=tuple(int(d) for d in dists),
+            exp_lens=tuple(int(e) for e in exp_lens), G=G)
+
+
+jax.tree_util.register_pytree_node(
+    DistTableDDOperator,
+    lambda m: ((m.index, m.value, m.value_lo, m.index_t, m.value_t,
+                m.value_t_lo, m.exports),
+               (m.nlocal, m.gn, m.gn_pad, m.nprocs, m.dists, m.exp_lens,
+                m.G)),
+    lambda aux, c: DistTableDDOperator(*c, *aux))
+
 
 
 @dataclasses.dataclass(frozen=True)

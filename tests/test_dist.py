@@ -819,3 +819,36 @@ def test_dist_cst_locality_free(mesh):
     assert rd.status == lis_tpu.LIS_SUCCESS
     assert abs(rd.iters - r1.iters) <= 1, (rd.iters, r1.iters)
     assert rd.true_resid < 1e-9
+
+
+def test_dist_switch_df_table_general_sparsity(mesh):
+    """-f switch_df over a table-sharded GENERAL matrix: hi+lo pairs ride
+    the comm-table halo (the reference's _mp exchange variants,
+    include/lis_mpi.h:45-46) — true residual below 1e-12 where plain
+    double stalls near its roundoff."""
+    import scipy.sparse as sp
+    from lis_tpu.parallel.dist import distribute_csr, dist_solve
+
+    rng = np.random.default_rng(3)
+    n, k = 480, 6
+    rows = np.repeat(np.arange(n), k)
+    cols = rng.integers(0, n, size=n * k)
+    a = sp.coo_matrix((rng.standard_normal(n * k), (rows, cols)),
+                      shape=(n, n)).tocsr()
+    a = (a + a.T + sp.eye(n) * (4 * k)).tocsr()
+    a.sort_indices()
+    from lis_tpu.matrix.csr import CSRMatrix
+    A1 = CSRMatrix.from_csr_arrays(a.indptr, a.indices, a.data, a.shape)
+    Ad = distribute_csr(A1, mesh, halo="table")
+    assert Ad.halo == "table" and Ad.G > 0
+    b = np.ones(n)
+    r = dist_solve(Ad, b, mesh,
+                   options="-i bicgstab -f switch_df -tol 1e-13 "
+                           "-maxiter 500")
+    assert r.status == lis_tpu.LIS_SUCCESS
+    assert r.true_resid < 1e-12, r.true_resid
+    # BiCG exercises matvech (the DD lis_reduce ghost-partial return)
+    r2 = dist_solve(Ad, b, mesh,
+                    options="-i bicg -f switch_df -tol 1e-13 -maxiter 500")
+    assert r2.status == lis_tpu.LIS_SUCCESS
+    assert r2.true_resid < 1e-12, r2.true_resid
