@@ -81,23 +81,27 @@ def main():
         "setup_s": round(setup_s, 2),
     }))
 
-    # ---- 2. CG+SAAMG vs CG+SSOR duel --------------------------------
-    duel = {}
-    for p in ("saamg", "ssor"):
-        o = f"-i cg -p {p} -tol 1e-8 -maxiter 2000"
-        r = lis_tpu.solve(A, b, options=o)          # compile
-        r = lis_tpu.solve(A, b, options=o)          # warm
-        duel[p] = {"iters": int(r.iters), "itime_s": round(r.itime, 3),
-                   "ptime_s": round(r.ptime, 3),
-                   "resid": float(r.resid)}
-    win = duel["saamg"]["itime_s"] < duel["ssor"]["itime_s"]
-    print(json.dumps({
-        "metric": "cg_saamg_vs_ssor", "dim": dim, "rows": n,
-        "saamg": duel["saamg"], "ssor": duel["ssor"],
-        "saamg_wins_wallclock": bool(win),
-        "speedup": round(duel["ssor"]["itime_s"]
-                         / max(duel["saamg"]["itime_s"], 1e-9), 2),
-    }))
+    # ---- 2. CG+SAAMG vs CG+SSOR duel (reference precision = double;
+    # f32 reported alongside for honesty: SSOR's relaxed sweeps are a
+    # TPU superpower there) ---------------------------------------------
+    for f, tol in (("double", "1e-8"), ("single", "1e-6")):
+        duel = {}
+        for p in ("saamg", "ssor"):
+            o = f"-i cg -p {p} -tol {tol} -maxiter 2000 -f {f}"
+            r = lis_tpu.solve(A, b, options=o)          # compile
+            r = lis_tpu.solve(A, b, options=o)          # warm
+            duel[p] = {"iters": int(r.iters), "itime_s": round(r.itime, 3),
+                       "ptime_s": round(r.ptime, 3),
+                       "resid": float(r.resid)}
+        win = duel["saamg"]["itime_s"] < duel["ssor"]["itime_s"]
+        print(json.dumps({
+            "metric": "cg_saamg_vs_ssor", "dim": dim, "rows": n,
+            "precision": f, "tol": tol,
+            "saamg": duel["saamg"], "ssor": duel["ssor"],
+            "saamg_wins_wallclock": bool(win),
+            "speedup": round(duel["ssor"]["itime_s"]
+                             / max(duel["saamg"]["itime_s"], 1e-9), 2),
+        }))
 
 
 if __name__ == "__main__":

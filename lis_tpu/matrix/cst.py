@@ -120,7 +120,8 @@ class CSTMatrix(SparseMatrix):
     def from_csr_arrays(cls, ptr, index, value, shape,
                         transpose: bool = True, load: float = 0.72,
                         Kp: int | None = None, n_pad: int | None = None,
-                        return_spill: bool = False):
+                        return_spill: bool = False,
+                        consistent_passes: bool = False):
         """``Kp``/``n_pad`` override the derived grid parameters (the
         distributed builder forces identical statics across shards);
         ``return_spill=True`` returns (matrix-with-rem=None,
@@ -174,8 +175,11 @@ class CSTMatrix(SparseMatrix):
         perm[pos_t] = dst
         # holes ride as identity lanes (cheap plans); the dst mask below
         # zeroes them before the row reduction
+        # consistent_passes: never skip identity levels, so sibling
+        # builds (one per shard) share one pass structure and stack
         plan = plan_shuffle(perm, digits=block_digits(M, L),
-                            validate=False)
+                            validate=False,
+                            skip_identity=not consistent_passes)
         dmask = np.zeros(M, dtype=np.uint8)
         dmask[dst] = 1
 

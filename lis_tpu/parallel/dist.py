@@ -554,7 +554,8 @@ def distribute_csr_cst(A, mesh: Mesh,
         lp = np.cumsum(lp)
         blk, sp_k = CSTMatrix.from_csr_arrays(
             lp, lidx_np[sel], value[sel], (nlocal, ncols_loc),
-            transpose=False, Kp=Kp, n_pad=n_pad, return_spill=True)
+            transpose=False, Kp=Kp, n_pad=n_pad, return_spill=True,
+            consistent_passes=True)
         csts.append(blk)
         spills.append(sp_k)
         at_sp = sp.coo_matrix(
@@ -563,7 +564,8 @@ def distribute_csr_cst(A, mesh: Mesh,
         at_sp.sort_indices()
         atk, sp2 = CSTMatrix.from_csr_arrays(
             at_sp.indptr, at_sp.indices, at_sp.data, (ncols_loc, nlocal),
-            transpose=False, Kp=Kp, n_pad=n_pad, return_spill=True)
+            transpose=False, Kp=Kp, n_pad=n_pad, return_spill=True,
+            consistent_passes=True)
         ats.append(atk)
         spills_at.append(sp2)
 
