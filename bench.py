@@ -121,6 +121,21 @@ def main():
     t_bes = _timed(make_bes, (Ab, xb), 5, 55)
     bes_gbs = Ab.nnz * 8 / t_bes / 1e9
 
+    # locality-free sparsity (uniformly random, no band at all): CST —
+    # gather- and scatter-free lane-shuffle SpMV (matrix/cst.py)
+    from lis_tpu.matrix.cst import CSTMatrix
+    nc_ = 1 << 18
+    rows_c = np.repeat(np.arange(nc_), 16)
+    cols_c = rng.integers(0, nc_, size=nc_ * 16)
+    mc = sp.coo_matrix((rng.standard_normal(nc_ * 16).astype(np.float32),
+                        (rows_c, cols_c)), shape=(nc_, nc_)).tocsr()
+    mc.sum_duplicates(); mc.sort_indices()
+    Ac = CSTMatrix.from_csr_arrays(mc.indptr, mc.indices, mc.data,
+                                   mc.shape, transpose=False)
+    xc = jnp.ones(nc_, dtype=dtype)
+    t_cst = _timed(make_bes, (Ac, xc), 10, 60)
+    cst_gbs = (mc.nnz * 8 + 2 * nc_ * 4) / t_cst / 1e9
+
     esize = np.dtype(np.float32).itemsize
     bytes_moved = (nnd * n + 2 * n) * esize      # diagonals + x read + y write
     gbs = bytes_moved / t / 1e9
@@ -147,6 +162,7 @@ def main():
             "spmv_convention": "2*nnz*iter/comptime (test/spmvtest3b.c:247)",
             "cg_jacobi_64cubed_ms_per_iter": solve_ms,
             "bes_general_sparsity_csr_equiv_gbs": round(bes_gbs, 1),
+            "cst_locality_free_csr_equiv_gbs": round(cst_gbs, 1),
         },
     }))
 
