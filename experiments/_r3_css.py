@@ -55,6 +55,11 @@ def main():
                                      transpose=False)
     Acsr = CSRMatrix.from_csr_arrays(a.indptr, a.indices, a.data, a.shape)
 
+    want = a @ np.ones(n, dtype=np.float32)
+    got = np.asarray(Acst.matvec(x))
+    ok = bool(np.allclose(got, want, rtol=1e-4, atol=1e-4))
+    print(json.dumps({"cst_matvec_ok": ok}), flush=True)
+
     t_cst = timed_apply(lambda A, v: A.matvec(v), x, iters_a=10,
                         iters_b=60, data=Acst)
     t_css = timed_apply(lambda A, v: A.matvec(v), x, iters_a=3,

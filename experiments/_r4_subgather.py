@@ -37,7 +37,7 @@ def sub_gather_contig(x, idx, idx_dtype=jnp.uint8, SB=128):
         if ii.dtype != jnp.int32:
             ii = ii.astype(jnp.int32)
         o_ref[:] = jax.lax.gather(
-            x_ref[:], ii[None, ...], dn, (1, 1),
+            x_ref[:], ii[..., None], dn, (1, 1),
             mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
 
     iv = idx.astype(idx_dtype)
@@ -69,7 +69,7 @@ def sub_gather_strided(x, idx, pre, mid, idx_dtype=jnp.uint8):
         if ii.dtype != jnp.int32:
             ii = ii.astype(jnp.int32)
         o_ref[0, :, 0, :] = jax.lax.gather(
-            x_ref[0, :, 0, :], ii[None, ...], dn, (1, 1),
+            x_ref[0, :, 0, :], ii[..., None], dn, (1, 1),
             mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
 
     xv = x.reshape(pre, 128, mid, 128)

@@ -340,7 +340,7 @@ def _lane_shuffle32(x, idx):
     Pallas (Mosaic tpu.dynamic_gather); CPU/interpret fallback is XLA
     take_along_axis (tests on the virtual CPU mesh)."""
     if jax.default_backend() == "cpu":
-        return jnp.take_along_axis(x, idx, axis=1)
+        return jnp.take_along_axis(x, idx.astype(jnp.int32), axis=1)
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     R = x.shape[0]
@@ -353,8 +353,11 @@ def _lane_shuffle32(x, idx):
         operand_batching_dims=(0,), start_indices_batching_dims=(0,))
 
     def kernel(x_ref, i_ref, o_ref):
+        ii = i_ref[:]
+        if ii.dtype != jnp.int32:
+            ii = ii.astype(jnp.int32)          # uint8 storage, i32 gather
         o_ref[:] = jax.lax.gather(
-            x_ref[:], i_ref[:][..., None], dn, (1, 1),
+            x_ref[:], ii[..., None], dn, (1, 1),
             mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
 
     # under jax_enable_x64 the grid/index arithmetic traces as i64,
@@ -386,12 +389,102 @@ def _lane_shuffle(x, idx):
                                         x.dtype)
 
 
+_FUSE_W = 1024    # lane tile of the fused pass (f32 VMEM: ~1.1 MB/buf)
+
+
+def _fused_pass32(x, idx, d, s, M):
+    """One whole Benes pass in ONE pallas kernel: strided (d, W) block
+    read, in-register transpose, lane gather, transpose back, strided
+    write — replacing the legacy reshape/XLA-transpose/shuffle/XLA-
+    transpose chain (24 B/slot of HBM traffic -> 9 B/slot with uint8
+    indices; measured 2.3x per pass on v5e, experiments/_r4_pass_micro2).
+    Requires d == 128 and a 4-byte dtype; input/output are flat (M,)
+    in the UN-transposed (pre, d, s) layout."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    pre = M // (d * s)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
+        operand_batching_dims=(0,), start_indices_batching_dims=(0,))
+
+    def body(xt, ii):
+        if ii.dtype != jnp.int32:
+            ii = ii.astype(jnp.int32)
+        return jax.lax.gather(
+            xt, ii[..., None], dn, (1, 1),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+    xv = x.reshape(pre, d, s)
+    iv = idx.reshape(M // 128, 128)
+    with jax.enable_x64(False):
+        if s >= _FUSE_W:
+            W = _FUSE_W if s % _FUSE_W == 0 else s
+
+            def kernel(x_ref, i_ref, o_ref):
+                o_ref[0] = body(x_ref[0].T, i_ref[:]).T
+
+            out = pl.pallas_call(
+                kernel,
+                grid=(pre, s // W),
+                in_specs=[pl.BlockSpec((1, d, W), lambda p, q: (p, 0, q),
+                                       memory_space=pltpu.VMEM),
+                          pl.BlockSpec((W, 128),
+                                       lambda p, q: (p * (s // W) + q, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((1, d, W), lambda p, q: (p, 0, q),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((pre, d, s), x.dtype),
+            )(xv, iv)
+        else:
+            # short stride: batch B consecutive (d, s) tiles per block
+            B = max(min(_FUSE_W // s, pre), 1)
+            while pre % B:
+                B //= 2
+
+            def kernel(x_ref, i_ref, o_ref):
+                g = body(jnp.swapaxes(x_ref[:], 1, 2).reshape(-1, 128),
+                         i_ref[:])
+                o_ref[:] = jnp.swapaxes(g.reshape(B, s, d), 1, 2)
+
+            out = pl.pallas_call(
+                kernel,
+                grid=(pre // B,),
+                in_specs=[pl.BlockSpec((B, d, s), lambda p: (p, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                          pl.BlockSpec((B * s, 128), lambda p: (p, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((B, d, s), lambda p: (p, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((pre, d, s), x.dtype),
+            )(xv, iv)
+    return out.reshape(-1)
+
+
+def _apply_pass(v, idx, d, s, M):
+    """Apply one Benes pass to the flat (M,) vector ``v``."""
+    if (d == 128 and s > 1 and jax.default_backend() != "cpu"
+            and (s % 128 == 0 or s >= _FUSE_W)):
+        if v.dtype.itemsize == 4:
+            return _fused_pass32(v, idx, d, s, M)
+        if v.dtype.itemsize > 4:
+            u = jax.lax.bitcast_convert_type(v, jnp.uint32)  # (M, n32)
+            planes = [_fused_pass32(u[:, p], idx, d, s, M)
+                      for p in range(u.shape[-1])]
+            return jax.lax.bitcast_convert_type(
+                jnp.stack(planes, axis=-1), v.dtype)
+    pre = M // (d * s)
+    x = v.reshape(pre, d, s)
+    x = jnp.swapaxes(x, 1, 2).reshape(-1, 128)
+    x = _lane_shuffle(x, idx)
+    return jnp.swapaxes(x.reshape(pre, s, d), 1, 2).reshape(-1)
+
+
 @dataclass(frozen=True)
 class ShufflePlan:
     """A fixed permutation compiled to Benes lane-shuffle passes.
 
     apply(v) returns w with w[perm[i]] = v[i]."""
-    idxs: tuple               # device (M/128, 128) int32 per pass
+    idxs: tuple               # device (M/128, 128) uint8 per pass
     meta: tuple = ()          # ((d, s), ...) static
     M: int = 0
     small: object = None      # tiny fallback: device scatter-order take
@@ -401,11 +494,7 @@ class ShufflePlan:
             return jnp.take(v, self.small, axis=0)
         out = v
         for (d, s), idx in zip(self.meta, self.idxs):
-            pre = self.M // (d * s)
-            x = out.reshape(pre, d, s)
-            x = jnp.swapaxes(x, 1, 2).reshape(-1, 128)
-            x = _lane_shuffle(x, idx)
-            out = jnp.swapaxes(x.reshape(pre, s, d), 1, 2).reshape(-1)
+            out = _apply_pass(out, idx, d, s, self.M)
         return out
 
 jax.tree_util.register_pytree_node(
@@ -461,5 +550,8 @@ def plan_shuffle(perm: np.ndarray, M: int | None = None,
         if not np.array_equal(got[dst], src):
             raise AssertionError("shuffle routing produced a wrong plan")
     return ShufflePlan(
-        idxs=tuple(jnp.asarray(idx) for (_, _, idx) in passes),
+        # lane indices are < 128: uint8 storage quarters the index
+        # traffic of every pass (kernels upcast to i32 in registers)
+        idxs=tuple(jnp.asarray(idx.astype(np.uint8)) for (_, _, idx)
+                   in passes),
         meta=tuple((d, s) for (d, s, _) in passes), M=M)
