@@ -72,7 +72,6 @@ class CSTMatrix(SparseMatrix):
     val: jax.Array            # (M/128, 128) entry values in src order
     lidx: jax.Array           # (M/128, 128) int32 col-within-chunk
     rowf: jax.Array           # (M,) int32 destination row (nrows padding)
-    dmask: jax.Array          # (M,) uint8: 1 where a real entry lands
     plan: ShufflePlan         # post-transpose slot -> ELL slot
     diag: jax.Array           # (nrows,) diagonal (build-time)
     rem: object               # CSRMatrix remainder or None
@@ -173,20 +172,23 @@ class CSTMatrix(SparseMatrix):
         dst = r_ * Kp + kslot[kept]
         perm = np.full(M, -1, dtype=np.int64)
         perm[pos_t] = dst
-        # holes ride as identity lanes (cheap plans); the dst mask below
-        # zeroes them before the row reduction
+        # exact_holes: every pass stays a true per-row permutation, so
+        # hole slots (val = 0 at their sources) provably carry zeros to
+        # every unreal destination — no dst mask is needed before the
+        # row reduction, and plan.apply_rowsum can fuse the final pass
+        # with the row sums (ops/shuffle.py)
         # consistent_passes: never skip identity levels, so sibling
         # builds (one per shard) share one pass structure and stack
         plan = plan_shuffle(perm, digits=block_digits(M, L),
-                            validate=False,
+                            validate=False, exact_holes=True,
                             skip_identity=not consistent_passes)
-        dmask = np.zeros(M, dtype=np.uint8)
-        dmask[dst] = 1
 
         val = np.zeros(M, dtype=value.dtype)
         val[src] = v_
-        li = np.zeros(M, dtype=np.int32)
-        li[src] = (c_ & 127).astype(np.int32)
+        # lane ids are < 128: uint8 quarters the select-phase index
+        # traffic (kernels upcast in registers)
+        li = np.zeros(M, dtype=np.uint8)
+        li[src] = (c_ & 127).astype(np.uint8)
         rf = np.full(M, n, dtype=np.int32)
         rf[src] = r_.astype(np.int32)
 
@@ -215,7 +217,7 @@ class CSTMatrix(SparseMatrix):
                                      transpose=False, load=load)
         out = cls(val=jnp.asarray(val.reshape(-1, 128)),
                   lidx=jnp.asarray(li.reshape(-1, 128)),
-                  rowf=jnp.asarray(rf), dmask=jnp.asarray(dmask),
+                  rowf=jnp.asarray(rf),
                   plan=plan,
                   diag=jnp.asarray(d), rem=rem, at=at,
                   nrows=int(n), ncols=int(m), nnz=int(nnz),
@@ -228,6 +230,50 @@ class CSTMatrix(SparseMatrix):
     def fill_blowup(self) -> float:
         return self.val.size / max(self.nnz, 1)
 
+    def _fused_front(self, xp):
+        """select * val written directly in the (RBc, CB, beta)
+        transposed bucket order — ONE kernel replacing the repeat /
+        lane-shuffle / multiply / XLA-transpose chain (the bucket
+        transpose costs nothing: it is the output BlockSpec index map).
+        ~9 B/slot of HBM traffic vs ~33 unfused (measured 0.80 ms ->
+        see BENCH.md, v5e M=2^24).  Requires beta % 128 == 0 and f32."""
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        CB = self.n_pad // 128
+        RBc, beta = self.RBc, self.beta
+        G = max(1, min(CB, (1 << 16) // beta))
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
+            operand_batching_dims=(0,), start_indices_batching_dims=(0,))
+
+        def kernel(x_ref, i_ref, v_ref, o_ref):
+            gb = G * beta // 128
+            xrep = jnp.repeat(x_ref[:], beta // 128, axis=0)  # (gb, 128)
+            ii = i_ref[:].reshape(gb, 128).astype(jnp.int32)
+            g = jax.lax.gather(
+                xrep, ii[..., None], dn, (1, 1),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+            o_ref[:] = (g.reshape(G, beta)
+                        * v_ref[:].reshape(G, beta)).reshape(1, G, beta)
+
+        with jax.enable_x64(False):
+            out = pl.pallas_call(
+                kernel,
+                grid=(CB // G, RBc),
+                in_specs=[pl.BlockSpec((G, 128), lambda c, r: (c, 0),
+                                       memory_space=pltpu.VMEM),
+                          pl.BlockSpec((G, 1, beta), lambda c, r: (c, r, 0),
+                                       memory_space=pltpu.VMEM),
+                          pl.BlockSpec((G, 1, beta), lambda c, r: (c, r, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((1, G, beta), lambda c, r: (r, c, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((RBc, CB, beta), xp.dtype),
+            )(xp.reshape(CB, 128),
+              self.lidx.reshape(CB, RBc, beta),
+              self.val.reshape(CB, RBc, beta))
+        return out.reshape(-1)
+
     def _select(self, x):
         """Entry-wise x values: chunk rows broadcast by repeat (regular)
         then ONE lane shuffle per 32-bit plane — no gather."""
@@ -239,13 +285,20 @@ class CSTMatrix(SparseMatrix):
 
     def matvec(self, x):
         dt = jnp.result_type(x.dtype, self.val.dtype)
-        sel = self._select(x.astype(dt) if x.dtype != dt else x)
-        contrib = sel * self.val.astype(dt)
-        CB = self.n_pad // 128
-        t = contrib.reshape(CB, self.RBc, self.beta)
-        t = jnp.swapaxes(t, 0, 1).reshape(-1)
-        r = self.plan.apply(t) * self.dmask
-        y = r.reshape(self.n_pad, self.Kp).sum(axis=1)[: self.nrows]
+        if (dt == jnp.float32 and self.beta % 128 == 0
+                and jax.default_backend() != "cpu"):
+            xp = jnp.pad(x.astype(dt) if x.dtype != dt else x,
+                         (0, self.n_pad - x.shape[0]))
+            t = self._fused_front(xp)
+        else:
+            sel = self._select(x.astype(dt) if x.dtype != dt else x)
+            contrib = sel * self.val.astype(dt)
+            CB = self.n_pad // 128
+            t = contrib.reshape(CB, self.RBc, self.beta)
+            t = jnp.swapaxes(t, 0, 1).reshape(-1)
+        # exact-holes plan: unreal slots carry zeros, so the row sums
+        # need no destination mask (see from_csr_arrays)
+        y = self.plan.apply_rowsum(t, self.Kp)[: self.nrows]
         if self.rem is not None:
             y = y + self.rem.matvec(x)
         return y
