@@ -75,10 +75,18 @@ def main():
         return v
 
     def masksum(A, v):
-        # + a broadcast back to M so the loop carry keeps its shape
-        # (adds ~1 write of M; subtract the mul phase to correct)
-        r = v * A.dmask
-        y = r.reshape(A.n_pad, A.Kp).sum(axis=1)
+        # exact-holes plans carry provable zeros in unreal slots, so the
+        # row reduction needs no mask; + a broadcast back to M so the
+        # loop carry keeps its shape
+        y = v.reshape(A.n_pad, A.Kp).sum(axis=1)
+        return jnp.broadcast_to(y[:, None], (A.n_pad, A.Kp)).reshape(-1)
+
+    def fused_front(A, v):
+        return A._fused_front(v[: A.n_pad])
+
+    def fused_rowsum(A, v):
+        # final Benes pass fused with the row sums (TPU path)
+        y = A.plan.apply_rowsum(v, A.Kp)
         return jnp.broadcast_to(y[:, None], (A.n_pad, A.Kp)).reshape(-1)
 
     def full(A, v):
@@ -94,6 +102,8 @@ def main():
                         ("benes_first", one_pass, flat),
                         ("benes_center", center_pass, flat),
                         ("mask_rowsum_bc", masksum, flat),
+                        ("fused_front", fused_front, flat),
+                        ("fused_rowsum", fused_rowsum, flat),
                         ("full_matvec", full, x)]:
         t = timed_apply(lambda A, v: fn(A, v), v, iters_a=5, iters_b=30,
                         data=A)

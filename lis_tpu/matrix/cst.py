@@ -242,6 +242,8 @@ class CSTMatrix(SparseMatrix):
         CB = self.n_pad // 128
         RBc, beta = self.RBc, self.beta
         G = max(1, min(CB, (1 << 16) // beta))
+        while CB % G:
+            G //= 2
         dn = jax.lax.GatherDimensionNumbers(
             offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
             operand_batching_dims=(0,), start_indices_batching_dims=(0,))
@@ -253,25 +255,27 @@ class CSTMatrix(SparseMatrix):
             g = jax.lax.gather(
                 xrep, ii[..., None], dn, (1, 1),
                 mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
-            o_ref[:] = (g.reshape(G, beta)
-                        * v_ref[:].reshape(G, beta)).reshape(1, G, beta)
+            o_ref[:] = (g.reshape(G, beta) * v_ref[:]).reshape(1, G, beta)
 
+        # lidx/val ride as 2-D (CB, RBc*beta) so every block is a legal
+        # (G, beta) tile; the r grid coordinate picks the beta-column
+        # strip, and the OUTPUT index map performs the bucket transpose
         with jax.enable_x64(False):
             out = pl.pallas_call(
                 kernel,
                 grid=(CB // G, RBc),
                 in_specs=[pl.BlockSpec((G, 128), lambda c, r: (c, 0),
                                        memory_space=pltpu.VMEM),
-                          pl.BlockSpec((G, 1, beta), lambda c, r: (c, r, 0),
+                          pl.BlockSpec((G, beta), lambda c, r: (c, r),
                                        memory_space=pltpu.VMEM),
-                          pl.BlockSpec((G, 1, beta), lambda c, r: (c, r, 0),
+                          pl.BlockSpec((G, beta), lambda c, r: (c, r),
                                        memory_space=pltpu.VMEM)],
                 out_specs=pl.BlockSpec((1, G, beta), lambda c, r: (r, c, 0),
                                        memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((RBc, CB, beta), xp.dtype),
             )(xp.reshape(CB, 128),
-              self.lidx.reshape(CB, RBc, beta),
-              self.val.reshape(CB, RBc, beta))
+              self.lidx.reshape(CB, RBc * beta),
+              self.val.reshape(CB, RBc * beta))
         return out.reshape(-1)
 
     def _select(self, x):
