@@ -15,14 +15,33 @@ Timing methodology: the iteration loop runs inside one compiled program
 synchronisation (block_until_ready is unreliable through the remote-chip
 relay), and two loop lengths are differenced to cancel the fixed
 per-dispatch cost.
+
+Fault isolation: every leg runs under its own try/except and the JSON
+prints whatever survived, with per-leg errors recorded in
+``extra.leg_errors`` — one experimental leg can no longer destroy the
+round's evidence (the reference's spmvtest programs time each format
+independently for the same reason, test/spmvtest1.c:200-231).
 """
 
 from __future__ import annotations
 
 import json
 import time
+import traceback
 
 import numpy as np
+
+LEG_ERRORS = {}
+
+
+def _leg(name, fn):
+    """Run one benchmark leg; on failure record the error and move on."""
+    try:
+        return fn()
+    except Exception as e:
+        LEG_ERRORS[name] = f"{type(e).__name__}: {e}"[:300]
+        traceback.print_exc()
+        return None
 
 
 def _timed(fn, arg, iters_a: int, iters_b: int, repeats: int = 5,
@@ -53,7 +72,8 @@ def _timed(fn, arg, iters_a: int, iters_b: int, repeats: int = 5,
     return min(est)
 
 
-def main():
+def _headline():
+    """DIA SpMV bandwidth on poisson3d27(96^3) — the round headline."""
     import jax
     import jax.numpy as jnp
     from lis_tpu.matrix.convert import convert_matrix
@@ -78,10 +98,17 @@ def main():
         return run
 
     t = _timed(make_spmv, x, 20, 220)
+    esize = np.dtype(np.float32).itemsize
+    bytes_moved = (nnd * n + 2 * n) * esize      # diagonals + x read + y write
+    return {"gbs": bytes_moved / t / 1e9, "mflops": 2.0 * nnz / t / 1e6,
+            "rows": n, "nnz": nnz}
 
-    # secondary metric: warm-cache whole-solve iteration rate (CG+Jacobi on
-    # 64^3, the hpcg-style problem) per precision mode — recorded in extra
+
+def _solve_rates():
+    """Warm-cache whole-solve iteration rate (CG+Jacobi on 64^3, the
+    hpcg-style problem) per precision mode."""
     import lis_tpu
+    from lis_tpu.utils.testmat import poisson3d27
     A2 = poisson3d27(64, 64, 64)
     b2 = np.ones(A2.nrows)
     solve_ms = {}
@@ -90,10 +117,30 @@ def main():
         lis_tpu.solve(A2, b2, options=opts)          # compile
         r = lis_tpu.solve(A2, b2, options=opts)
         solve_ms[f] = round(r.itime / max(r.iters, 1) * 1e3, 3)
+    return solve_ms
 
-    # general-sparsity path: BES dense sliding slabs on an unstructured
-    # band matrix (spmvtest5-class input; csr-equivalent GB/s)
+
+def _make_loop():
+    import jax
+    import jax.numpy as jnp
+
+    def make(iters):
+        @jax.jit
+        def run(arg):
+            M, v = arg
+            def body(i, vv):
+                return M.matvec(vv) * jnp.float32(1.0 / 32.0)
+            return jnp.sum(jax.lax.fori_loop(0, iters, body, v))
+        return run
+    return make
+
+
+def _bes_leg():
+    """General-sparsity path: BES dense sliding slabs on an unstructured
+    band matrix (spmvtest5-class input; csr-equivalent GB/s)."""
+    import jax.numpy as jnp
     import scipy.sparse as sp
+    from lis_tpu.matrix.convert import convert_matrix
     from lis_tpu.matrix.csr import CSRMatrix
     rng = np.random.default_rng(0)
     nb = 1 << 19
@@ -104,26 +151,21 @@ def main():
     mb.sort_indices()
     Ab = convert_matrix(CSRMatrix.from_csr_arrays(
         mb.indptr, mb.indices, mb.data, mb.shape), "bes")
-    xb = jnp.ones(nb, dtype=dtype)
-
+    xb = jnp.ones(nb, dtype=jnp.float32)
     # NOTE: the slab is passed as an ARGUMENT (closing over it would embed
     # ~0.5 GB as an HLO constant — oversized compile payloads through the
     # remote relay)
-    def make_bes(iters):
-        @jax.jit
-        def run(arg):
-            M, v = arg
-            def body(i, vv):
-                return M.matvec(vv) * jnp.float32(1.0 / 32.0)
-            return jnp.sum(jax.lax.fori_loop(0, iters, body, v))
-        return run
+    t_bes = _timed(_make_loop(), (Ab, xb), 5, 55)
+    return round(Ab.nnz * 8 / t_bes / 1e9, 1)
 
-    t_bes = _timed(make_bes, (Ab, xb), 5, 55)
-    bes_gbs = Ab.nnz * 8 / t_bes / 1e9
 
-    # locality-free sparsity (uniformly random, no band at all): CST —
-    # gather- and scatter-free lane-shuffle SpMV (matrix/cst.py)
+def _cst_leg():
+    """Locality-free sparsity (uniformly random, no band at all): CST —
+    gather- and scatter-free lane-shuffle SpMV (matrix/cst.py)."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
     from lis_tpu.matrix.cst import CSTMatrix
+    rng = np.random.default_rng(1)
     nc_ = 1 << 18
     rows_c = np.repeat(np.arange(nc_), 16)
     cols_c = rng.integers(0, nc_, size=nc_ * 16)
@@ -132,14 +174,79 @@ def main():
     mc.sum_duplicates(); mc.sort_indices()
     Ac = CSTMatrix.from_csr_arrays(mc.indptr, mc.indices, mc.data,
                                    mc.shape, transpose=False)
-    xc = jnp.ones(nc_, dtype=dtype)
-    t_cst = _timed(make_bes, (Ac, xc), 10, 60)
-    cst_gbs = (mc.nnz * 8 + 2 * nc_ * 4) / t_cst / 1e9
+    xc = jnp.ones(nc_, dtype=jnp.float32)
+    # correctness gate before timing: a fast wrong kernel is no headline
+    import jax
+    got = np.asarray(jax.jit(Ac.matvec)(xc))
+    want = mc @ np.ones(nc_, dtype=np.float32)
+    rel = float(np.linalg.norm(got - want) / np.linalg.norm(want))
+    assert rel < 1e-5, f"cst matvec wrong: rel={rel}"
+    t_cst = _timed(_make_loop(), (Ac, xc), 10, 60)
+    return round((mc.nnz * 8 + 2 * nc_ * 4) / t_cst / 1e9, 1)
 
-    esize = np.dtype(np.float32).itemsize
-    bytes_moved = (nnd * n + 2 * n) * esize      # diagonals + x read + y write
-    gbs = bytes_moved / t / 1e9
-    mflops = 2.0 * nnz / t / 1e6
+
+def _saamg_leg():
+    """SA-AMG lattice V-cycle ms/apply at 128^3 (cut-down of
+    experiments/_r3_saamg.py so the driver re-proves the round-3 flagship
+    every round; reference flagship lis_m_solver_AMGCG.F90:50)."""
+    import jax
+    import jax.numpy as jnp
+    from lis_tpu.utils.testmat import poisson3d_jump
+    from lis_tpu.precon.base import create_precon
+    from lis_tpu.runtime.options import SolverOptions
+    dim = 128
+    A = poisson3d_jump(dim, dim, dim, jump=1e4)
+    M = create_precon("saamg", A, SolverOptions.from_string("-p saamg"))
+    x = jnp.ones(dim ** 3,
+                 dtype=jnp.float64 if jax.config.jax_enable_x64
+                 else jnp.float32)
+
+    def make(iters):
+        @jax.jit
+        def run(v):
+            def body(i, vv):
+                return M.psolve(vv) * jnp.asarray(1.0 / 32.0, vv.dtype)
+            return jnp.sum(jax.lax.fori_loop(0, iters, body, v))
+        return run
+
+    t = _timed(make, x, 3, 13, repeats=3, outer=2)
+    return round(t * 1e3, 2)
+
+
+def _bsr_leg():
+    """BSR windowed-slab matvec, bsr-equivalent GB/s (cut-down of
+    experiments/_r3_bsr.py; reference lis_matvec_bsr.c:57)."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from lis_tpu.matrix.bsr import BSRMatrix
+    nx, bs = 512, 4
+    lap1 = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(nx, nx))
+    lap2 = (sp.kron(sp.eye(nx), lap1) + sp.kron(lap1, sp.eye(nx))).tocsr()
+    rng = np.random.default_rng(0)
+    blk = rng.standard_normal((bs, bs)).astype(np.float32)
+    blk += bs * np.eye(bs, dtype=np.float32)
+    A = sp.kron(lap2, sp.csr_matrix(blk)).tocsr()
+    A.sort_indices()
+    n, nnz = A.shape[0], A.nnz
+    Ab = BSRMatrix.from_csr_arrays(A.indptr, A.indices,
+                                   A.data.astype(np.float32), A.shape,
+                                   bnr=bs, bnc=bs)
+    x = jnp.ones(n, dtype=jnp.float32)
+    bnnz = nnz // (bs * bs)
+    bytes_equiv = nnz * 4 + bnnz * 4 + 2 * n * 4
+    t = _timed(_make_loop(), (Ab, x), 5, 55)
+    return round(bytes_equiv / t / 1e9, 1)
+
+
+def main():
+    import jax
+
+    head = _leg("headline_dia", _headline)
+    solve_ms = _leg("solve_rates", _solve_rates)
+    bes_gbs = _leg("bes", _bes_leg)
+    cst_gbs = _leg("cst", _cst_leg)
+    saamg_ms = _leg("saamg", _saamg_leg)
+    bsr_gbs = _leg("bsr", _bsr_leg)
 
     # HBM roofline from the chip's spec sheet (a fused elementwise "stream"
     # loop is not measurable here: XLA collapses N iterations into one
@@ -150,20 +257,34 @@ def main():
              "v3": 900.0, "v2": 700.0}
     stream_gbs = next((v for k, v in specs.items() if k in kind), 819.0)
 
+    gbs = head["gbs"] if head else 0.0
+    extra = {
+        "hbm_spec_gbs": stream_gbs,
+        "format": "dia", "dtype": "float32",
+        "spmv_convention": "2*nnz*iter/comptime (test/spmvtest3b.c:247)",
+    }
+    if head:
+        extra.update(mflops=round(head["mflops"], 1),
+                     rows=head["rows"], nnz=head["nnz"])
+    if solve_ms:
+        extra["cg_jacobi_64cubed_ms_per_iter"] = solve_ms
+    if bes_gbs:
+        extra["bes_general_sparsity_csr_equiv_gbs"] = bes_gbs
+    if cst_gbs:
+        extra["cst_locality_free_csr_equiv_gbs"] = cst_gbs
+    if saamg_ms:
+        extra["saamg_vcycle_ms_128"] = saamg_ms
+    if bsr_gbs:
+        extra["bsr_slab_gbs"] = bsr_gbs
+    if LEG_ERRORS:
+        extra["leg_errors"] = LEG_ERRORS
+
     print(json.dumps({
         "metric": "spmv_dia_poisson3d27_bandwidth",
         "value": round(gbs, 2),
         "unit": "GB/s",
         "vs_baseline": round(gbs / stream_gbs, 4),
-        "extra": {
-            "mflops": round(mflops, 1),
-            "hbm_spec_gbs": stream_gbs,
-            "rows": n, "nnz": nnz, "format": "dia", "dtype": "float32",
-            "spmv_convention": "2*nnz*iter/comptime (test/spmvtest3b.c:247)",
-            "cg_jacobi_64cubed_ms_per_iter": solve_ms,
-            "bes_general_sparsity_csr_equiv_gbs": round(bes_gbs, 1),
-            "cst_locality_free_csr_equiv_gbs": round(cst_gbs, 1),
-        },
+        "extra": extra,
     }))
 
 

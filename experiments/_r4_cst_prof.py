@@ -94,6 +94,10 @@ def main():
 
     flat = jnp.ones(M, dtype=jnp.float32)
 
+    # fused phases mirror CSTMatrix.matvec's dispatch guards: skip where
+    # no Mosaic-legal tile exists or the backend is CPU (ADVICE r4)
+    fused_ok = (jax.default_backend() != "cpu"
+                and A._front_tile() is not None)
     out = {"rows": n, "nnz": int(a.nnz), "M": M, "Kp": A.Kp,
            "passes": len(A.plan.meta), "build_s": round(build, 1)}
     for name, fn, v in [("select", sel, flat), ("mul", mul, flat),
@@ -105,6 +109,9 @@ def main():
                         ("fused_front", fused_front, flat),
                         ("fused_rowsum", fused_rowsum, flat),
                         ("full_matvec", full, x)]:
+        if name == "fused_front" and not fused_ok:
+            out[name + "_ms"] = None
+            continue
         t = timed_apply(lambda A, v: fn(A, v), v, iters_a=5, iters_b=30,
                         data=A)
         out[name + "_ms"] = round(t * 1e3, 3)

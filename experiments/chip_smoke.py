@@ -1,0 +1,178 @@
+"""Chip kernel smoke — the pre-commit gate for every Pallas change.
+
+Sweeps EVERY Pallas kernel config class in the package against numpy
+oracles on the real TPU, so that Mosaic lowering bugs (block-shape
+legality, index-map mistakes) cannot ship unexercised again.  The TPU
+analogue of the reference running one test suite across serial/OMP/MPI
+builds (/root/reference/test/test.sh:14-50).
+
+Surface covered (all 6 pallas_call sites in the package):
+  - ops/shuffle._lane_shuffle32 (+ wide-dtype planes via _lane_shuffle)
+  - ops/shuffle._fused_pass32           long- and short-stride branches
+  - ops/shuffle._fused_pass_rowsum32    long- and short-stride branches,
+                                        Kp in {2..256} incl. the round-4
+                                        regression class (Kp > 8)
+  - matrix/cst._fused_front             incl. the beta = 16384 / G < 8
+                                        widening class
+  - end-to-end CSTMatrix.matvec under jit for grids forcing each class
+
+Usage: python experiments/chip_smoke.py            (exits 1 on any FAIL)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lis_tpu.ops import shuffle as sh
+
+FAILS = []
+
+
+def check(name, got, want, tol=1e-6):
+    got = np.asarray(got)
+    want = np.asarray(want)
+    denom = max(float(np.linalg.norm(want)), 1e-30)
+    err = float(np.linalg.norm(got.astype(np.float64) - want.astype(np.float64))) / denom
+    ok = err <= tol
+    print(f"{'ok  ' if ok else 'FAIL'} {name}  rel_err={err:.2e}")
+    if not ok:
+        FAILS.append(name)
+
+
+def rand_rowperm_idx(rng, R):
+    """Random independent 128-lane permutation per row."""
+    return np.argsort(rng.random((R, 128)), axis=1).astype(np.int32)
+
+
+def smoke_lane_shuffle(rng):
+    for R in (32, 512, 4096):
+        idx = rand_rowperm_idx(rng, R)
+        x = rng.standard_normal((R, 128)).astype(np.float32)
+        want = np.take_along_axis(x, idx, axis=1)
+        got = sh._lane_shuffle32(jnp.asarray(x), jnp.asarray(idx.astype(np.uint8)))
+        check(f"lane_shuffle32 R={R}", got, want)
+    # wide/narrow dtypes ride as 32-bit planes through _lane_shuffle
+    idx = rand_rowperm_idx(rng, 64)
+    for dt in (np.float64, np.complex64, np.float16):
+        x = (rng.standard_normal((64, 128)) + (1j if dt == np.complex64 else 0)).astype(dt)
+        want = np.take_along_axis(x, idx, axis=1)
+        got = sh._lane_shuffle(jnp.asarray(x), jnp.asarray(idx.astype(np.uint8)))
+        check(f"lane_shuffle dtype={np.dtype(dt).name}", got, want,
+              tol=3e-3 if dt == np.float16 else 1e-6)
+
+
+def smoke_fused_pass(rng):
+    d = 128
+    for s, pre in ((128, 32), (256, 8), (1024, 4), (16384, 2)):
+        M = pre * d * s
+        x = rng.standard_normal(M).astype(np.float32)
+        idx = rand_rowperm_idx(rng, M // 128)
+        want = sh.apply_host([(d, s, idx)], x, M)
+        got = sh._fused_pass32(jnp.asarray(x), jnp.asarray(idx.astype(np.uint8)),
+                               d, s, M)
+        check(f"fused_pass32 s={s} pre={pre}", got, want)
+
+
+def smoke_fused_rowsum(rng):
+    d = 128
+    for s, pre in ((128, 32), (1024, 4), (16384, 2)):
+        for Kp in (2, 4, 8, 16, 32, 64, 128, 256):
+            if s % Kp:
+                continue
+            M = pre * d * s
+            W = sh._rowsum_tile(s, Kp)
+            if W is None:
+                print(f"skip fused_rowsum s={s} Kp={Kp} (no legal tile; "
+                      f"guard falls back)")
+                continue
+            x = rng.standard_normal(M).astype(np.float32)
+            idx = rand_rowperm_idx(rng, M // 128)
+            want = sh.apply_host([(d, s, idx)], x, M).reshape(-1, Kp).sum(axis=1)
+            got = sh._fused_pass_rowsum32(
+                jnp.asarray(x), jnp.asarray(idx.astype(np.uint8)), d, s, M, Kp)
+            check(f"fused_rowsum32 s={s} Kp={Kp} W={W}", got, want, tol=2e-6)
+
+
+def smoke_plan_rowsum(rng):
+    """ShufflePlan.apply / apply_rowsum end-to-end on exact-holes plans —
+    the exact production entry (CSTMatrix.matvec)."""
+    for M, load, Kp in ((1 << 17, 0.5, 8), (1 << 18, 0.5, 32), (1 << 18, 0.4, 128)):
+        nreal = int(M * load)
+        src = rng.choice(M, size=nreal, replace=False).astype(np.int64)
+        dst = rng.choice(M, size=nreal, replace=False).astype(np.int64)
+        perm = np.full(M, -1, dtype=np.int64)
+        perm[src] = dst
+        plan = sh.plan_shuffle(perm, exact_holes=True)
+        v = np.zeros(M, dtype=np.float32)
+        v[src] = rng.standard_normal(nreal).astype(np.float32)
+        want_full = np.zeros(M, dtype=np.float32)
+        want_full[dst] = v[src]
+        got = np.asarray(jax.jit(plan.apply)(jnp.asarray(v)))
+        check(f"plan.apply M={M}", got[dst], want_full[dst])
+        got_rs = jax.jit(lambda t: plan.apply_rowsum(t, Kp))(jnp.asarray(v))
+        check(f"plan.apply_rowsum M={M} Kp={Kp}", got_rs,
+              want_full.reshape(-1, Kp).sum(axis=1), tol=2e-6)
+
+
+def smoke_cst(rng):
+    """End-to-end CSTMatrix.matvec under jit, grids forcing each kernel
+    config class.  Includes the round-4 regression repro (n=2^16, k=16 ->
+    Kp=32) and the beta=16384 fused-front widening class."""
+    import scipy.sparse as sp
+    from lis_tpu.matrix.cst import CSTMatrix
+    cases = [
+        ("judge-repro Kp=32", 1 << 16, 16),
+        ("legacy Kp<=8", 1 << 16, 3),
+        ("front beta=16384", 1 << 14, 100),
+    ]
+    for name, n, k in cases:
+        rows = np.repeat(np.arange(n), k)
+        cols = rng.integers(0, n, size=n * k)
+        m = sp.coo_matrix((rng.standard_normal(n * k).astype(np.float32),
+                           (rows, cols)), shape=(n, n)).tocsr()
+        m.sum_duplicates()
+        m.sort_indices()
+        A = CSTMatrix.from_csr_arrays(m.indptr, m.indices, m.data, m.shape,
+                                      transpose=False)
+        x = rng.standard_normal(n).astype(np.float32)
+        want = m @ x
+        got = jax.jit(A.matvec)(jnp.asarray(x))
+        tag = (f"cst.matvec {name} Kp={A.Kp} beta={A.beta} "
+               f"front_tile={A._front_tile()}")
+        check(tag, got, want, tol=5e-6)
+        # ADVICE r4: pin _fused_front against the unfused chain
+        if A._front_tile() is not None and jax.default_backend() != "cpu":
+            xp = jnp.pad(jnp.asarray(x), (0, A.n_pad - n))
+            fused = np.asarray(A._fused_front(xp))
+            sel = A._select(jnp.asarray(x))
+            contrib = sel * A.val
+            CB = A.n_pad // 128
+            t = jnp.swapaxes(contrib.reshape(CB, A.RBc, A.beta), 0, 1)
+            check(f"cst._fused_front==unfused {name}",
+                  fused, np.asarray(t).reshape(-1), tol=1e-7)
+
+
+def main():
+    print(f"backend={jax.default_backend()} devices={jax.devices()}")
+    rng = np.random.default_rng(7)
+    smoke_lane_shuffle(rng)
+    smoke_fused_pass(rng)
+    smoke_fused_rowsum(rng)
+    smoke_plan_rowsum(rng)
+    smoke_cst(rng)
+    if FAILS:
+        print(f"\n{len(FAILS)} FAILURES: {FAILS}")
+        sys.exit(1)
+    print("\nALL GREEN")
+
+
+if __name__ == "__main__":
+    main()

@@ -230,20 +230,40 @@ class CSTMatrix(SparseMatrix):
     def fill_blowup(self) -> float:
         return self.val.size / max(self.nnz, 1)
 
+    def _front_tile(self):
+        """Chunk tile G for ``_fused_front``, or None when no Mosaic-legal
+        tile exists (matvec then uses the unfused select/multiply chain).
+        Every block's second-minor dim is G: legal only as a multiple of
+        8 (f32) or the full dim CB."""
+        if self.beta % 128:
+            return None             # in-kernel repeat needs beta >= 128
+        CB = self.n_pad // 128
+        G = max(1, min(CB, (1 << 16) // self.beta))
+        while CB % G:
+            G //= 2
+        if G % 8 and G != CB:
+            # widen past the element-count cap if VMEM allows: the f32
+            # blocks are G*beta*4 B each (val/out/xrep), 512 KB at the
+            # grid maximum beta = 16384
+            if CB % 8 == 0 and 8 * self.beta * 4 <= (1 << 21):
+                G = 8
+            else:
+                return None
+        return G
+
     def _fused_front(self, xp):
         """select * val written directly in the (RBc, CB, beta)
         transposed bucket order — ONE kernel replacing the repeat /
         lane-shuffle / multiply / XLA-transpose chain (the bucket
         transpose costs nothing: it is the output BlockSpec index map).
         ~9 B/slot of HBM traffic vs ~33 unfused (measured 0.80 ms ->
-        see BENCH.md, v5e M=2^24).  Requires beta % 128 == 0 and f32."""
+        see BENCH.md, v5e M=2^24).  Callers gate on ``_front_tile``."""
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
         CB = self.n_pad // 128
         RBc, beta = self.RBc, self.beta
-        G = max(1, min(CB, (1 << 16) // beta))
-        while CB % G:
-            G //= 2
+        G = self._front_tile()
+        assert G is not None, "caller must gate fusion on _front_tile"
         dn = jax.lax.GatherDimensionNumbers(
             offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
             operand_batching_dims=(0,), start_indices_batching_dims=(0,))
@@ -289,8 +309,8 @@ class CSTMatrix(SparseMatrix):
 
     def matvec(self, x):
         dt = jnp.result_type(x.dtype, self.val.dtype)
-        if (dt == jnp.float32 and self.beta % 128 == 0
-                and jax.default_backend() != "cpu"):
+        if (dt == jnp.float32 and jax.default_backend() != "cpu"
+                and self._front_tile() is not None):
             xp = jnp.pad(x.astype(dt) if x.dtype != dt else x,
                          (0, self.n_pad - x.shape[0]))
             t = self._fused_front(xp)

@@ -339,11 +339,13 @@ def _lane_shuffle32(x, idx):
     """Permute within each 128-lane row: out[r, l] = x[r, idx[r, l]].
     Pallas (Mosaic tpu.dynamic_gather); CPU/interpret fallback is XLA
     take_along_axis (tests on the virtual CPU mesh)."""
-    if jax.default_backend() == "cpu":
+    R = x.shape[0]
+    # R < 32 falls below the 8-bit (32, 128) min tile of the uint8 index
+    # operand; such rows are trivially cheap anyway — XLA path
+    if jax.default_backend() == "cpu" or R < 32:
         return jnp.take_along_axis(x, idx.astype(jnp.int32), axis=1)
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-    R = x.shape[0]
     TS = min(R, 512)
     # lax.gather spelled in the exact form Mosaic lowers to
     # tpu.dynamic_gather (int32 indices — take_along_axis would promote
@@ -460,6 +462,28 @@ def _fused_pass32(x, idx, d, s, M):
     return out.reshape(-1)
 
 
+_ROWSUM_WMAX = 8192   # max lane tile of the fused rowsum pass (f32 input
+                      # block = d*W*4 B; 8192 -> 4 MB, double-buffered 8 MB)
+
+
+def _rowsum_tile(s, Kp):
+    """Lane tile W for ``_fused_pass_rowsum32``'s long-stride branch, or
+    None when no Mosaic-legal tile exists (callers fall back to the
+    unfused passes).  Legality: the OUTPUT block's minor dim is W//Kp,
+    which Mosaic accepts only as a multiple of 128 or as the full dim
+    s//Kp.  All sizes here are powers of two."""
+    if s < _FUSE_W:
+        return s                  # short-stride branch: full-dim blocks
+    if s % _FUSE_W == 0 and (_FUSE_W // Kp) % 128 == 0:
+        return _FUSE_W            # Kp <= 8
+    W = 128 * Kp                  # W//Kp == 128 by construction
+    if s % W == 0 and W <= _ROWSUM_WMAX:
+        return W
+    if s <= _ROWSUM_WMAX:
+        return s                  # single tile spans the stride: full dim
+    return None
+
+
 def _fused_pass_rowsum32(x, idx, d, s, M, Kp):
     """Final Benes pass + ELL row reduction in ONE kernel: the routed
     values never hit HBM — each (W, 128) gathered tile is summed over
@@ -487,7 +511,9 @@ def _fused_pass_rowsum32(x, idx, d, s, M, Kp):
     iv = idx.reshape(M // 128, 128)
     with jax.enable_x64(False):
         if s >= _FUSE_W:
-            W = _FUSE_W if s % _FUSE_W == 0 else s
+            W = _rowsum_tile(s, Kp)
+            assert W is not None and s % W == 0, \
+                "caller must gate fusion on _rowsum_tile"
 
             def kernel(x_ref, i_ref, o_ref):
                 g = body(x_ref[0].T, i_ref[:])          # (W, 128)
@@ -583,7 +609,7 @@ class ShufflePlan:
             if (i == last and d == 128 and s > 1 and s % Kp == 0
                     and out.dtype.itemsize == 4
                     and jax.default_backend() != "cpu"
-                    and (s % _FUSE_W == 0 or s >= _FUSE_W or s % 128 == 0)):
+                    and _rowsum_tile(s, Kp) is not None):
                 return _fused_pass_rowsum32(out, idx, d, s, self.M, Kp)
             out = _apply_pass(out, idx, d, s, self.M)
         return out.reshape(-1, Kp).sum(axis=1)
@@ -607,6 +633,10 @@ def apply_host(passes, v, M):
     return out
 
 
+_PLAN_CACHE: "dict[bytes, ShufflePlan]" = {}
+_PLAN_CACHE_MAX = 16
+
+
 def plan_shuffle(perm: np.ndarray, M: int | None = None,
                  validate: bool = True, digits=None,
                  exact_holes: bool = False,
@@ -616,8 +646,23 @@ def plan_shuffle(perm: np.ndarray, M: int | None = None,
     ``perm`` maps src slot -> dst slot; -1 entries are free (unfilled src
     slots), and dst slots not hit are free — both are completed into a
     full bijection internally.  ``M`` (power of two >= len(perm)) pads
-    the slot count."""
+    the slot count.
+
+    Plans are memoised on a content hash of (perm, M, digits, flags):
+    re-assembling a matrix with an unchanged sparsity pattern (new
+    values, same structure — the dominant production pattern, e.g.
+    time-stepping re-solves) skips the whole host routing phase, the
+    analogue of the reference reusing its commtable across solves
+    (src/matrix/lis_matrix_mpi.c:594: built once at assemble)."""
+    import hashlib
     perm = np.asarray(perm, dtype=np.int64)
+    h = hashlib.blake2b(perm.tobytes(), digest_size=16)
+    h.update(repr((M, tuple(digits) if digits else None, exact_holes,
+                   skip_identity)).encode())
+    key = h.digest()
+    hit = _PLAN_CACHE.get(key)
+    if hit is not None:
+        return hit
     M = M or len(perm)
     assert M >= len(perm)
     real = np.flatnonzero(perm >= 0)
@@ -632,17 +677,25 @@ def plan_shuffle(perm: np.ndarray, M: int | None = None,
         unread = np.setdiff1d(np.arange(M, dtype=np.int64), src,
                               assume_unique=False)
         inv[inv < 0] = unread[: int((inv < 0).sum())]
-        return ShufflePlan(idxs=(), meta=(), M=M,
-                           small=jnp.asarray(inv.astype(np.int32)))
+        return _plan_cache_put(key, ShufflePlan(
+            idxs=(), meta=(), M=M,
+            small=jnp.asarray(inv.astype(np.int32))))
     passes = _route(src, dst, M, digits=digits,
                     exact_holes=exact_holes, skip_identity=skip_identity)
     if validate:
         got = apply_host(passes, np.arange(M, dtype=np.int64), M)
         if not np.array_equal(got[dst], src):
             raise AssertionError("shuffle routing produced a wrong plan")
-    return ShufflePlan(
+    return _plan_cache_put(key, ShufflePlan(
         # lane indices are < 128: uint8 storage quarters the index
         # traffic of every pass (kernels upcast to i32 in registers)
         idxs=tuple(jnp.asarray(idx.astype(np.uint8)) for (_, _, idx)
                    in passes),
-        meta=tuple((d, s) for (d, s, _) in passes), M=M)
+        meta=tuple((d, s) for (d, s, _) in passes), M=M))
+
+
+def _plan_cache_put(key: bytes, plan: ShufflePlan) -> ShufflePlan:
+    if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+        _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))    # FIFO eviction
+    _PLAN_CACHE[key] = plan
+    return plan

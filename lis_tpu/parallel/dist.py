@@ -424,15 +424,27 @@ class DistCSTMatrix(SparseMatrix):
     All CST static parameters (n_pad, Kp, Benes pass list) are forced
     identical across shards so the per-shard pytrees stack into sharded
     leaves and run unchanged inside shard_map.  Per-shard bucket/row
-    overflow spills to a padded gather-path remainder."""
-    cst: object               # CSTMatrix; leaves carry a leading p dim
-    at_cst: object            # CSTMatrix of the local block transpose
+    overflow spills to a padded gather-path remainder.
+
+    Entries are SPLIT at distribute time into interior (all columns
+    owned — the CST grid covers ONLY these, over the nlocal column
+    space) and boundary (ghost columns — a padded gather segment over
+    the ghost tail, O(boundary nnz)).  The matvec issues every
+    per-distance ppermute first, runs the interior CST product while the
+    collective-permutes fly, and only then consumes the ghost tail — the
+    reference's USE_OVERLAP (src/matvec/lis_matvec.c:119-124) carried to
+    the locality-free layout, matching the sibling table-CSR class."""
+    cst: object               # CSTMatrix of the INTERIOR block (nlocal^2)
+    at_cst: object            # CSTMatrix of the interior-block transpose
     rem_val: jax.Array        # (p*mrem,) spill values (zero-padded)
-    rem_lidx: jax.Array       # (p*mrem,) int32 ghost-extended col ids
+    rem_lidx: jax.Array       # (p*mrem,) int32 local col ids (< nlocal)
     rem_rows: jax.Array       # (p*mrem,) int32 local row ids (sorted)
     art_val: jax.Array        # (p*mrem2,) transpose-block spill values
     art_lidx: jax.Array       # (p*mrem2,) int32 col ids (< nlocal)
-    art_rows: jax.Array       # (p*mrem2,) int32 ghost-extended row ids
+    art_rows: jax.Array       # (p*mrem2,) int32 row ids (< nlocal)
+    bnd_val: jax.Array        # (p*mbnd,) boundary values (zero-padded)
+    bnd_lidx: jax.Array       # (p*mbnd,) int32 ghost-tail ids (< G)
+    bnd_rows: jax.Array       # (p*mbnd,) int32 local row ids (sorted)
     ghost_gids: jax.Array     # (p*G,) int32 global id per ghost slot
     exports: tuple            # per distance: (p*Ed,) int32 local x ids
     nlocal: int               # static
@@ -444,28 +456,43 @@ class DistCSTMatrix(SparseMatrix):
     G: int = 0
     mrem: int = 0
     mrem2: int = 0
+    mbnd: int = 0
 
     halo = "table"
 
     # ---- local (inside-shard_map) compute -------------------------------
-    def _exchange(self, x_local):
+    def _start_exchange(self, x_local):
+        """Per-distance export pack + ppermute, slabs returned without
+        concatenating so the interior product can run first."""
         p = self.nprocs
         ghosts = []
         for d, eidx in zip(self.dists, self.exports):
             packed = jnp.take(x_local, eidx, axis=0, mode="clip")
             perm = [(i, (i - d) % p) for i in range(p)]
             ghosts.append(jax.lax.ppermute(packed, AXIS, perm))
+        return ghosts
+
+    def _exchange(self, x_local):
+        ghosts = self._start_exchange(x_local)
         if not ghosts:
             return x_local
         return jnp.concatenate([x_local] + ghosts)
 
     def matvec(self, x_local):
-        xe = self._exchange(x_local)
-        y = self.cst.matvec(xe)
+        # comm first, interior CST compute while it flies (USE_OVERLAP)
+        ghosts = self._start_exchange(x_local)
+        y = self.cst.matvec(x_local)
         if self.mrem:
-            prod = self.rem_val * jnp.take(xe, self.rem_lidx, axis=0,
+            prod = self.rem_val * jnp.take(x_local, self.rem_lidx, axis=0,
                                            mode="clip")
             y = y + jax.ops.segment_sum(prod, self.rem_rows,
+                                        num_segments=self.nlocal,
+                                        indices_are_sorted=True)
+        if ghosts:
+            gh = jnp.concatenate(ghosts)
+            prod_b = self.bnd_val * jnp.take(gh, self.bnd_lidx, axis=0,
+                                             mode="clip")
+            y = y + jax.ops.segment_sum(prod_b, self.bnd_rows,
                                         num_segments=self.nlocal,
                                         indices_are_sorted=True)
         return y
@@ -475,20 +502,28 @@ class DistCSTMatrix(SparseMatrix):
                 (lambda a: a))
         xin = jnp.conj(x_local) if jnp.iscomplexobj(self.cst.val) \
             else x_local
-        z = self.at_cst.matvec(xin)          # (nlocal + G,) partials
+        z = self.at_cst.matvec(xin)[: self.nlocal]   # interior partials
         z = conj(z)
         if self.mrem2:
             prod = conj(self.art_val) * jnp.take(
                 x_local, jnp.minimum(self.art_lidx, self.nlocal - 1),
                 axis=0)
-            z = z.at[jnp.minimum(self.art_rows, self.nlocal + self.G - 1)
-                     ].add(prod)
-        y = jnp.concatenate([z[: self.nlocal], jnp.zeros(1, z.dtype)])
+            z = jnp.concatenate([z, jnp.zeros(1, z.dtype)])
+            z = z.at[jnp.minimum(self.art_rows, self.nlocal)].add(prod)
+            z = z[: self.nlocal]
+        y = jnp.concatenate([z, jnp.zeros(1, z.dtype)])
+        if not self.dists:
+            return y[: self.nlocal]
+        # ghost partials come from the boundary segment alone
+        prod_b = conj(self.bnd_val) * jnp.take(
+            x_local, jnp.minimum(self.bnd_rows, self.nlocal - 1), axis=0)
+        tail = jnp.zeros(self.G, dtype=prod_b.dtype)
+        tail = tail.at[self.bnd_lidx].add(prod_b)
         p = self.nprocs
-        off = self.nlocal
+        off = 0
         # lis_reduce: route ghost partials back to their owners and add
         for d, Ed, eidx in zip(self.dists, self.exp_lens, self.exports):
-            part = jax.lax.dynamic_slice(z, (off,), (Ed,))
+            part = jax.lax.dynamic_slice(tail, (off,), (Ed,))
             off += Ed
             perm = [(i, (i + d) % p) for i in range(p)]
             back = jax.lax.ppermute(part, AXIS, perm)
@@ -520,10 +555,10 @@ class DistCSTMatrix(SparseMatrix):
 jax.tree_util.register_pytree_node(
     DistCSTMatrix,
     lambda m: ((m.cst, m.at_cst, m.rem_val, m.rem_lidx, m.rem_rows,
-                m.art_val, m.art_lidx, m.art_rows, m.ghost_gids,
-                m.exports),
+                m.art_val, m.art_lidx, m.art_rows, m.bnd_val, m.bnd_lidx,
+                m.bnd_rows, m.ghost_gids, m.exports),
                (m.nlocal, m.gn, m.gn_pad, m.nprocs, m.dists, m.exp_lens,
-                m.G, m.mrem, m.mrem2)),
+                m.G, m.mrem, m.mrem2, m.mbnd)),
     lambda aux, c: DistCSTMatrix(*c, *aux))
 
 
@@ -542,28 +577,31 @@ def distribute_csr_cst(A, mesh: Mesh,
     (rows, shard_of, lidx_np, exports, dists, exp_lens, ghost_gids,
      G) = _table_plan(ptr, index, gn, p, nlocal)
     lrow = rows - shard_of * nlocal
-    ncols_loc = nlocal + G
-    n_pad = _next_pow2(max(nlocal, ncols_loc, 128 * 128))
+    # interior/boundary split (USE_OVERLAP): only interior entries enter
+    # the CST grid, so it spans the LOCAL column space and has no data
+    # dependency on the halo exchanges
+    is_int = lidx_np < nlocal
+    n_pad = _next_pow2(max(nlocal, 128 * 128))
     Kp = CSTMatrix._pick_kp(len(value) / max(gn, 1))
 
     csts, ats, spills, spills_at = [], [], [], []
     for k in range(p):
-        sel = np.nonzero(shard_of == k)[0]          # row-major order
+        sel = np.nonzero((shard_of == k) & is_int)[0]   # row-major order
         lp = np.zeros(nlocal + 1, dtype=np.int64)
         np.add.at(lp, lrow[sel] + 1, 1)
         lp = np.cumsum(lp)
         blk, sp_k = CSTMatrix.from_csr_arrays(
-            lp, lidx_np[sel], value[sel], (nlocal, ncols_loc),
+            lp, lidx_np[sel], value[sel], (nlocal, nlocal),
             transpose=False, Kp=Kp, n_pad=n_pad, return_spill=True,
             consistent_passes=True)
         csts.append(blk)
         spills.append(sp_k)
         at_sp = sp.coo_matrix(
             (value[sel], (lidx_np[sel], lrow[sel])),
-            shape=(ncols_loc, nlocal)).tocsr()
+            shape=(nlocal, nlocal)).tocsr()
         at_sp.sort_indices()
         atk, sp2 = CSTMatrix.from_csr_arrays(
-            at_sp.indptr, at_sp.indices, at_sp.data, (ncols_loc, nlocal),
+            at_sp.indptr, at_sp.indices, at_sp.data, (nlocal, nlocal),
             transpose=False, Kp=Kp, n_pad=n_pad, return_spill=True,
             consistent_passes=True)
         ats.append(atk)
@@ -608,19 +646,37 @@ def distribute_csr_cst(A, mesh: Mesh,
         return put(v), put(li), put(ri), (mr if any_real else 0), mr
 
     rv, rl, rr, mrem, _ = pad_spill(spills, nlocal)
-    av, al, ar, mrem2, _ = pad_spill(spills_at, ncols_loc)
+    av, al, ar, mrem2, _ = pad_spill(spills_at, nlocal)
+
+    # boundary segment: ghost-column entries, row-major-sorted per shard,
+    # consumed AFTER the ppermutes (padded like the table-CSR class)
+    cnt_b = np.bincount(shard_of[~is_int], minlength=p)
+    mbnd = max(int(cnt_b.max()) if p else 1, 1)
+    bval = np.zeros((p, mbnd), dtype=value.dtype)
+    bli = np.zeros((p, mbnd), dtype=np.int32)
+    brow = np.full((p, mbnd), nlocal - 1, dtype=np.int32)
+    any_b = False
+    for k in range(p):
+        seg = np.nonzero((shard_of == k) & ~is_int)[0]
+        cnt = len(seg)
+        any_b = any_b or cnt > 0
+        bval[k, :cnt] = value[seg]
+        bli[k, :cnt] = lidx_np[seg] - nlocal
+        brow[k, :cnt] = lrow[seg]
 
     put = lambda a: jax.device_put(jnp.asarray(a.reshape(-1)), sh)
     return DistCSTMatrix(
         cst=cst_s, at_cst=at_s,
         rem_val=rv, rem_lidx=rl, rem_rows=rr,
         art_val=av, art_lidx=al, art_rows=ar,
+        bnd_val=put(bval), bnd_lidx=put(bli), bnd_rows=put(brow),
         ghost_gids=put(ghost_gids),
         exports=tuple(put(e) for e in exports),
         nlocal=nlocal, gn=gn, gn_pad=gn_pad, nprocs=p,
         dists=tuple(int(d) for d in dists),
         exp_lens=tuple(int(e) for e in exp_lens), G=G,
-        mrem=int(mrem), mrem2=int(mrem2))
+        mrem=int(mrem), mrem2=int(mrem2),
+        mbnd=int(mbnd if any_b else 0))
 
 
 
@@ -777,6 +833,16 @@ def undistribute_csr(A):
             rrr = host(A.rem_rows).reshape(A.nprocs, -1).astype(np.int64)
             for k in range(A.nprocs):
                 v, g, c = _g2l_to_global(k, rrr[k], rll[k], rvv[k])
+                vv.append(v); rr_.append(g); cc_.append(c)
+        if A.mbnd:
+            bvv = host(A.bnd_val).reshape(A.nprocs, -1)
+            bll = host(A.bnd_lidx).reshape(A.nprocs, -1).astype(np.int64)
+            brr = host(A.bnd_rows).reshape(A.nprocs, -1).astype(np.int64)
+            for k in range(A.nprocs):
+                # boundary lidx indexes the ghost tail: shift into the
+                # ghost-extended range _g2l_to_global resolves via gg
+                v, g, c = _g2l_to_global(k, brr[k], bll[k] + A.nlocal,
+                                         bvv[k])
                 vv.append(v); rr_.append(g); cc_.append(c)
         coo = sp.coo_matrix((np.concatenate(vv),
                              (np.concatenate(rr_), np.concatenate(cc_))),

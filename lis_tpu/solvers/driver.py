@@ -296,9 +296,25 @@ def _block_matvec(binv, r):
     return BlockJacobiPrecon(binv=binv, n=r.shape[0]).psolve(r)
 
 
+# formats with no TPU-native fast path: every matvec is an XLA gather
+# (bsr/vbr are excluded — forcing them is the documented block-precon
+# workflow and the windowed-slab kernel often applies; dns rides the MXU)
+_GATHER_BOUND = {"csr", "csc", "msr", "ell", "jad", "coo"}
+
+
 def _convert_storage(A, opts):
     if opts.storage:
-        return convert_matrix(A, _STORAGE_BY_ID[opts.storage],
+        name = _STORAGE_BY_ID[opts.storage]
+        if (name in _GATHER_BOUND
+                and jax.default_backend() not in ("cpu",)):
+            import warnings
+            warnings.warn(
+                f"-storage {name} forces a gather-bound SpMV on TPU "
+                f"(~0.3-1 GB/s, up to ~1000x off the HBM roofline — "
+                f"BENCH.md per-format table). Omit -storage to let "
+                f"auto-routing pick a TPU-native layout (dia/bes/cst), "
+                f"or pass -auto_storage true.", stacklevel=2)
+        return convert_matrix(A, name,
                               **({"bnr": opts.storage_block}
                                  if opts.storage in (7, 8) else {}))
     if opts.auto_storage:
