@@ -268,9 +268,16 @@ def _pass_idx(pos_before, pos_after, d, s, M, exact_holes=False):
         idx[rows, base + a_after] = base + a_before
         read = np.zeros((M // 128, 128), dtype=bool)
         read[rows, base + a_before] = True
-        orow, olane = np.nonzero(idx < 0)
-        _, ilane = np.nonzero(~read)
-        idx[orow, olane] = ilane
+        # pair the j-th unwritten output with the j-th unread lane PER
+        # ROW, all vectorized (two global np.nonzero scans cost ~40% of
+        # the whole routing at 4M nnz): stable argsort of the read flag
+        # lists unread lanes first in lane order; a row-wise cumsum
+        # ranks the holes
+        unread = np.argsort(read, axis=1, kind="stable").astype(np.int32)
+        hole = idx < 0
+        jrank = np.cumsum(hole, axis=1, dtype=np.int32) - 1
+        np.copyto(idx, np.take_along_axis(unread, jrank, axis=1),
+                  where=hole)
         return idx
     idx = np.broadcast_to(np.arange(128, dtype=np.int32),
                           (M // 128, 128)).copy()
