@@ -101,6 +101,23 @@ def smoke_fused_rowsum(rng):
             check(f"fused_rowsum32 s={s} Kp={Kp} W={W}", got, want, tol=2e-6)
 
 
+def smoke_fused_small(rng):
+    """_fused_small32: a consecutive run of (128, s<=128) passes in one
+    kernel, with and without the absorbed row reduction."""
+    M = 1 << 17
+    for ss in ([128, 1, 128], [1, 128], [128, 128]):
+        passes = [(128, s, rand_rowperm_idx(rng, M // 128)) for s in ss]
+        x = rng.standard_normal(M).astype(np.float32)
+        want = sh.apply_host(passes, x, M)
+        idxs = [jnp.asarray(p[2].astype(np.uint8)) for p in passes]
+        got = sh._fused_small32(jnp.asarray(x), idxs, ss, M)
+        check(f"fused_small ss={ss}", got, want)
+        for Kp in (2, 32, 128):
+            gotr = sh._fused_small32(jnp.asarray(x), idxs, ss, M, Kp=Kp)
+            check(f"fused_small+rowsum ss={ss} Kp={Kp}", gotr,
+                  want.reshape(-1, Kp).sum(axis=1), tol=2e-6)
+
+
 def smoke_plan_rowsum(rng):
     """ShufflePlan.apply / apply_rowsum end-to-end on exact-holes plans —
     the exact production entry (CSTMatrix.matvec)."""
@@ -166,6 +183,7 @@ def main():
     smoke_lane_shuffle(rng)
     smoke_fused_pass(rng)
     smoke_fused_rowsum(rng)
+    smoke_fused_small(rng)
     smoke_plan_rowsum(rng)
     smoke_cst(rng)
     if FAILS:

@@ -565,6 +565,99 @@ def _fused_pass_rowsum32(x, idx, d, s, M, Kp):
     return out.reshape(-1)
 
 
+def _fused_small32(x, idxs, ss, M, Kp=None, interpret=False):
+    """Apply a CONSECUTIVE RUN of (d=128, s<=128) Benes passes in ONE
+    pallas kernel.  Any such pass permutes elements only within aligned
+    16384-slot tiles: viewing the flat array as (M/16384, 128, 128)
+    tiles T[b, a, w] (slot = b*16384 + a*128 + w), a pass with s == 1
+    permutes w within each (b, a) row (a plain lane gather) and a pass
+    with s == 128 permutes a within each (b, w) column (transpose, lane
+    gather, transpose back).  The CST plan's three inner passes
+    (s=128, s=1, s=128) therefore become one kernel — each fused pass
+    saves a full HBM read+write of the array (~8 B/slot).
+
+    ``Kp`` (power of two <= 128) additionally fuses the trailing ELL row
+    reduction: after the last pass, slot F = b*16384 + a*128 + w has row
+    F//Kp, so rows are w-groups of Kp within each (b, a) row and the
+    kernel writes only the (128, 128/Kp) row sums per tile.  Only valid
+    for exact-holes plans (hole slots provably carry zeros).
+
+    ``interpret`` runs the kernel in pallas interpret mode (CPU
+    validation path used by the test suite)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    MB = M // 16384
+    B = max(1, min(MB, 8))
+    while MB % B:
+        B //= 2
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
+        operand_batching_dims=(0,), start_indices_batching_dims=(0,))
+
+    def gather_rows(t2, ii):
+        if ii.dtype != jnp.int32:
+            ii = ii.astype(jnp.int32)
+        return jax.lax.gather(
+            t2, ii[..., None], dn, (1, 1),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+    def kernel(*refs):
+        x_ref = refs[0]
+        o_ref = refs[-1]
+        T = x_ref[:]                              # (B, 128, 128) [a, w]
+        for s, i_ref in zip(ss, refs[1:-1]):
+            ii = i_ref[:].reshape(B * 128, 128)
+            if s == 1:
+                # row shuffle: idx rows indexed by (b, a)
+                T = gather_rows(T.reshape(B * 128, 128), ii)
+                T = T.reshape(B, 128, 128)
+            else:
+                # column shuffle: idx rows indexed by (b, w)
+                Tt = jnp.swapaxes(T, 1, 2).reshape(B * 128, 128)
+                Tt = gather_rows(Tt, ii)
+                T = jnp.swapaxes(Tt.reshape(B, 128, 128), 1, 2)
+        if Kp is None:
+            o_ref[:] = T
+        else:
+            o_ref[:] = T.reshape(B, 128, 128 // Kp, Kp).sum(axis=3)
+
+    W_out = 128 if Kp is None else 128 // Kp
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            grid=(MB // B,),
+            in_specs=[pl.BlockSpec((B, 128, 128), lambda p: (p, 0, 0),
+                                   memory_space=pltpu.VMEM)]
+            + [pl.BlockSpec((B, 128, 128), lambda p: (p, 0, 0),
+                            memory_space=pltpu.VMEM)] * len(ss),
+            out_specs=pl.BlockSpec((B, 128, W_out), lambda p: (p, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((MB, 128, W_out), x.dtype),
+            interpret=interpret,
+        )(x.reshape(MB, 128, 128),
+          *[ii.reshape(MB, 128, 128) for ii in idxs])
+    return out.reshape(-1)
+
+
+def _small_run(meta):
+    """(start, stop) of the first maximal run of consecutive passes with
+    d == 128 and s <= 128 (the 16384-tile-local passes _fused_small32
+    can fuse), or None."""
+    i = 0
+    n = len(meta)
+    while i < n:
+        if meta[i][0] == 128 and meta[i][1] <= 128:
+            j = i
+            while j < n and meta[j][0] == 128 and meta[j][1] <= 128:
+                j += 1
+            if j - i >= 2:
+                return i, j
+            i = j
+        else:
+            i += 1
+    return None
+
+
 def _apply_pass(v, idx, d, s, M):
     """Apply one Benes pass to the flat (M,) vector ``v``."""
     if (d == 128 and s > 1 and jax.default_backend() != "cpu"
@@ -594,12 +687,29 @@ class ShufflePlan:
     M: int = 0
     small: object = None      # tiny fallback: device scatter-order take
 
+    def _run_fusable(self, v):
+        """The 16384-tile pass-run fusion applies: 4-byte dtype, TPU
+        backend, tile-aligned slot count."""
+        return (v.dtype.itemsize == 4 and self.M % 16384 == 0
+                and self.M >= 16384 and jax.default_backend() != "cpu")
+
     def apply(self, v):
         if self.small is not None:
             return jnp.take(v, self.small, axis=0)
         out = v
-        for (d, s), idx in zip(self.meta, self.idxs):
+        metas, idxs = self.meta, self.idxs
+        run = _small_run(metas) if self._run_fusable(v) else None
+        i = 0
+        while i < len(metas):
+            if run is not None and i == run[0]:
+                out = _fused_small32(out, idxs[i: run[1]],
+                                     [s for _, s in metas[i: run[1]]],
+                                     self.M)
+                i = run[1]
+                continue
+            (d, s), idx = metas[i], idxs[i]
             out = _apply_pass(out, idx, d, s, self.M)
+            i += 1
         return out
 
     def apply_rowsum(self, v, Kp: int):
@@ -611,14 +721,31 @@ class ShufflePlan:
             out = jnp.take(v, self.small, axis=0)
             return out.reshape(-1, Kp).sum(axis=1)
         out = v
-        last = len(self.meta) - 1
-        for i, ((d, s), idx) in enumerate(zip(self.meta, self.idxs)):
+        metas, idxs = self.meta, self.idxs
+        run = _small_run(metas) if self._run_fusable(v) else None
+        last = len(metas) - 1
+        i = 0
+        while i < len(metas):
+            if run is not None and i == run[0]:
+                stop = run[1]
+                if (stop == len(metas) and Kp <= 128 and 128 % Kp == 0):
+                    # the fused run IS the tail: absorb the row sums too
+                    return _fused_small32(out, idxs[i: stop],
+                                          [s for _, s in metas[i: stop]],
+                                          self.M, Kp=Kp)
+                out = _fused_small32(out, idxs[i: stop],
+                                     [s for _, s in metas[i: stop]],
+                                     self.M)
+                i = stop
+                continue
+            (d, s), idx = metas[i], idxs[i]
             if (i == last and d == 128 and s > 1 and s % Kp == 0
                     and out.dtype.itemsize == 4
                     and jax.default_backend() != "cpu"
                     and _rowsum_tile(s, Kp) is not None):
                 return _fused_pass_rowsum32(out, idx, d, s, self.M, Kp)
             out = _apply_pass(out, idx, d, s, self.M)
+            i += 1
         return out.reshape(-1, Kp).sum(axis=1)
 
 jax.tree_util.register_pytree_node(

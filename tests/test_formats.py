@@ -328,3 +328,32 @@ def test_cst_locality_free_exact():
     b = sp.csr_matrix((np.asarray(v2), np.asarray(i2), np.asarray(p2)),
                       shape=a.shape)
     assert abs(b - want).max() < 1e-12
+
+
+def test_fused_small_run_interpret():
+    """_fused_small32 (the one-kernel run of tile-local Benes passes,
+    ops/shuffle.py) in pallas interpret mode vs the numpy oracle — the
+    CPU-side pin for the TPU pass-run fusion; the chip tier re-runs it
+    compiled (experiments/chip_smoke.py)."""
+    from lis_tpu.ops import shuffle as sh
+    rng = np.random.default_rng(9)
+    M = 1 << 15
+    ss = [128, 1, 128]
+    passes = [(128, s,
+               np.argsort(rng.random((M // 128, 128)),
+                          axis=1).astype(np.int32)) for s in ss]
+    x = rng.standard_normal(M).astype(np.float32)
+    want = sh.apply_host(passes, x, M)
+    idxs = [jnp.asarray(p[2].astype(np.uint8)) for p in passes]
+    got = sh._fused_small32(jnp.asarray(x), idxs, ss, M, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), want)
+    for Kp in (2, 128):
+        gotr = sh._fused_small32(jnp.asarray(x), idxs, ss, M, Kp=Kp,
+                                 interpret=True)
+        np.testing.assert_allclose(np.asarray(gotr),
+                                   want.reshape(-1, Kp).sum(axis=1),
+                                   rtol=1e-5, atol=1e-5)
+    # dispatch: the run detector finds the tile-local window
+    meta = ((128, 16384), (128, 128), (128, 1), (128, 128), (128, 16384))
+    assert sh._small_run(meta) == (1, 4)
+    assert sh._small_run(((128, 16384),)) is None
