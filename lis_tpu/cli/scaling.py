@@ -9,12 +9,21 @@ to validate the sharding and collective plan (timings then reflect host
 CPUs, not TPUs).
 
 Usage:
-  python -m lis_tpu.cli.scaling weak  m n iter   [ndev ...]
-  python -m lis_tpu.cli.scaling strong m n iter  [ndev ...]
+  python -m lis_tpu.cli.scaling weak  m n iter   [ndev ...] [-problem P]
+  python -m lis_tpu.cli.scaling strong m n iter  [ndev ...] [-problem P]
 
-weak:   2-D 5-pt Poisson with m·n rows PER DEVICE (global grows with the
-        mesh); reports MFLOPS and efficiency vs 1 device.
+weak:   problem with m·n rows PER DEVICE (global grows with the mesh);
+        reports MFLOPS and efficiency vs 1 device.
 strong: fixed global m·n rows split over the mesh.
+
+-problem poisson (default): 2-D 5-pt Poisson — banded, rides the
+        sharded-DIA ring halo.
+-problem random: uniformly random sparsity (8 nnz/row) — locality-free.
+        distribute_matrix picks the comm-table layout (DistCST above its
+        nnz threshold); pass ``-layout cst`` to force DistCSTMatrix
+        (comm-table halo + per-shard CST compute with interior/boundary
+        overlap) at any size.  The comm column shows the
+        boundary-proportional export volume vs the gather alternative.
 """
 
 from __future__ import annotations
@@ -67,6 +76,15 @@ def main(argv=None):
     from lis_tpu.utils.testmat import poisson2d
 
     argv = list(sys.argv[1:] if argv is None else argv)
+    problem, layout = "poisson", None
+    if "-problem" in argv:
+        i = argv.index("-problem")
+        problem = argv[i + 1]
+        del argv[i: i + 2]
+    if "-layout" in argv:
+        i = argv.index("-layout")
+        layout = argv[i + 1]
+        del argv[i: i + 2]
     if len(argv) < 4:
         print(__doc__)
         return 1
@@ -87,17 +105,38 @@ def main(argv=None):
     if ndevs is None:
         ndevs = [d for d in (1, 2, 4, 8, 16, 32) if d <= total]
 
+    def make_problem(rows_m, rows_n):
+        if problem == "random":
+            import scipy.sparse as sp
+            from lis_tpu.matrix.csr import CSRMatrix
+            rng = np.random.default_rng(0)
+            nn, k = rows_m * rows_n, 8
+            rr = np.repeat(np.arange(nn), k)
+            cc = rng.integers(0, nn, size=nn * k)
+            a = sp.coo_matrix((rng.standard_normal(nn * k), (rr, cc)),
+                              shape=(nn, nn)).tocsr()
+            a.sum_duplicates(); a.sort_indices()
+            return CSRMatrix.from_csr_arrays(a.indptr, a.indices, a.data,
+                                             a.shape)
+        return poisson2d(rows_m, rows_n)
+
     lis_tpu.initialize(argv)
     base = None
-    print(f"{mode} scaling, 2-D 5-pt Poisson, base grid {m}x{n}, "
+    pname = ("uniformly random 8 nnz/row (locality-free)"
+             if problem == "random" else "2-D 5-pt Poisson")
+    print(f"{mode} scaling, {pname}, base grid {m}x{n}, "
           f"{iters} iterations")
     for nd in ndevs:
         mesh = make_mesh(nd)
         if mode == "weak":
-            A0 = poisson2d(m, n * nd)
+            A0 = make_problem(m, n * nd)
         else:
-            A0 = poisson2d(m, n)
-        Ad = distribute_matrix(A0, mesh)
+            A0 = make_problem(m, n)
+        if layout == "cst":
+            from lis_tpu.parallel.dist import distribute_csr_cst
+            Ad = distribute_csr_cst(A0, mesh)
+        else:
+            Ad = distribute_matrix(A0, mesh)
         t = _bench_dist_matvec(Ad, mesh, iters)
         mflops = 2.0 * A0.nnz / t / 1e6
         if base is None:
@@ -124,7 +163,8 @@ def main(argv=None):
             comm = 0
         print(f"  ndev={nd:3d}  n={A0.nrows:9d}  {t*1e6:10.1f} us/matvec  "
               f"{mflops:10.1f} MFLOPS  efficiency {eff:5.2f}  "
-              f"comm {comm * esz / 1e3:.1f} KB/dev/mv")
+              f"comm {comm * esz / 1e3:.1f} KB/dev/mv  "
+              f"[{type(Ad).__name__}]")
     return 0
 
 

@@ -689,9 +689,12 @@ class ShufflePlan:
 
     def _run_fusable(self, v):
         """The 16384-tile pass-run fusion applies: 4-byte dtype, TPU
-        backend, tile-aligned slot count."""
+        backend, tile-aligned slot count.  LIS_TPU_NO_FUSED_SMALL=1
+        disables it (diagnostic kill-switch)."""
+        import os
         return (v.dtype.itemsize == 4 and self.M % 16384 == 0
-                and self.M >= 16384 and jax.default_backend() != "cpu")
+                and self.M >= 16384 and jax.default_backend() != "cpu"
+                and os.environ.get("LIS_TPU_NO_FUSED_SMALL") != "1")
 
     def apply(self, v):
         if self.small is not None:
