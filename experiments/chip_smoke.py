@@ -53,20 +53,44 @@ def rand_rowperm_idx(rng, R):
 
 
 def smoke_lane_shuffle(rng):
+    import os
     for R in (32, 512, 4096):
         idx = rand_rowperm_idx(rng, R)
         x = rng.standard_normal((R, 128)).astype(np.float32)
         want = np.take_along_axis(x, idx, axis=1)
         got = sh._lane_shuffle32(jnp.asarray(x), jnp.asarray(idx.astype(np.uint8)))
         check(f"lane_shuffle32 R={R}", got, want)
-    # wide/narrow dtypes ride as 32-bit planes through _lane_shuffle
     idx = rand_rowperm_idx(rng, 64)
-    for dt in (np.float64, np.complex64, np.float16):
-        x = (rng.standard_normal((64, 128)) + (1j if dt == np.complex64 else 0)).astype(dt)
-        want = np.take_along_axis(x, idx, axis=1)
-        got = sh._lane_shuffle(jnp.asarray(x), jnp.asarray(idx.astype(np.uint8)))
-        check(f"lane_shuffle dtype={np.dtype(dt).name}", got, want,
-              tol=3e-3 if dt == np.float16 else 1e-6)
+    iu8 = jnp.asarray(idx.astype(np.uint8))
+    # wide dtype: f64 (TPU route = exact XLA gather; see _lane_shuffle)
+    x = rng.standard_normal((64, 128))
+    got = sh._lane_shuffle(jnp.asarray(x, dtype=jnp.float64), iu8)
+    check("lane_shuffle dtype=float64", got,
+          np.take_along_axis(x, idx, axis=1), tol=1e-12)
+    # narrow dtype: bf16 upcast plane (transfer as f32, convert on
+    # device — fp16 HOST TRANSFERS are rejected by this backend)
+    xf = rng.standard_normal((64, 128)).astype(np.float32)
+    xb = jnp.asarray(xf).astype(jnp.bfloat16)
+    got = sh._lane_shuffle(xb, iu8)
+    want = np.take_along_axis(np.asarray(xb).astype(np.float32), idx,
+                              axis=1)
+    check("lane_shuffle dtype=bfloat16",
+          np.asarray(got).astype(np.float32), want, tol=1e-6)
+    # complex64: NEVER probed here — this backend rejects every complex
+    # op (UNIMPLEMENTED) and a failed complex op poisons subsequent
+    # host transfers in the same process (observed: f64 device_put
+    # returns UNIMPLEMENTED after one complex failure).  The CPU suite
+    # covers complex end-to-end; opt in with LIS_SMOKE_COMPLEX=1 on a
+    # backend that supports it.
+    if os.environ.get("LIS_SMOKE_COMPLEX") == "1":
+        x = (rng.standard_normal((64, 128))
+             + 1j * rng.standard_normal((64, 128))).astype(np.complex64)
+        got = sh._lane_shuffle(jnp.asarray(x), iu8)
+        check("lane_shuffle dtype=complex64", got,
+              np.take_along_axis(x, idx, axis=1))
+    else:
+        print("skip lane_shuffle dtype=complex64 (backend rejects "
+              "complex; LIS_SMOKE_COMPLEX=1 to enable)")
 
 
 def smoke_fused_pass(rng):

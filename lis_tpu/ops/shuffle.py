@@ -386,11 +386,21 @@ def _lane_shuffle32(x, idx):
 
 
 def _lane_shuffle(x, idx):
-    """Dtype-generic row shuffle: wide dtypes ride as 32-bit planes."""
+    """Dtype-generic row shuffle.  Complex rides as real/imag planes
+    (each itself dtype-generic); f64 on TPU uses the exact XLA gather —
+    the 32-bit-plane bitcast lowers through u64, which the TPU X64
+    rewriter rejects (caught by experiments/chip_smoke.py), and f64 is
+    emulated there anyway.  CPU keeps the exact bitcast planes."""
     if x.dtype.itemsize == 4:
         return _lane_shuffle32(x, idx)
     if x.dtype.itemsize < 4:
         return _lane_shuffle32(x.astype(jnp.float32), idx).astype(x.dtype)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        re = _lane_shuffle(jnp.real(x), idx)
+        im = _lane_shuffle(jnp.imag(x), idx)
+        return jax.lax.complex(re, im).astype(x.dtype)
+    if jax.default_backend() != "cpu":
+        return jnp.take_along_axis(x, idx.astype(jnp.int32), axis=1)
     u = jax.lax.bitcast_convert_type(x, jnp.uint32)   # (R, 128, n32)
     planes = [_lane_shuffle32(u[..., p], idx)
               for p in range(u.shape[-1])]
@@ -664,12 +674,14 @@ def _apply_pass(v, idx, d, s, M):
             and (s % 128 == 0 or s >= _FUSE_W)):
         if v.dtype.itemsize == 4:
             return _fused_pass32(v, idx, d, s, M)
-        if v.dtype.itemsize > 4:
-            u = jax.lax.bitcast_convert_type(v, jnp.uint32)  # (M, n32)
-            planes = [_fused_pass32(u[:, p], idx, d, s, M)
-                      for p in range(u.shape[-1])]
-            return jax.lax.bitcast_convert_type(
-                jnp.stack(planes, axis=-1), v.dtype)
+        if jnp.issubdtype(v.dtype, jnp.complexfloating):
+            # complex as real/imag planes (the 64-bit bitcast route is
+            # rejected by the TPU X64 rewriter; chip_smoke catch)
+            re = _apply_pass(jnp.real(v), idx, d, s, M)
+            im = _apply_pass(jnp.imag(v), idx, d, s, M)
+            return jax.lax.complex(re, im).astype(v.dtype)
+        # f64: fall through to the legacy path (_lane_shuffle routes it
+        # to the exact XLA gather on TPU)
     pre = M // (d * s)
     x = v.reshape(pre, d, s)
     x = jnp.swapaxes(x, 1, 2).reshape(-1, 128)
