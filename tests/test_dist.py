@@ -18,6 +18,23 @@ from lis_tpu.parallel.dist import distribute_csr, dist_solve, distribute_vector
 from tests.problems import poisson2d, tridiag
 
 
+_TEST_COUNT = [0]
+
+
+@pytest.fixture(autouse=True)
+def _bound_compile_accumulation():
+    """This module alone compiles ~60 shard_map programs; past ~50 live
+    executables in one process the XLA CPU backend segfaults inside
+    backend_compile_and_load (same failure the session-wide per-module
+    clear in conftest.py bounds).  Clear the jit caches every 12 tests
+    so the live-executable count stays well under the crash threshold —
+    costs recompiles, buys a suite that finishes."""
+    yield
+    _TEST_COUNT[0] += 1
+    if _TEST_COUNT[0] % 12 == 0:
+        jax.clear_caches()
+
+
 @pytest.fixture(scope="module")
 def mesh():
     assert len(jax.devices()) == 8
