@@ -629,7 +629,18 @@ def _fused_small32(x, idxs, ss, M, Kp=None, interpret=False):
         if Kp is None:
             o_ref[:] = T
         else:
-            o_ref[:] = T.reshape(B, 128, 128 // Kp, Kp).sum(axis=3)
+            # reduce w-groups of Kp: a reshape splitting the LANE dim is
+            # an unsupported Mosaic shape cast (chip-smoke catch), so
+            # contract against a 0/1 selection matrix on the MXU instead
+            S = (jax.lax.broadcasted_iota(jnp.int32, (128, 128 // Kp), 0)
+                 // Kp
+                 == jax.lax.broadcasted_iota(jnp.int32, (128, 128 // Kp),
+                                             1)).astype(T.dtype)
+            r = jax.lax.dot_general(
+                T.reshape(B * 128, 128), S, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=T.dtype)
+            o_ref[:] = r.reshape(B, 128, 128 // Kp)
 
     W_out = 128 if Kp is None else 128 // Kp
     with jax.enable_x64(False):
