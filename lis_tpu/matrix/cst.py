@@ -86,15 +86,20 @@ class CSTMatrix(SparseMatrix):
 
     # ------------------------------------------------------------------
     @classmethod
-    def profile(cls, ptr, index, shape, load: float = 0.72):
+    def profile(cls, ptr, index, shape, load: float = 0.72,
+                Kp: int | None = None):
         """(fill_blowup, rem_frac) estimate without building: one
-        bincount over buckets + row lengths."""
+        bincount over buckets + row lengths.  ``Kp`` overrides the
+        natural ELL width — escalating it grows M past 2^21, which
+        COARSENS the bucket grid (RBc -> 1) and lets band-concentrated
+        sparsity fit without spill at a modest fill cost (the
+        auto_storage escalation loop uses this)."""
         ptr = np.asarray(ptr, dtype=np.int64)
         index = np.asarray(index, dtype=np.int64)
         n, m = shape
         nnz = max(ptr[-1], 1)
         n_pad = _next_pow2(max(n, m, 128 * 128))
-        Kp = cls._pick_kp(nnz / max(n, 1), load)
+        Kp = Kp or cls._pick_kp(nnz / max(n, 1), load)
         M = n_pad * Kp
         L = min(M, 1 << 21) if M >= (1 << 21) else (1 << 14)
         RB = L // Kp

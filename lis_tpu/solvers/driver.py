@@ -98,40 +98,62 @@ def auto_storage(A):
         except NotImplementedError:
             out = None
         if out is None:
-            # general sparsity: dense sliding slabs (matrix/bes.py) beat
-            # the gather path whenever the fill blowup stays below ~1000x
-            # (slabs stream at ~750 GB/s vs 0.5 GB/s for gathers); the
-            # multi-window builder also covers few-affine-band structures
-            # (3-D-stencil-like patterns).  Accept when the displacement
-            # profile keeps the slabs affordable
+            # general sparsity: two TPU-native candidates, chosen by
+            # ESTIMATED THROUGHPUT rather than fixed precedence —
+            # - BES dense sliding slabs (matrix/bes.py): slabs stream at
+            #   ~750 GB/s, so csr-equivalent rate ~ 750/fill_blowup;
+            #   cheap build; multi-window covers few-affine-band
+            #   structures (3-D-stencil-like patterns);
+            # - CST lane-shuffle grid (matrix/cst.py): measured 75.9
+            #   csr-equiv GB/s at fill blowup 2 (BENCH.md round 5), so
+            #   rate ~ 150/fill_blowup; expensive host Benes-routing
+            #   build (amortized over solver iterations), hence CST only
+            #   wins with a >=1.5x estimated-rate margin.
             from lis_tpu.matrix.bes import multi_bes_from_csr
+            ptr, idx, val = A.to_csr_arrays()
+            from lis_tpu.matrix.cst import CSTMatrix
+            bes = None
+            bes_rate = 0.0
             try:
-                bes = multi_bes_from_csr(*A.to_csr_arrays(), A.shape,
+                bes = multi_bes_from_csr(ptr, idx, val, A.shape,
                                          max_bytes=4 << 30)
                 rem_frac = (bes.rem.nnz / max(bes.nnz, 1)
                             if bes.rem is not None else 0.0)
-                if bes.fill_blowup <= 256 and rem_frac <= 0.1:
-                    out = bes
+                if not (bes.fill_blowup <= 256 and rem_frac <= 0.1):
+                    bes = None
+                else:
+                    bes_rate = 750.0 / max(bes.fill_blowup, 1.0)
             except Exception:
-                pass
-        if out is None:
-            # locality-free sparsity (no band RCM could expose): the
-            # chunk-sorted transpose-routed format (matrix/cst.py) runs
-            # gather- AND scatter-free — one lane-shuffle select + a
-            # Benes-routed ELL row-sum: measured 2.2 G nnz/s / 18.9
-            # csr-equiv GB/s on uniformly random 8.4M-nnz (21x the css
-            # select+scatter grid, ~35x the plain gather path).  Build
-            # cost (host Benes routing) is tens of seconds at ~10M nnz —
-            # amortized over solver iterations; css remains the cheap-
-            # setup fallback
-            ptr, idx, val = A.to_csr_arrays()
-            from lis_tpu.matrix.cst import CSTMatrix
+                bes = None
+            cst_rate, cst_kp = 0.0, None
             try:
-                blowup, rem_frac = CSTMatrix.profile(ptr, idx, A.shape)
-                if blowup <= 6.0 and rem_frac <= 0.02:
-                    out = CSTMatrix.from_csr_arrays(ptr, idx, val, A.shape)
+                # Kp escalation: if the natural grid spills (band-
+                # concentrated columns overflow the fine bucket grid),
+                # doubling Kp coarsens the buckets (past M = 2^21 the
+                # row-block count collapses to 1) at a fill cost that
+                # the rate estimate charges for
+                n_ = A.shape[0]
+                Kp = CSTMatrix._pick_kp(len(val) / max(n_, 1))
+                while Kp <= 256:
+                    blowup, rem_frac = CSTMatrix.profile(ptr, idx,
+                                                         A.shape, Kp=Kp)
+                    if blowup > 6.0:
+                        break
+                    if rem_frac <= 0.02:
+                        cst_rate = 150.0 / max(blowup, 1.0)
+                        cst_kp = Kp
+                        break
+                    Kp *= 2
             except Exception:
                 pass
+            if cst_rate > 1.5 * bes_rate and cst_rate > 0.0:
+                try:
+                    out = CSTMatrix.from_csr_arrays(ptr, idx, val, A.shape,
+                                                    Kp=cst_kp)
+                except Exception:
+                    out = bes
+            else:
+                out = bes
         if out is None:
             # css select-stream: x-side gather removed, y-side scatter
             # kept — ~10-20x the plain gather path, cheap setup

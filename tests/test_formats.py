@@ -357,3 +357,29 @@ def test_fused_small_run_interpret():
     meta = ((128, 16384), (128, 128), (128, 1), (128, 128), (128, 16384))
     assert sh._small_run(meta) == (1, 4)
     assert sh._small_run(((128, 16384),)) is None
+
+
+def test_auto_storage_prefers_cst_over_slow_bes():
+    """Throughput-aware routing (round 5): a wide scattered band is
+    BES-representable but at a huge fill blowup (csr-equiv ~750/blowup
+    GB/s), while the CST grid sits at blowup ~2 (~75 GB/s measured,
+    BENCH.md).  auto_storage must pick CST, not the first format that
+    merely fits."""
+    import scipy.sparse as sp
+    from lis_tpu.solvers.driver import auto_storage
+    from lis_tpu.matrix.csr import CSRMatrix
+    from lis_tpu.matrix.cst import CSTMatrix
+    rng = np.random.default_rng(3)
+    n, k = 1 << 15, 16
+    rows = np.repeat(np.arange(n), k)
+    cols = np.clip(rows + rng.integers(-1000, 1001, size=n * k), 0, n - 1)
+    m = sp.coo_matrix((rng.standard_normal(n * k), (rows, cols)),
+                      shape=(n, n)).tocsr()
+    m.sum_duplicates()
+    m.sort_indices()
+    A = CSRMatrix.from_csr_arrays(m.indptr, m.indices, m.data, m.shape)
+    routed = auto_storage(A)
+    assert isinstance(routed, CSTMatrix), type(routed)
+    x = rng.standard_normal(n)
+    got = np.asarray(routed.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(got, m @ x, rtol=1e-10, atol=1e-8)
