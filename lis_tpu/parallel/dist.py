@@ -1384,14 +1384,27 @@ def distribute_matrix(A, mesh: Mesh, halo: str = "auto"):
     # general sparsity: dense sliding slabs on the mesh (ring window
     # halos) when the profile fits — same guards as auto_storage; the
     # multi-window builder covers few-affine-band structures, each band
-    # sharded as its own DistBES part
+    # sharded as its own DistBES part.  Like auto_storage's
+    # throughput-aware routing: a HIGH-blowup slab (csr-equiv rate
+    # ~750/blowup) yields to the per-shard CST layout when the CST grid
+    # profile accepts (rate ~150/blowup at blowup <= 6)
+    cst_ok = False
+    if halo == "auto" and A.nnz >= (1 << 18):
+        from lis_tpu.matrix.cst import CSTMatrix
+        try:
+            _p, _i, _ = A.to_csr_arrays()
+            _bl, _rf = CSTMatrix.profile(_p, _i, A.shape)
+            cst_ok = _bl <= 6.0 and _rf <= 0.02
+        except Exception:
+            cst_ok = False
     from lis_tpu.matrix.bes import multi_bes_from_csr, BESMatrix
     try:
         bes = multi_bes_from_csr(*A.to_csr_arrays(), A.shape,
                                  max_bytes=4 << 30)
         rem_frac = (bes.rem.nnz / max(bes.nnz, 1)
                     if bes.rem is not None else 0.0)
-        if bes.fill_blowup <= 256 and rem_frac <= 0.1:
+        if (bes.fill_blowup <= 256 and rem_frac <= 0.1
+                and (bes.fill_blowup <= 16 or not cst_ok)):
             if isinstance(bes, BESMatrix):
                 return distribute_bes(bes, mesh)
             parts = [distribute_bes(p, mesh) for p in bes.parts]
