@@ -124,3 +124,14 @@ def test_solve_cg_on_chip():
     r = lis_tpu.solve(a, b, options="-i cg -p jacobi -tol 1e-8")
     assert r.status == 0
     assert r.true_resid < 1e-6
+
+
+def test_esolve_on_chip():
+    """End-to-end eigensolve on the chip (inverse iteration on the 2-D
+    Poisson operator; smallest eigenvalue known analytically)."""
+    import lis_tpu
+    a = poisson2d(16, 16)
+    r = lis_tpu.esolve(a, options="-e ii -etol 1e-8 -emaxiter 2000")
+    assert r.status == lis_tpu.LIS_SUCCESS
+    lam = 4 * (np.sin(np.pi / 34) ** 2 + np.sin(np.pi / 34) ** 2)
+    assert abs(r.evalue - lam) < 1e-5, (r.evalue, lam)
