@@ -309,3 +309,27 @@ def greedy_color(left, right, n_nodes: int, d: int):
         len(left), left.ctypes.data_as(i64p), right.ctypes.data_as(i64p),
         n_nodes, d, _as_i32p(color))
     return int(fails), color
+
+
+def pass_idx(pos_before, pos_after, d: int, s: int, M: int,
+             exact_holes: bool):
+    """Lane-shuffle gather table for one Benes pass (the native fast
+    path of ops/shuffle._pass_idx): (M/128, 128) int32, with per-row
+    hole/unread pairing under exact_holes.  None when the native
+    library is unavailable (numpy fallback in the caller)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "pass_idx"):
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.pass_idx.restype = ctypes.c_int
+    lib.pass_idx.argtypes = [ctypes.c_int64, i64p, i64p,
+                             ctypes.c_int64, ctypes.c_int64,
+                             ctypes.c_int64, ctypes.c_int,
+                             ctypes.POINTER(ctypes.c_int32)]
+    pb = np.ascontiguousarray(pos_before, dtype=np.int64)
+    pa = np.ascontiguousarray(pos_after, dtype=np.int64)
+    idx = np.empty(M, dtype=np.int32)
+    rc = lib.pass_idx(len(pb), pb.ctypes.data_as(i64p),
+                      pa.ctypes.data_as(i64p), d, s, M,
+                      1 if exact_holes else 0, _as_i32p(idx))
+    return idx.reshape(M // 128, 128) if rc == 0 else None

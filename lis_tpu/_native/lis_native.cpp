@@ -798,4 +798,59 @@ int euler_split(int64_t m, const int64_t* u, const int64_t* v,
     return 0;
 }
 
+// ---------------------------------------------------------------------------
+// pass_idx — lane-shuffle gather table for one Benes pass
+// (ops/shuffle.py:_pass_idx).  pos_before/pos_after hold each real
+// element's slot before/after the pass; d, s are powers of two
+// (d <= 128).  idx (size M, viewed as (M/128, 128) rows) receives the
+// within-row gather: idx[row, lane_after] = lane_before.  With
+// exact_holes, unread source lanes are paired with unwritten output
+// lanes per row so every row stays a true permutation (hole slots then
+// provably carry their zero payloads — no mask needed downstream).
+// Replaces two global np.nonzero scans + fancy-index writes per pass.
+// ---------------------------------------------------------------------------
+int pass_idx(int64_t nnz, const int64_t* pb, const int64_t* pa,
+             int64_t d, int64_t s, int64_t M, int exact_holes,
+             int32_t* idx) {
+    const int ls = __builtin_ctzll((unsigned long long)s);
+    const int ld = __builtin_ctzll((unsigned long long)d);
+    const int64_t gpr = 128 / d;
+    const int lg = __builtin_ctzll((unsigned long long)gpr);
+    const int64_t R = M / 128;
+    if (!exact_holes) {
+        for (int64_t r = 0; r < R; ++r)
+            for (int l = 0; l < 128; ++l) idx[r * 128 + l] = l;
+        for (int64_t i = 0; i < nnz; ++i) {
+            int64_t g = ((pa[i] >> (ld + ls)) << ls) + (pa[i] & (s - 1));
+            int32_t ab = (int32_t)((pb[i] >> ls) & (d - 1));
+            int32_t aa = (int32_t)((pa[i] >> ls) & (d - 1));
+            int32_t base = (int32_t)((g & (gpr - 1)) << ld);
+            idx[(g >> lg) * 128 + base + aa] = base + ab;
+        }
+        return 0;
+    }
+    std::vector<uint8_t> read(M, 0);
+    std::fill(idx, idx + M, -1);
+    for (int64_t i = 0; i < nnz; ++i) {
+        int64_t g = ((pa[i] >> (ld + ls)) << ls) + (pa[i] & (s - 1));
+        int32_t ab = (int32_t)((pb[i] >> ls) & (d - 1));
+        int32_t aa = (int32_t)((pa[i] >> ls) & (d - 1));
+        int64_t row = g >> lg;
+        int32_t base = (int32_t)((g & (gpr - 1)) << ld);
+        idx[row * 128 + base + aa] = base + ab;
+        read[row * 128 + base + ab] = 1;
+    }
+    for (int64_t r = 0; r < R; ++r) {
+        const int64_t o = r * 128;
+        int un = 0;
+        for (int l = 0; l < 128; ++l) {
+            if (idx[o + l] < 0) {
+                while (read[o + un]) ++un;
+                idx[o + l] = un++;
+            }
+        }
+    }
+    return 0;
+}
+
 }  // extern "C"

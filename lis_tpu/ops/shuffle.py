@@ -254,6 +254,11 @@ def _pass_idx(pos_before, pos_after, d, s, M, exact_holes=False):
     instead routes unread source lanes into unwritten output lanes so
     every row stays a true permutation (exact value-preserving
     shuffle)."""
+    from lis_tpu import _native
+    out = _native.pass_idx(pos_before, pos_after, int(d), int(s), int(M),
+                           exact_holes)
+    if out is not None:
+        return out
     ls = s.bit_length() - 1                  # all sizes are powers of two:
     ld = d.bit_length() - 1                  # shifts/masks beat int64 //,%
     g = ((pos_after >> (ld + ls)) << ls) + (pos_after & (s - 1))
