@@ -339,7 +339,22 @@ class CSTMatrix(SparseMatrix):
             if jnp.iscomplexobj(self.val):
                 return jnp.conj(self.at.matvec(jnp.conj(x)))
             return self.at.matvec(x)
-        raise NotImplementedError("cst built with transpose=False")
+        # no transpose grid (auto_storage skips it for solvers that
+        # apply A^H at most once per solve, halving the build): one
+        # correct XLA scatter-add — slow (~0.1 G elem/s) but paid once.
+        # bicg/bicr get a transpose grid from the routing (need_at).
+        conj = (jnp.conj if jnp.iscomplexobj(self.val) else (lambda a: a))
+        xr = jnp.take(jnp.pad(conj(x), (0, 1)),
+                      jnp.minimum(self.rowf, self.nrows), axis=0)
+        contrib = conj(self.val).reshape(-1) * xr
+        slot = np.arange(self.n_pad * self.Kp, dtype=np.int64)
+        col = ((slot // (self.Kp * 128)) * 128).astype(np.int32)
+        cols = jnp.asarray(col) + self.lidx.reshape(-1).astype(jnp.int32)
+        y = jnp.zeros(self.n_pad, dtype=contrib.dtype).at[cols].add(
+            contrib)[: self.ncols]
+        if self.rem is not None:
+            y = y + self.rem.matvech(x)
+        return y
 
     def get_diagonal(self):
         return self.diag

@@ -60,7 +60,7 @@ SOLVER_REGISTRY = SOLVER_FNS
 _STORAGE_BY_ID = {i: n for n, i in STORAGE_NAMES.items()}
 
 
-def auto_storage(A):
+def auto_storage(A, need_at: bool = True):
     """TPU-first default storage: route diagonal-structured operators to
     DIA, where SpMV is shift-and-FMA streaming at the HBM roofline, instead
     of gather-bound CSR/ELL (random gathers run at <1 GB/s on TPU — see
@@ -80,9 +80,17 @@ def auto_storage(A):
         # block-Jacobi scaling branch, by contrast, keys on the -storage
         # OPTION there too, lis_solve_kernel :659).
         return A
+    from lis_tpu.matrix.cst import CSTMatrix
     cached = getattr(A, "_auto_dia", None)
     if cached is not None:
-        return cached if cached is not False else A
+        if (need_at and isinstance(cached, CSTMatrix)
+                and cached.at is None):
+            # cached grid was built transpose-free for a matvec-only
+            # solver; this solver applies A^H every iteration — upgrade
+            # the cache with a transpose grid (build cost paid once)
+            pass
+        else:
+            return cached if cached is not False else A
     from lis_tpu.matrix.convert import is_banded
     try:
         banded = is_banded(A)
@@ -148,8 +156,13 @@ def auto_storage(A):
                 pass
             if cst_rate > 1.5 * bes_rate and cst_rate > 0.0:
                 try:
+                    # transpose grid only for solvers that apply A^H per
+                    # iteration (need_at) — halves the build otherwise;
+                    # CSTMatrix.matvech has a correct scatter fallback
+                    # for the at-most-once setup applications
                     out = CSTMatrix.from_csr_arrays(ptr, idx, val, A.shape,
-                                                    Kp=cst_kp)
+                                                    Kp=cst_kp,
+                                                    transpose=need_at)
                 except Exception:
                     out = bes
             else:
@@ -340,7 +353,12 @@ def _convert_storage(A, opts):
                               **({"bnr": opts.storage_block}
                                  if opts.storage in (7, 8) else {}))
     if opts.auto_storage:
-        return auto_storage(A)
+        # solvers applying A^H every iteration need the CST transpose
+        # grid; everything else uses it at most once per solve (shadow
+        # residual setup) and rides the scatter fallback
+        need_at = (opts.solver in ("bicg", "bicr") or opts.use_at
+                   or opts.precision not in ("double", "single"))
+        return auto_storage(A, need_at=need_at)
     return A
 
 

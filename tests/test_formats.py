@@ -383,3 +383,34 @@ def test_auto_storage_prefers_cst_over_slow_bes():
     x = rng.standard_normal(n)
     got = np.asarray(routed.matvec(jnp.asarray(x)))
     np.testing.assert_allclose(got, m @ x, rtol=1e-10, atol=1e-8)
+
+
+def test_cst_lazy_transpose_routing():
+    """auto_storage builds the CST transpose grid only for solvers that
+    apply A^H every iteration (bicg/bicr) — CG-class solves skip it
+    (half the build), the scatter matvech fallback stays exact, and a
+    later bicg solve on the same matrix upgrades the cached grid."""
+    import scipy.sparse as sp
+    import lis_tpu
+    from lis_tpu.solvers.driver import auto_storage
+    from lis_tpu.matrix.csr import CSRMatrix
+    from lis_tpu.matrix.cst import CSTMatrix
+    rng = np.random.default_rng(5)
+    n, k = 1 << 15, 10
+    rows = np.repeat(np.arange(n), k)
+    cols = rng.integers(0, n, size=n * k)
+    a = sp.coo_matrix((rng.standard_normal(n * k), (rows, cols)),
+                      shape=(n, n)).tocsr()
+    a = (a + a.T + sp.eye(n) * (4 * k)).tocsr()
+    a.sort_indices()
+    A = CSRMatrix.from_csr_arrays(a.indptr, a.indices, a.data, a.shape)
+    routed = auto_storage(A, need_at=False)
+    assert isinstance(routed, CSTMatrix) and routed.at is None
+    x = np.random.default_rng(1).standard_normal(n)
+    np.testing.assert_allclose(np.asarray(routed.matvech(x)), a.T @ x,
+                               rtol=1e-12, atol=1e-10)
+    r = lis_tpu.solve(A, np.ones(n), options="-i bicgstab -tol 1e-10")
+    assert r.status == lis_tpu.LIS_SUCCESS
+    up = auto_storage(A, need_at=True)      # cache upgrade
+    assert isinstance(up, CSTMatrix) and up.at is not None
+    assert A._auto_dia.at is not None
