@@ -126,6 +126,20 @@ def test_solve_cg_on_chip():
     assert r.true_resid < 1e-6
 
 
+def test_forced_gather_storage_warns():
+    """-storage ell (or any gather-bound format) on a TPU backend must
+    warn loudly about the ~1000x roofline penalty and point at
+    auto-routing (VERDICT r4 weak #7)."""
+    import warnings
+    import lis_tpu
+    a = poisson2d(12, 12)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        lis_tpu.solve(a, np.ones(a.nrows),
+                      options="-i cg -tol 1e-6 -storage ell -maxiter 60")
+    assert any("gather-bound" in str(x.message) for x in w)
+
+
 def test_esolve_on_chip():
     """End-to-end eigensolve on the chip (inverse iteration on the 2-D
     Poisson operator; smallest eigenvalue known analytically)."""
