@@ -34,14 +34,20 @@ import numpy as np
 LEG_ERRORS = {}
 
 
+LEG_SECONDS = {}
+
+
 def _leg(name, fn):
     """Run one benchmark leg; on failure record the error and move on."""
+    t0 = time.perf_counter()
     try:
         return fn()
     except Exception as e:
         LEG_ERRORS[name] = f"{type(e).__name__}: {e}"[:300]
         traceback.print_exc()
         return None
+    finally:
+        LEG_SECONDS[name] = round(time.perf_counter() - t0, 1)
 
 
 def _timed(fn, arg, iters_a: int, iters_b: int, repeats: int = 5,
@@ -276,6 +282,7 @@ def main():
         extra["saamg_vcycle_ms_128"] = saamg_ms
     if bsr_gbs:
         extra["bsr_slab_gbs"] = bsr_gbs
+    extra["leg_seconds"] = LEG_SECONDS
     if LEG_ERRORS:
         extra["leg_errors"] = LEG_ERRORS
 
